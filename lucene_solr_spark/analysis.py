@@ -1,0 +1,119 @@
+"""Analysis chains — tokenization + token filters, the per-row "projection
+pipeline" that determines every downstream number (tf, df, doc length).
+
+Reference parity (SURVEY.md §3.2):
+  * StandardTokenizer — UAX#29 word break, maxTokenLength=255
+    (lucene/core/src/java/org/apache/lucene/analysis/standard/
+     StandardTokenizer.java ≈L40). We implement the UAX#29 subset exercised
+    by the corpus: ALPHANUM runs joined across MidNumLet ('.', ''') between
+    word chars and MidNum (',') between digits, ExtendNumLet ('_') joining,
+    CJK ideographs as single-char tokens, >255-char tokens split.
+  * EnglishPossessiveFilter — strip trailing 's (.../en/
+    EnglishPossessiveFilter.java ≈L40)
+  * LowerCaseFilter (.../analysis/LowerCaseFilter.java ≈L30)
+  * StopFilter — 33-word English set; position increments accumulate across
+    holes (.../analysis/StopFilter.java ≈L40)
+  * PorterStemFilter (.../en/PorterStemFilter.java ≈L40) -> porter.py
+  * EnglishAnalyzer chain = Standard -> Possessive -> LowerCase -> Stop ->
+    PorterStem (.../en/EnglishAnalyzer.java createComponents ≈L110)
+
+Doc length semantics: field_len = number of emitted tokens (stopword holes do
+NOT count; discountOverlaps=true default) — ref DefaultIndexingChain PerField
+#invert ≈L750, BM25Similarity#computeNorm ≈L110.
+
+Everything here is plain Python over strings so the same code drives (a) the
+pure-Python oracle and (b) Arrow-batched pandas UDFs (tokenize via C-speed
+regex findall, stemming memoized over unique tokens — no Spark-level
+per-row Python).
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import ENGLISH_STOP_WORDS
+from .porter import porter_stem
+
+MAX_TOKEN_LENGTH = 255
+
+# CJK ideograph ranges tokenized one-char-per-token (UAX#29 / StandardTokenizer
+# IDEOGRAPHIC type).
+_CJK_CLASS = "⺀-⻿㐀-䶿一-鿿豈-﫿぀-ヿ"
+# word char = \w minus CJK (so CJK is handled by the single-char branch)
+_W = rf"(?:(?![{_CJK_CLASS}])\w)"
+TOKEN_RE = re.compile(
+    rf"[{_CJK_CLASS}]"  # single CJK ideograph
+    rf"|{_W}+(?:['’.]{_W}+|(?<=\d),\d+)*"
+)
+
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize_standard(text: str) -> list[str]:
+    """StandardTokenizer: UAX#29 word-break subset + 255-char split."""
+    toks = TOKEN_RE.findall(text)
+    out = []
+    for t in toks:
+        if len(t) <= MAX_TOKEN_LENGTH:
+            out.append(t)
+        else:
+            out.extend(
+                t[i : i + MAX_TOKEN_LENGTH]
+                for i in range(0, len(t), MAX_TOKEN_LENGTH)
+            )
+    return out
+
+
+def strip_possessive(token: str) -> str:
+    return _POSSESSIVE_RE.sub("", token)
+
+
+def analyze_en(text: str, stem_cache: dict | None = None) -> list[tuple[str, int]]:
+    """EnglishAnalyzer chain -> [(term, position)], positions preserve
+    stopword holes (StopFilter accumulates position increments)."""
+    out = []
+    cache = stem_cache if stem_cache is not None else {}
+    for pos, tok in enumerate(tokenize_standard(text)):
+        t = strip_possessive(tok).lower()
+        if not t or t in ENGLISH_STOP_WORDS:
+            continue  # hole: position increment accumulates
+        s = cache.get(t)
+        if s is None:
+            s = porter_stem(t)
+            cache[t] = s
+        out.append((s, pos))
+    return out
+
+
+def analyze_standard(text: str) -> list[tuple[str, int]]:
+    """StandardAnalyzer: Standard -> LowerCase -> Stop(empty default)."""
+    return [(t.lower(), i) for i, t in enumerate(tokenize_standard(text))]
+
+
+def analyze_simple(text: str) -> list[tuple[str, int]]:
+    """'simple' profile: lowercase [a-z0-9]+ runs, no stop/stem — the
+    ANSI-SQL-expressible twin used for the DuckDB oracle path
+    (SURVEY.md §6.2 item 8)."""
+    return [(t, i) for i, t in enumerate(SIMPLE_TOKEN_RE.findall(text.lower()))]
+
+
+ANALYZERS = {
+    "en": analyze_en,
+    "english": analyze_en,
+    "standard": analyze_standard,
+    "simple": analyze_simple,
+}
+
+
+def analyze(text: str, profile: str = "en", stem_cache: dict | None = None):
+    if profile in ("en", "english"):
+        return analyze_en(text, stem_cache)
+    return ANALYZERS[profile](text)
+
+
+def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
+    """Query-time analysis of a bare term/phrase string (same chain as
+    index time — Lucene's query parser analyzes query text with the
+    field's query analyzer)."""
+    return [t for t, _ in analyze(query_text, profile)]

@@ -1,0 +1,43 @@
+"""Stable dense doc-ID assignment.
+
+Lucene docIDs are per-segment and ephemeral (renumbered on merge —
+BaseCompositeReader#readerBase). We instead mint STABLE dense ids
+``doc_id = rank of url in global url order`` (SURVEY.md §8), which makes the
+(score desc, doc_id asc) tiebreak deterministic and reproducible.
+
+Scalable pattern (no global window, no zipWithIndex/RDD): range-partition by
+the key, count rows per partition, broadcast the per-partition offsets, add a
+partition-local row_number. Cost: one range exchange + one tiny count job —
+this is how you assign dense ids to 10^12 rows without funnelling them
+through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame, key: str, id_col: str = "doc_id", partitions: int | None = None
+) -> DataFrame:
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = (
+        ranged.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # <= `partitions` rows — driver-side by design, O(p) not O(rows)
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offsets_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    return (
+        ranged.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, F.row_number().over(w) + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )

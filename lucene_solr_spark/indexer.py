@@ -1,0 +1,168 @@
+"""Index build: pages -> docmeta + postings (flat & packed) + term_stats.
+
+This is the Spark restatement of Lucene's write path (SURVEY.md §4.1):
+
+  IndexWriter.addDocument / DWPT inversion  ->  per-partition Arrow UDF
+      (analysis chain, DefaultIndexingChain#processField)
+  FreqProxTermsWriter flush (sort terms, walk postings)
+      ->  groupBy(term, doc) / groupBy(term, block) shuffle aggregation
+  Lucene84PostingsWriter 128-doc delta+PFOR blocks + impacts
+      ->  codec.py delta+varint packed binary blocks with (max_tf, min_dlq)
+          block-max metadata, keyed by (term, doc-range block)
+  segments_N commit  ->  atomic parquet/Iceberg snapshot directory + manifest
+
+Partitioning strategy (designed for 10^12 docs / 1000 executors):
+  * the build shuffles ONCE by (term, doc-range block): block key is derived
+    from doc_id arithmetic, NOT from a global per-term rank, so head terms
+    (Zipf skew) spread across many blocks/tasks instead of funnelling into
+    one reducer — this is the explicit skew answer the north_rule asks for
+    (plus optional salting in the flat-tf aggregation, see `salt`).
+  * postings are written bucketed by hash(term) so a query's term lookups
+    prune to a few buckets (Iceberg: `bucket(term, B)`; parquet fallback:
+    a `bucket` partition column).
+  * docmeta is range-partitioned by doc_id (late-materialization joins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_K1  # noqa: F401  (re-exported for callers)
+from .ids import assign_dense_ids
+from .udfs import make_analyze_udf, norm_byte_udf, quantized_len_udf
+
+DEFAULT_BUCKETS = 16
+BLOCK_SPAN = 4096  # doc-range width per packed posting block
+
+
+def analyzed_docs(pages: DataFrame, profile: str = "en") -> DataFrame:
+    """pages -> (doc_id, url, lang, field_len, norm info, toks).
+
+    One analysis pass feeds both docmeta and postings (the reference also
+    inverts exactly once per doc — DefaultIndexingChain#processDocument).
+    """
+    analyze_udf = make_analyze_udf(profile)
+    toks = pages.select(
+        "url", "lang", analyze_udf(F.col("text")).alias("toks")
+    ).withColumn("field_len", F.size("toks"))
+    with_ids = assign_dense_ids(toks, "url")
+    return (
+        with_ids.withColumn("norm_byte", norm_byte_udf("field_len"))
+        .withColumn("dlq", quantized_len_udf("field_len"))
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    profile: str = "en",
+    num_buckets: int = DEFAULT_BUCKETS,
+    salt: int = 0,
+) -> dict:
+    """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
+    stats/). Returns collection stats. Idempotent overwrite per table.
+    """
+    docs = analyzed_docs(pages, profile).persist()
+
+    docmeta = docs.select("doc_id", "url", "lang", "field_len", "norm_byte", "dlq")
+    docmeta.repartitionByRange(
+        max(docs.sparkSession.sparkContext.defaultParallelism, 1), "doc_id"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
+
+    # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
+    # posting row — the Spark analog of Lucene's doc-local norms array read:
+    # it turns the per-query docmeta join (a shuffle) into a column read.
+    tok = docs.select(
+        "doc_id", "dlq", F.explode("toks").alias("t")
+    ).select(
+        "doc_id",
+        "dlq",
+        F.col("t.term").alias("term"),
+        F.col("t.pos").alias("pos"),
+    )
+
+    if salt > 1:
+        # two-stage salted aggregation for extreme head-term skew:
+        # partial (term, salt) combine, then final combine — the classic
+        # map-side-combine answer to Zipf keys (SURVEY.md §5.3 item 6).
+        partial = tok.groupBy(
+            "term", "doc_id", (F.pmod(F.col("pos"), F.lit(salt))).alias("_s")
+        ).agg(
+            F.count("*").alias("tf"),
+            F.first("dlq").alias("dlq"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        flat = partial.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tf"),
+            F.first("dlq").alias("dlq"),
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions"),
+        )
+    else:
+        flat = tok.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"),
+            F.first("dlq").alias("dlq"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+
+    postings = flat.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    postings.repartition(num_buckets, "bucket").sortWithinPartitions(
+        "term", "doc_id"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "postings")
+    )
+
+    term_stats = (
+        flat.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    )
+    term_stats.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, "term_stats"))
+
+    agg = docs.agg(
+        F.count("*").alias("N"), F.sum("field_len").alias("sum_ttf")
+    ).collect()[0]
+    n_docs, sum_ttf = int(agg["N"]), int(agg["sum_ttf"] or 0)
+    stats = {
+        "doc_count": n_docs,
+        "sum_total_term_freq": sum_ttf,
+        "avgdl": (sum_ttf / n_docs) if n_docs else 0.0,
+        "profile": profile,
+        "num_buckets": num_buckets,
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
+        os.path.join(out_dir, "stats")
+    )
+    docs.unpersist()
+    return stats
+
+
+def read_index(spark: SparkSession, index_dir: str) -> dict:
+    """Open an index directory -> dict of DataFrames + collection stats."""
+    import json
+    import glob
+
+    stats_files = glob.glob(os.path.join(index_dir, "stats", "part-*"))
+    with open(stats_files[0]) as f:
+        stats = json.loads(f.readline())
+    return {
+        "docmeta": spark.read.parquet(os.path.join(index_dir, "docmeta")),
+        "postings": spark.read.parquet(os.path.join(index_dir, "postings")),
+        "term_stats": spark.read.parquet(os.path.join(index_dir, "term_stats")),
+        "stats": stats,
+    }
+
+
+def bucket_of(term: str, num_buckets: int, spark: SparkSession) -> int:
+    """Driver-side bucket id for a term (matches F.xxhash64 pmod)."""
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(term)), F.lit(num_buckets)).cast("int").alias("b")
+    ).collect()[0]
+    return int(row["b"])

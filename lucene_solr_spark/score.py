@@ -1,0 +1,93 @@
+"""Similarity scoring as pure Spark Column expressions (JVM-side, inside
+whole-stage codegen — no Python in the hot scoring path).
+
+Reference parity (SURVEY.md §3.5,
+lucene/core/src/java/org/apache/lucene/search/similarities/):
+
+  * BM25Similarity (8.x form, LUCENE-8563: NO (k1+1) numerator):
+      idf  = ln(1 + (N - df + 0.5) / (df + 0.5))          (#idf ≈L80)
+      norm = k1 * (1 - b + b * dlq / avgdl)               (BM25Scorer cache)
+      score = boost * idf * tf / (tf + norm)
+    with dlq = SmallFloat-decoded quantized doc length (LENGTH_TABLE) and
+    avgdl = sumTotalTermFreq / docCount (exact global stats — our build
+    computes them by construction; ExactStatsCache semantics).
+  * ClassicSimilarity (TF-IDF): sqrt(tf) * idf^2, idf = log((N+1)/(df+1))+1,
+    lengthNorm = 1/sqrt(dlq).
+  * BooleanSimilarity: score = boost.
+  * LMDirichletSimilarity (mu=2000), LMJelinekMercerSimilarity (lambda=0.1):
+    language-model scores over (tf, dlq, ttf, sum_ttf).
+
+All are stateless per (term, doc) given collection stats -> parameterized
+Column factories score(tf, dlq; df, N, avgdl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+
+
+def bm25_idf(df_col: Column, n_docs: int) -> Column:
+    return F.log(
+        1.0 + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5)
+    )
+
+
+def bm25_score(
+    tf: Column,
+    dlq: Column,
+    df_col: Column,
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    boost: float = 1.0,
+) -> Column:
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlq / F.lit(float(avgdl)))
+    return F.lit(boost) * bm25_idf(df_col, n_docs) * tf / (tf + norm)
+
+
+def classic_score(
+    tf: Column, dlq: Column, df_col: Column, n_docs: int, boost: float = 1.0
+) -> Column:
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (df_col + 1.0)) + 1.0
+    return F.lit(boost) * F.sqrt(tf) * idf * idf / F.sqrt(dlq)
+
+
+def boolean_score(boost: float = 1.0) -> Column:
+    return F.lit(float(boost))
+
+
+def lm_dirichlet_score(
+    tf: Column,
+    dlq: Column,
+    ttf: Column,
+    sum_ttf: int,
+    mu: float = 2000.0,
+    boost: float = 1.0,
+) -> Column:
+    # score = log(1 + tf / (mu * p(t|C))) + log(mu / (dlq + mu)), clipped >= 0
+    p_c = ttf / F.lit(float(sum_ttf))
+    raw = F.log(1.0 + tf / (F.lit(mu) * p_c)) + F.log(F.lit(mu) / (dlq + F.lit(mu)))
+    return F.lit(boost) * F.greatest(raw, F.lit(0.0))
+
+
+def lm_jelinek_mercer_score(
+    tf: Column,
+    dlq: Column,
+    ttf: Column,
+    sum_ttf: int,
+    lam: float = 0.1,
+    boost: float = 1.0,
+) -> Column:
+    p_c = ttf / F.lit(float(sum_ttf))
+    raw = F.log(1.0 + (F.lit(1.0 - lam) * tf / dlq) / (F.lit(lam) * p_c))
+    return F.lit(boost) * F.greatest(raw, F.lit(0.0))
+
+
+SIMILARITIES = {
+    "bm25": bm25_score,
+    "classic": classic_score,
+}

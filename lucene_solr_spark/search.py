@@ -1,0 +1,366 @@
+"""Query execution: compile a Query AST into a DataFrame plan ending in
+``orderBy(desc(score), asc(doc_id)).limit(k)``.
+
+Spark restatement of the Lucene read path (SURVEY.md §4.2):
+
+  IndexSearcher#createWeight (stats bind)  ->  one tiny driver-side lookup of
+      (df, ttf) for the query's terms against term_stats with bucket pruning
+      (TermStates.build analog), embedded as literals in the plan.
+  Scorer DAG (ConjunctionDISI / DisjunctionSumScorer / ReqExclScorer /
+      MinShouldMatchSumScorer, SURVEY.md §3.4)  ->  ONE union + groupBy(doc_id)
+      shuffle: every clause contributes (doc_id, score, clause flags); the
+      aggregation enforces MUST counts / minimumNumberShouldMatch and sums
+      scores; MUST_NOT is a left_anti join.
+  TopScoreDocCollector  ->  orderBy(score desc, doc_id asc).limit(k) —
+      Catalyst's TakeOrderedAndProject = per-partition top-k + driver merge,
+      exactly TopDocs.merge.
+  Stored-field fetch  ->  late-materialization join of the final top-k back
+      to docmeta (GET_TOP_IDS / GET_FIELDS two-phase pattern).
+
+Every scoring expression is a JVM-side Column (whole-stage codegen); no
+Python runs at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from .query import (
+    Boolean,
+    Boost,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    LangFilter,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Query,
+    Regexp,
+    Synonym,
+    Term,
+    TermInSet,
+    TermRange,
+    Wildcard,
+)
+from .score import bm25_score, classic_score
+
+
+def _collect_terms(q: Query, out: set) -> None:
+    if isinstance(q, Term):
+        out.add(q.term)
+    elif isinstance(q, (Phrase, Synonym, TermInSet)):
+        out.update(q.terms)
+    elif isinstance(q, Boolean):
+        for c in q.must + q.should + q.must_not + q.filter:
+            _collect_terms(c, out)
+    elif isinstance(q, (Boost, ConstantScore, LangFilter)):
+        _collect_terms(q.child, out)
+    elif isinstance(q, DisMax):
+        for c in q.children:
+            _collect_terms(c, out)
+
+
+class Searcher:
+    """Bind an index (read_index() dict) + similarity; compile & run queries."""
+
+    def __init__(self, index: dict, similarity: str = "bm25"):
+        self.index = index
+        self.postings = index["postings"]
+        self.docmeta = index["docmeta"]
+        self.term_stats = index["term_stats"]
+        self.n_docs = index["stats"]["doc_count"]
+        self.avgdl = index["stats"]["avgdl"]
+        self.num_buckets = index["stats"].get("num_buckets", 16)
+        self.similarity = similarity
+
+    # ---- stats bind (Weight creation) ------------------------------------
+    def _stats_for(self, terms: list[str]) -> dict[str, dict]:
+        if not terms:
+            return {}
+        rows = (
+            self.term_stats.filter(F.col("term").isin(list(terms)))
+            .select("term", "df", "ttf")
+            .collect()
+        )
+        return {r["term"]: {"df": int(r["df"]), "ttf": int(r["ttf"])} for r in rows}
+
+    def _score_expr(self, tf, dlq, df: int, boost: float = 1.0):
+        if self.similarity == "classic":
+            return classic_score(tf, dlq, F.lit(float(df)), self.n_docs, boost)
+        return bm25_score(
+            tf, dlq, F.lit(float(df)), self.n_docs, self.avgdl,
+            BM25_K1, BM25_B, boost,
+        )
+
+    def _idf(self, df: int) -> float:
+        import math
+
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _term_postings(self, term: str) -> DataFrame:
+        return self.postings.filter(F.col("term") == term)
+
+    # ---- leaf scorers: (doc_id, score) ------------------------------------
+    def _compile(self, q: Query, stats: dict, scored: bool = True) -> DataFrame:
+        if isinstance(q, Term):
+            st = stats.get(q.term)
+            if st is None:
+                return self._empty()
+            p = self._term_postings(q.term)
+            score = (
+                self._score_expr(F.col("tf"), F.col("dlq"), st["df"], q.boost)
+                if scored
+                else F.lit(0.0)
+            )
+            return p.select("doc_id", score.alias("score"))
+
+        if isinstance(q, Synonym):
+            # summed tf across synonyms, df = max df (SynonymQuery.java)
+            present = [t for t in q.terms if t in stats]
+            if not present:
+                return self._empty()
+            df_max = max(stats[t]["df"] for t in present)
+            p = self.postings.filter(F.col("term").isin(present))
+            g = p.groupBy("doc_id").agg(
+                F.sum("tf").alias("tf"), F.first("dlq").alias("dlq")
+            )
+            score = (
+                self._score_expr(F.col("tf"), F.col("dlq"), df_max, q.boost)
+                if scored
+                else F.lit(0.0)
+            )
+            return g.select("doc_id", score.alias("score"))
+
+        if isinstance(q, Phrase):
+            return self._compile_phrase(q, stats, scored)
+
+        if isinstance(q, (Prefix, Wildcard, Regexp, Fuzzy, TermRange, TermInSet)):
+            return self._compile_multiterm(q, scored)
+
+        if isinstance(q, MatchAll):
+            return self.docmeta.select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            )
+
+        if isinstance(q, Boost):
+            child = self._compile(q.child, stats, scored)
+            return child.select(
+                "doc_id", (F.col("score") * q.boost).alias("score")
+            )
+
+        if isinstance(q, ConstantScore):
+            child = self._compile(q.child, stats, scored=False)
+            return child.select(
+                "doc_id", F.lit(float(q.boost)).alias("score")
+            ).dropDuplicates(["doc_id"])
+
+        if isinstance(q, DisMax):
+            parts = []
+            for i, c in enumerate(q.children):
+                parts.append(
+                    self._compile(c, stats, scored).withColumn(
+                        "_cid", F.lit(i)
+                    )
+                )
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            # max + tie * (sum - max)  (DisjunctionMaxQuery ≈L40)
+            agg = u.groupBy("doc_id").agg(
+                F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+            )
+            return agg.select(
+                "doc_id",
+                (
+                    (F.col("_mx") + F.lit(q.tie_breaker) * (F.col("_sm") - F.col("_mx")))
+                    * q.boost
+                ).alias("score"),
+            )
+
+        if isinstance(q, LangFilter):
+            child = self._compile(q.child, stats, scored)
+            keep = self.docmeta.filter(F.col("lang") == q.lang).select("doc_id")
+            return child.join(keep, "doc_id", "left_semi")
+
+        if isinstance(q, Boolean):
+            return self._compile_boolean(q, stats, scored)
+
+        raise TypeError(f"unsupported query node: {q!r}")
+
+    def _compile_phrase(self, q: Phrase, stats: dict, scored: bool) -> DataFrame:
+        terms = list(q.terms)
+        if any(t not in stats for t in terms):
+            return self._empty()
+        # positions join: doc must contain every term; phrase freq = number of
+        # start positions p with term_i at p+i for all i (ExactPhraseMatcher).
+        base = (
+            self._term_postings(terms[0])
+            .select("doc_id", "dlq", F.col("positions").alias("_p0"))
+        )
+        joined = base
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = self._term_postings(t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            joined = joined.join(nxt, "doc_id")
+        # chain: starts = p0 ∩ (p1-1) ∩ (p2-2) ...
+        # NB: F.transform treats a 2-arg lambda as f(element, array_index),
+        # so the offset must be captured via a 1-arg closure factory.
+        def _shift_by(offset):
+            return lambda x: x - F.lit(offset)
+
+        starts = F.col("_p0")
+        for i in range(1, len(terms)):
+            starts = F.array_intersect(
+                starts, F.transform(F.col(f"_p{i}"), _shift_by(i))
+            )
+        tf = F.size(starts)
+        out = joined.select("doc_id", "dlq", tf.alias("_ptf")).filter(
+            F.col("_ptf") > 0
+        )
+        if not scored:
+            return out.select("doc_id", F.lit(0.0).alias("score"))
+        # PhraseWeight: idf = sum of constituent term idfs; freq = phrase freq
+        idf_sum = sum(self._idf(stats[t]["df"]) for t in terms)
+        k1, b = BM25_K1, BM25_B
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dlq") / F.lit(float(self.avgdl))
+        )
+        score = (
+            F.lit(q.boost)
+            * F.lit(idf_sum)
+            * F.col("_ptf")
+            / (F.col("_ptf") + norm)
+        )
+        return out.select("doc_id", score.alias("score"))
+
+    def _expand_terms(self, q: Query) -> DataFrame:
+        """MultiTermQuery rewrite: expand against the terms dictionary
+        (term_stats = our sorted terms dict; MultiTermQuery.java ≈L60)."""
+        t = F.col("term")
+        if isinstance(q, Prefix):
+            cond = t.startswith(q.prefix)
+        elif isinstance(q, Wildcard):
+            rx = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else __import__("re").escape(c)
+                for c in q.pattern
+            ) + "$"
+            cond = t.rlike(rx)
+        elif isinstance(q, Regexp):
+            cond = t.rlike("^" + q.pattern + "$")
+        elif isinstance(q, Fuzzy):
+            cond = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
+        elif isinstance(q, TermRange):
+            lo = t >= q.lower if q.include_lower else t > q.lower
+            hi = t <= q.upper if q.include_upper else t < q.upper
+            cond = lo & hi
+        elif isinstance(q, TermInSet):
+            cond = t.isin(list(q.terms))
+        else:  # pragma: no cover
+            raise TypeError(q)
+        return self.term_stats.filter(cond).select("term")
+
+    def _compile_multiterm(self, q: Query, scored: bool) -> DataFrame:
+        """CONSTANT_SCORE_REWRITE (Lucene 8 default for multi-term queries):
+        matching docs score == boost."""
+        terms = self._expand_terms(q)
+        matched = self.postings.join(
+            F.broadcast(terms), "term", "left_semi"
+        ).select("doc_id").dropDuplicates(["doc_id"])
+        boost = getattr(q, "boost", 1.0)
+        return matched.select(
+            "doc_id", F.lit(float(boost) if scored else 0.0).alias("score")
+        )
+
+    def _compile_boolean(self, q: Boolean, stats: dict, scored: bool) -> DataFrame:
+        parts = []
+        n_must = len(q.must) + len(q.filter)
+        for i, c in enumerate(q.must):
+            parts.append(
+                self._compile(c, stats, scored)
+                .withColumn("_must", F.lit(1))
+                .withColumn("_cid", F.lit(i))
+            )
+        for i, c in enumerate(q.filter):
+            parts.append(
+                self._compile(c, stats, scored=False)
+                .withColumn("_must", F.lit(1))
+                .withColumn("_cid", F.lit(1000 + i))
+            )
+        for i, c in enumerate(q.should):
+            parts.append(
+                self._compile(c, stats, scored)
+                .withColumn("_must", F.lit(0))
+                .withColumn("_cid", F.lit(2000 + i))
+            )
+        if not parts:
+            return self._empty()
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("_s"),
+            F.count_distinct(F.when(F.col("_must") == 1, F.col("_cid"))).alias("_nm"),
+            F.count_distinct(F.when(F.col("_must") == 0, F.col("_cid"))).alias("_ns"),
+        )
+        cond = F.col("_nm") == n_must
+        msm = q.min_should_match
+        if n_must == 0:
+            msm = max(msm, 1)  # pure-SHOULD boolean: at least one clause
+        if q.should:
+            cond = cond & (F.col("_ns") >= msm)
+        res = agg.filter(cond).select(
+            "doc_id", (F.col("_s") * q.boost).alias("score")
+        )
+        if q.must_not:
+            excl = None
+            for c in q.must_not:
+                d = self._compile(c, stats, scored=False).select("doc_id")
+                excl = d if excl is None else excl.unionByName(d)
+            res = res.join(excl.dropDuplicates(["doc_id"]), "doc_id", "left_anti")
+        return res
+
+    def _empty(self) -> DataFrame:
+        spark = self.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    # ---- public API --------------------------------------------------------
+    def score_all(self, q) -> DataFrame:
+        """All matching (doc_id, score) — the exhaustive scorer (no top-k)."""
+        if isinstance(q, str):
+            from .query import parse
+
+            q = parse(q, self.index["stats"].get("profile", "en"))
+        terms: set = set()
+        _collect_terms(q, terms)
+        stats = self._stats_for(sorted(terms))
+        return self._compile(q, stats, scored=True)
+
+    def search(self, q, k: int = 10, with_fields: bool = True) -> DataFrame:
+        """Top-k by (score desc, doc_id asc) with late-materialized url."""
+        scores = self.score_all(q)
+        topk = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not with_fields:
+            return topk
+        return (
+            topk.join(self.docmeta.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def count(self, q) -> int:
+        """TotalHitCountCollector analog."""
+        return self.score_all(q).count()
+
+    def search_after(
+        self, q, after_score: float, after_doc: int, k: int = 10
+    ) -> DataFrame:
+        """searchAfter pagination: filter (sort tuple) > after, then top-k
+        (TopFieldCollector#searchAfter)."""
+        scores = self.score_all(q)
+        cond = (F.col("score") < after_score) | (
+            (F.col("score") == after_score) & (F.col("doc_id") > after_doc)
+        )
+        return scores.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

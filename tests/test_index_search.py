@@ -1,0 +1,151 @@
+"""Differential oracle tests (SURVEY.md §6.1 TestWANDScorer pattern):
+engine top-k must be rank-identical with equal scores (rtol 1e-9) vs the
+exhaustive pure-Python oracle, across the query-type matrix of FIXTURES.md §4.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_spark import query as Q
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def oracle(pages_small):
+    tbl = pq.read_table(pages_small, columns=["url", "text", "lang"])
+    rows = list(
+        zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("lang").to_pylist(),
+        )
+    )
+    return OracleIndex(rows, profile="en")
+
+
+@pytest.fixture(scope="module")
+def searcher(index_small):
+    return Searcher(index_small)
+
+
+def assert_topk_match(searcher, oracle, q, k=10):
+    eng = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search(q, k, with_fields=False).collect()
+    ]
+    orc = [(d, s) for d, _u, s in oracle.search(q, k)]
+    assert len(eng) == len(orc), (q, len(eng), len(orc), eng[:3], orc[:3])
+    for (ed, es), (od, os_) in zip(eng, orc):
+        assert ed == od, (q, eng, orc)
+        assert es == pytest.approx(os_, rel=1e-9), (q, ed, es, os_)
+
+
+# string queries through the classic-syntax parser (analyzed with 'en' chain)
+STRING_QUERIES = [
+    "search",            # head term
+    "engine",            # possessive/stem folding
+    "w000003",           # synthetic mid term
+    "the",               # pure stopword -> empty query
+    "running",           # stemmed form matches 'run' docs
+    "engine data",       # OR
+    "search engine data city",  # wide OR
+    "+search +engine",   # AND
+    "+search +engine +data",    # AND-3
+    "+search engine -data",     # must/should/not mix
+    "+data -search",
+    '"search engine"',   # phrase (may be empty)
+    "w0001*",            # prefix
+    "w00017*",
+]
+
+
+@pytest.mark.parametrize("qtext", STRING_QUERIES)
+def test_string_queries_match_oracle(searcher, oracle, qtext):
+    if qtext == "the":
+        # stopword-only query: no clauses -> empty result both sides
+        assert searcher.count(Q.parse(qtext, "en")) == 0
+        assert oracle.count(Q.parse(qtext, "en")) == 0
+        return
+    assert_topk_match(searcher, oracle, qtext)
+
+
+def test_phrase_with_hits(searcher, oracle):
+    # take a real bigram from the corpus so the phrase path is exercised
+    bigram = None
+    for _url, text, _lang in zip(oracle.urls, [None] * 0, []):
+        pass
+    # pick two adjacent emitted terms of doc 0 from the oracle postings
+    doc0_terms = sorted(
+        [
+            (ps[0], t)
+            for t, pl in oracle.postings.items()
+            if 0 in pl
+            for ps in [pl[0]]
+        ]
+    )
+    for (p1, t1), (p2, t2) in zip(doc0_terms, doc0_terms[1:]):
+        if p2 == p1 + 1:
+            bigram = (t1, t2)
+            break
+    assert bigram, "corpus should contain an adjacent bigram in doc 0"
+    q = Q.Phrase(bigram)
+    assert oracle.count(q) >= 1
+    assert_topk_match(searcher, oracle, q)
+
+
+AST_QUERIES = [
+    Q.Boolean(should=[Q.Term("search"), Q.Term("engin")], min_should_match=2),
+    Q.Boolean(
+        must=[Q.Term("data")],
+        should=[Q.Term("search"), Q.Term("engin"), Q.Term("citi")],
+        min_should_match=1,
+    ),
+    Q.Synonym(("search", "engin")),
+    Q.Fuzzy("searc", max_edits=1),
+    Q.TermRange("w000100", "w000200"),
+    Q.TermInSet(("search", "engin", "data", "nosuchterm")),
+    Q.Wildcard("w0001?0"),
+    Q.Regexp("w00012[0-9]"),
+    Q.DisMax([Q.Term("search"), Q.Term("engin")], tie_breaker=0.3),
+    Q.Boost(Q.Term("search"), 2.5),
+    Q.ConstantScore(Q.Term("search"), 1.5),
+    Q.LangFilter(Q.Term("search"), "en"),
+    Q.LangFilter(Q.Boolean(should=[Q.Term("search"), Q.Term("data")]), "de"),
+    Q.MatchAll(),
+    Q.Boolean(must=[Q.MatchAll()], must_not=[Q.Term("search")]),
+    Q.Boolean(must=[Q.Term("data")], filter=[Q.Term("search")]),
+]
+
+
+@pytest.mark.parametrize("q", AST_QUERIES, ids=lambda q: type(q).__name__)
+def test_ast_queries_match_oracle(searcher, oracle, q):
+    assert_topk_match(searcher, oracle, q)
+
+
+def test_counts_match(searcher, oracle):
+    for qtext in ["search", "engine data", "+search +engine"]:
+        assert searcher.count(Q.parse(qtext, "en")) == oracle.count(
+            Q.parse(qtext, "en")
+        )
+
+
+def test_search_after_pagination(searcher, oracle):
+    q = Q.parse("engine data", "en")
+    full = [(d, s) for d, _u, s in oracle.search(q, 20)]
+    page1 = full[:10]
+    after_score, after_doc = page1[-1][1], page1[-1][0]
+    eng_page2 = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_after(q, after_score, after_doc, 10).collect()
+    ]
+    orc_page2 = full[10:20]
+    assert [d for d, _ in eng_page2] == [d for d, _ in orc_page2]
+
+
+def test_classic_similarity_runs(index_small, oracle):
+    s = Searcher(index_small, similarity="classic")
+    rows = s.search("search engine", 10, with_fields=False).collect()
+    assert len(rows) > 0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
