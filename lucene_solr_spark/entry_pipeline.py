@@ -1,0 +1,403 @@
+"""Driver-facing entries: training-data pipeline operators (task brief) —
+deduplication, similarity search, text analysis, multimodal plumbing —
+plus engine-native (english-profile, Porter-stemmed) queries that have no
+SQL twin (rows-only checks; covered by oracle.py differential tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .pipeline import dedup as D
+from .pipeline import similarity as SIM
+from .pipeline import textqc as TQ
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok_pos(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_stats(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+WITH g AS (SELECT md5(text) AS fp, count(*) AS n FROM documents GROUP BY 1)
+SELECT count(*) AS unique_docs,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs,
+       max(n) AS max_group
+FROM g
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    sig = D.minhash_signature(_tok_pos(spark, sf_dir), num_hashes=4)
+    return sig.filter(F.col("doc_id") < 10).orderBy("doc_id")
+
+
+SQL_MINHASH_SIGNATURE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+SELECT doc_id,
+       min(md5(term || '#0')) AS mh_0, min(md5(term || '#1')) AS mh_1,
+       min(md5(term || '#2')) AS mh_2, min(md5(term || '#3')) AS mh_3
+FROM tok WHERE doc_id < 10 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_buckets(_tok_pos(spark, sf_dir), num_hashes=4)
+
+
+SQL_MINHASH_LSH = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+sig AS (
+  SELECT doc_id,
+         min(md5(term || '#0')) AS mh_0, min(md5(term || '#1')) AS mh_1,
+         min(md5(term || '#2')) AS mh_2, min(md5(term || '#3')) AS mh_3
+  FROM tok GROUP BY doc_id)
+SELECT md5(mh_0 || mh_1 || mh_2 || mh_3) AS band_key, count(*) AS n_docs
+FROM sig GROUP BY 1 HAVING count(*) >= 2 ORDER BY n_docs DESC, band_key
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash16(_tok_pos(spark, sf_dir)).filter(
+        F.col("doc_id") < 10
+    ).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n".join(
+        "sum(CASE WHEN ('0x' || substr(md5(term), {p}, 1))::BIGINT % 2 = 1 "
+        "THEN tf ELSE -tf END) AS b{b}".format(p=b + 1, b=b)
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM sums WHERE doc_id < 10 ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_vs_doc(_tok_pos(spark, sf_dir), ref_doc=0, n=3, k=10)
+
+
+SQL_NGRAM_JACCARD = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+         generate_subscripts(string_split(text,' '), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+ref AS (SELECT gram FROM sh WHERE doc_id = 0),
+refn AS (SELECT count(*) AS rn FROM ref),
+inter AS (SELECT doc_id, count(*) AS inter FROM sh
+          WHERE gram IN (SELECT gram FROM ref) GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+j AS (SELECT s.doc_id, inter.inter / CAST(s.sz + refn.rn - inter.inter AS DOUBLE) AS jac
+      FROM inter JOIN sizes s USING (doc_id), refn WHERE s.doc_id != 0)
+SELECT doc_id, ROUND(jac, 4) AS jaccard FROM (
+  SELECT * FROM j ORDER BY jac DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    fp = TQ.fingerprint(_docs(spark, sf_dir))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fingerprint").alias("n_fingerprints"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(array_to_string(
+         list_sort(list_distinct(string_split(text,' '))), ' '))) AS n_fingerprints
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).first()
+    return [float(x) for x in row["embedding"]], int(row["label"])
+
+
+def q_ann_cosine(spark, sf_dir):
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return SIM.cosine_topk(e, qv, k=10)
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
+         FROM v JOIN q USING (i) GROUP BY v.vec_id)
+SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
+  ORDER BY cosine DESC, vec_id LIMIT 10) t
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    qv, label = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return SIM.ivf_cosine_topk(e, qv, label, k=10)
+
+
+SQL_ANN_IVF = """
+WITH lbl AS (SELECT label FROM embeddings WHERE vec_id = 0),
+q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0 AND label = (SELECT label FROM lbl)),
+dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
+         FROM v JOIN q USING (i) GROUP BY v.vec_id)
+SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
+  ORDER BY cosine DESC, vec_id LIMIT 10) t
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    return (
+        SIM.embedding_norms(_emb(spark, sf_dir))
+        .orderBy(F.desc("l2_norm"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, ROUND(nrm, 4) AS l2_norm FROM (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) t
+  GROUP BY vec_id ORDER BY ROUND(nrm, 4) DESC, vec_id LIMIT 10) s
+"""
+
+
+def q_knn_join(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    left = e.filter(F.col("vec_id") < 3)
+    return SIM.knn_join(left, e, k=3)
+
+
+SQL_KNN_JOIN = """
+WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id < 3),
+dots AS (SELECT q.vec_id AS qid, v.vec_id AS nid,
+                sum(q.x * v.x) AS dot, sum(q.x * q.x) AS q2, sum(v.x * v.x) AS n2
+         FROM q JOIN v ON q.i = v.i AND q.vec_id != v.vec_id
+         GROUP BY q.vec_id, v.vec_id),
+ranked AS (SELECT qid, nid, ROUND(dot / (sqrt(q2) * sqrt(n2)), 4) AS cosine,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY ROUND(dot / (sqrt(q2) * sqrt(n2)), 4) DESC, nid) AS rank
+           FROM dots)
+SELECT qid, nid, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis / quality
+# --------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    return TQ.token_count(_docs(spark, sf_dir)).filter(
+        F.col("doc_id") < 10
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS word_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS distinct_terms
+FROM documents WHERE doc_id < 10 ORDER BY doc_id
+"""
+
+
+_STOPS_SQL = "'" + "', '".join(
+    sorted(
+        __import__("lucene_solr_spark").ENGLISH_STOP_WORDS
+    )
+) + "'"
+
+
+def q_lang_id(spark, sf_dir):
+    pred = TQ.lang_id_heuristic(_docs(spark, sf_dir))
+    return pred.groupBy("pred_lang").agg(F.count("*").alias("count")).orderBy(
+        "pred_lang"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+r AS (SELECT doc_id,
+             count(*) FILTER (WHERE term IN ({_STOPS_SQL})) / CAST(count(*) AS DOUBLE)
+               AS stop_ratio
+      FROM tok GROUP BY doc_id)
+SELECT CASE WHEN ROUND(stop_ratio, 4) >= 0.03 THEN 'en' ELSE 'other' END AS pred_lang,
+       count(*) AS count
+FROM r GROUP BY 1 ORDER BY pred_lang
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return TQ.quality_score(_docs(spark, sf_dir)).filter(
+        F.col("doc_id") < 10
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text,' ')) AS n,
+         (length(text) - (len(string_split(text,' ')) - 1))
+           / CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_len,
+         len(list_filter(string_split(text,' '), t -> t IN ({_STOPS_SQL})))
+           / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_r
+  FROM documents WHERE doc_id < 10)
+SELECT doc_id, n AS n_tokens, ROUND(mean_len, 4) AS mean_token_len,
+       ROUND(stop_r, 4) AS stop_ratio,
+       ROUND(CASE WHEN n < 8 THEN 0.0 WHEN mean_len < 2.0 THEN 0.2
+             ELSE least(1.0, n / 256.0) * 0.6 + least(1.0, stop_r * 10) * 0.4
+             END, 4) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal + engine-native (rows-only: no SQL twin)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column -> mapInPandas feature extraction (decode stubbed
+    deterministically; plumbing real). Rows-only check."""
+    from .pipeline.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    feats = extract_features(media, dim=8)
+    return feats.agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("checksum").alias("n_distinct"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+    )
+
+
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (1->N fan-out). Rows-only check."""
+    from .pipeline.multimodal import frame_sample_plan, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.agg(
+        F.count("*").alias("n_frames"),
+        F.count_distinct("media_id").alias("n_videos"),
+        F.max("ts_ms").alias("max_ts"),
+    )
+
+
+_ENGINE_IDX: dict = {}
+
+
+def _engine_searcher(spark, sf_dir):
+    """Build (once per sf_dir) a real english-profile index over documents
+    treated as pages (url := doc_id as string)."""
+    if sf_dir in _ENGINE_IDX:
+        return _ENGINE_IDX[sf_dir]
+    import tempfile
+
+    from .indexer import build_index, read_index
+    from .search import Searcher
+
+    d = _docs(spark, sf_dir).select(
+        F.format_string("doc%09d", F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="lss_entry_idx_")
+    build_index(spark, d, out, profile="en", num_buckets=8)
+    s = Searcher(read_index(spark, out))
+    _ENGINE_IDX[sf_dir] = s
+    return s
+
+
+def q_engine_bm25_english(spark, sf_dir):
+    """The actual engine (english analysis chain + SmallFloat-quantized norms
+    + Lucene-8.x BM25) on documents. Porter stemming is not ANSI-SQL-
+    expressible -> rows-only here; rank-identity is proven against oracle.py
+    in tests/test_index_search.py."""
+    s = _engine_searcher(spark, sf_dir)
+    return s.search("customers joining streams", k=10, with_fields=False).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def q_engine_phrase_english(spark, sf_dir):
+    s = _engine_searcher(spark, sf_dir)
+    return s.search('"hash join"', k=10, with_fields=False).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+REGISTRY_PIPELINE: dict[str, tuple] = {
+    "dedup_exact_stats": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "dedup_minhash_lsh_buckets": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "text_lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_frame_plan": (q_multimodal_frame_plan, None),
+    "engine_bm25_english": (q_engine_bm25_english, None),
+    "engine_phrase_english": (q_engine_phrase_english, None),
+}

@@ -1,0 +1,566 @@
+"""Driver-facing operator queries + their ANSI-SQL (DuckDB) oracles.
+
+Every entry in REGISTRY is one operator from SURVEY.md §2/§3, expressed
+twice with IDENTICAL output column names and value rounding:
+
+  * spark: Callable[(SparkSession, sf_dir)] -> DataFrame  (the engine)
+  * sql:   DuckDB SQL over the pre-registered views (the oracle), or None
+           for genuinely non-SQL-expressible ops (driver then does a
+           rows-only check).
+
+Full-text queries use the `simple` tokenization profile (documents.text is
+space-separated lowercase words, so tokens = split on ' ') with UNQUANTIZED
+doc lengths — the pure-ANSI-SQL twin of the engine (SURVEY.md §6.2 item 8);
+the Lucene-exact quantized/stemmed path is covered by oracle.py instead
+(Porter isn't SQL-expressible).
+
+Determinism rules (hash-match discipline):
+  * float outputs rounded to 4 decimals on BOTH sides, AFTER ordering by the
+    raw value; ties broken by doc_id/keys on both sides;
+  * timestamps surfaced as epoch bigints;
+  * DuckDB integer sums cast to BIGINT (DuckDB sums to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# shared corpus scaffolding (cached per sf_dir within the process)
+# ---------------------------------------------------------------------------
+_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) — pos is 1-based to mirror generate_subscripts."""
+    key = ("tok", sf_dir)
+    if key not in _CACHE:
+        d = _docs(spark, sf_dir)
+        t = (
+            d.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+            )
+            .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+            .persist()
+        )
+        _CACHE[key] = t
+    return _CACHE[key]
+
+
+def _dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("dl", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = (
+            _tok(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+        ).persist()
+    return _CACHE[key]
+
+
+def _cstats(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
+    key = ("cstats", sf_dir)
+    if key not in _CACHE:
+        row = _dl(spark, sf_dir).agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        _CACHE[key] = (int(row["n"]), float(row["avgdl"]))
+    return _CACHE[key]
+
+
+_SQL_TOK = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl
+)"""
+
+
+def _bm25_expr(tf, dl_col, df_lit, n: int, avgdl: float):
+    idf = F.log(1.0 + (F.lit(float(n)) - df_lit + 0.5) / (df_lit + 0.5))
+    return idf * tf / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl_col / F.lit(avgdl)))
+
+
+_SQL_BM25 = (
+    "ln(1 + (cstats.n - {df} + 0.5) / ({df} + 0.5)) * {tf}"
+    " / ({tf} + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))"
+)
+
+
+def _topk(df: DataFrame, k: int = 10) -> DataFrame:
+    return (
+        df.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _term_scores(spark, sf_dir, term: str) -> DataFrame:
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    tf = tok.filter(F.col("term") == term).groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_val = tf.count()
+    j = tf.join(dl, "doc_id")
+    return j.select(
+        "doc_id",
+        _bm25_expr(F.col("tf"), F.col("dl"), F.lit(float(df_val)), n, avgdl).alias(
+            "score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full-text query family (TermQuery / BooleanQuery / Phrase / Prefix / ...)
+# ---------------------------------------------------------------------------
+
+def q_term_bm25(spark, sf_dir):
+    """TermQuery + BM25 top-10 (TermQuery.java ≈L40, BM25Similarity.java)."""
+    return _topk(_term_scores(spark, sf_dir, "dup"))
+
+
+def _sql_term_scores(term: str) -> str:
+    return f"""
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),
+dfv AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id AS doc_id,
+         {_SQL_BM25.format(df="dfv.df", tf="tf.tf")} AS score
+  FROM tf, dl, cstats, dfv WHERE dl.doc_id = tf.doc_id
+)"""
+
+
+SQL_TERM_BM25 = f"""
+WITH {_SQL_TOK},
+{_sql_term_scores("dup")}
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_bool_or_bm25(spark, sf_dir):
+    """BooleanQuery SHOULD (DisjunctionSumScorer): score = sum over terms."""
+    terms = ["dup", "vector"]
+    parts = [_term_scores(spark, sf_dir, t) for t in terms]
+    u = parts[0].unionByName(parts[1])
+    return _topk(u.groupBy("doc_id").agg(F.sum("score").alias("score")))
+
+
+SQL_BOOL_OR_BM25 = f"""
+WITH {_SQL_TOK},
+t1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+d1 AS (SELECT count(*) AS df FROM t1),
+t2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector' GROUP BY doc_id),
+d2 AS (SELECT count(*) AS df FROM t2),
+s1 AS (SELECT t1.doc_id, {_SQL_BM25.format(df="d1.df", tf="t1.tf")} AS score
+       FROM t1, dl, cstats, d1 WHERE dl.doc_id = t1.doc_id),
+s2 AS (SELECT t2.doc_id, {_SQL_BM25.format(df="d2.df", tf="t2.tf")} AS score
+       FROM t2, dl, cstats, d2 WHERE dl.doc_id = t2.doc_id),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_bool_and_bm25(spark, sf_dir):
+    """BooleanQuery MUST (ConjunctionScorer): all terms required, sum score."""
+    terms = ["dup", "vector"]
+    parts = [
+        _term_scores(spark, sf_dir, t).withColumn("_c", F.lit(i))
+        for i, t in enumerate(terms)
+    ]
+    u = parts[0].unionByName(parts[1])
+    g = (
+        u.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"), F.count_distinct("_c").alias("_n"))
+        .filter(F.col("_n") == len(terms))
+    )
+    return _topk(g.select("doc_id", "score"))
+
+
+SQL_BOOL_AND_BM25 = f"""
+WITH {_SQL_TOK},
+t1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+d1 AS (SELECT count(*) AS df FROM t1),
+t2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector' GROUP BY doc_id),
+d2 AS (SELECT count(*) AS df FROM t2),
+s1 AS (SELECT t1.doc_id, {_SQL_BM25.format(df="d1.df", tf="t1.tf")} AS score
+       FROM t1, dl, cstats, d1 WHERE dl.doc_id = t1.doc_id),
+s2 AS (SELECT t2.doc_id, {_SQL_BM25.format(df="d2.df", tf="t2.tf")} AS score
+       FROM t2, dl, cstats, d2 WHERE dl.doc_id = t2.doc_id),
+g AS (SELECT s1.doc_id, s1.score + s2.score AS score
+      FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_bool_not_bm25(spark, sf_dir):
+    """MUST + MUST_NOT (ReqExclScorer): 'vector' docs without 'dup'."""
+    pos = _term_scores(spark, sf_dir, "vector")
+    neg = (
+        _tok(spark, sf_dir).filter(F.col("term") == "dup").select("doc_id").distinct()
+    )
+    return _topk(pos.join(neg, "doc_id", "left_anti"))
+
+
+SQL_BOOL_NOT_BM25 = f"""
+WITH {_SQL_TOK},
+{_sql_term_scores("vector")},
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'),
+g AS (SELECT * FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM neg))
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_min_should_match(spark, sf_dir):
+    """minimumNumberShouldMatch=2 of 3 SHOULD terms
+    (MinShouldMatchSumScorer.java)."""
+    terms = ["dup", "vector", "window"]
+    parts = [
+        _term_scores(spark, sf_dir, t).withColumn("_c", F.lit(i))
+        for i, t in enumerate(terms)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = (
+        u.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"), F.count_distinct("_c").alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    return _topk(g.select("doc_id", "score"))
+
+
+def _sql_nterm_scores(terms: list[str]) -> str:
+    parts = []
+    for i, t in enumerate(terms, 1):
+        parts.append(
+            f"t{i} AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{t}' GROUP BY doc_id),\n"
+            f"d{i} AS (SELECT count(*) AS df FROM t{i}),\n"
+            f"s{i} AS (SELECT t{i}.doc_id, "
+            + _SQL_BM25.format(df=f"d{i}.df", tf=f"t{i}.tf")
+            + f" AS score FROM t{i}, dl, cstats, d{i} WHERE dl.doc_id = t{i}.doc_id)"
+        )
+    return ",\n".join(parts)
+
+
+SQL_MIN_SHOULD_MATCH = f"""
+WITH {_SQL_TOK},
+{_sql_nterm_scores(["dup", "vector", "window"])},
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2
+      UNION ALL SELECT doc_id, score FROM s3),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id HAVING count(*) >= 2)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_phrase_bm25(spark, sf_dir):
+    """Exact PhraseQuery (ExactPhraseMatcher): phrase freq via positions;
+    idf = sum of constituent term idfs."""
+    t1, t2 = "big", "order"
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    p1 = tok.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
+    p2 = tok.filter(F.col("term") == t2).select("doc_id", F.col("pos").alias("p2"))
+    df1 = p1.select("doc_id").distinct().count()
+    df2 = p2.select("doc_id").distinct().count()
+    starts = p1.join(p2, (p1["doc_id"] == p2["doc_id"]) & (p2["p2"] == p1["p1"] + 1)).select(
+        p1["doc_id"]
+    )
+    ptf = starts.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    import math
+
+    idf_sum = sum(
+        math.log(1.0 + (n - d + 0.5) / (d + 0.5)) for d in (df1, df2)
+    )
+    j = ptf.join(dl, "doc_id")
+    scored = j.select(
+        "doc_id",
+        (
+            F.lit(idf_sum)
+            * F.col("tf")
+            / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl)))
+        ).alias("score"),
+    )
+    return _topk(scored)
+
+
+SQL_PHRASE_BM25 = f"""
+WITH {_SQL_TOK},
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'big'),
+p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'order'),
+d1 AS (SELECT count(DISTINCT doc_id) AS df FROM p1),
+d2 AS (SELECT count(DISTINCT doc_id) AS df FROM p2),
+ptf AS (
+  SELECT p1.doc_id, count(*) AS tf
+  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  GROUP BY p1.doc_id
+),
+idfs AS (
+  SELECT ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5))
+       + ln(1 + (cstats.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf_sum
+  FROM cstats, d1, d2
+),
+g AS (
+  SELECT ptf.doc_id,
+         idfs.idf_sum * ptf.tf
+           / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+  FROM ptf, dl, cstats, idfs WHERE dl.doc_id = ptf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_prefix_query(spark, sf_dir):
+    """PrefixQuery under CONSTANT_SCORE_REWRITE: matching docs, score=1.0;
+    returns count of matching docs per prefix-expanded term set."""
+    tok = _tok(spark, sf_dir)
+    m = tok.filter(F.col("term").startswith("s")).select("doc_id").distinct()
+    return m.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+
+
+SQL_PREFIX_QUERY = f"""
+WITH {_SQL_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE 's%' ORDER BY doc_id
+"""
+
+
+def q_fuzzy_query(spark, sf_dir):
+    """FuzzyQuery (Levenshtein<=1 term expansion over the terms dict)."""
+    tok = _tok(spark, sf_dir)
+    terms = tok.select("term").distinct().filter(
+        F.levenshtein(F.col("term"), F.lit("scann")) <= 1
+    )
+    m = tok.join(terms, "term", "left_semi").select("doc_id").distinct()
+    return m.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+
+
+SQL_FUZZY_QUERY = f"""
+WITH {_SQL_TOK},
+terms AS (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'scann') <= 1)
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE term IN (SELECT term FROM terms) ORDER BY doc_id
+"""
+
+
+def q_term_range_count(spark, sf_dir):
+    """TermRangeQuery: docs with any term lexicographically in [s, u)."""
+    tok = _tok(spark, sf_dir)
+    return (
+        tok.filter((F.col("term") >= "s") & (F.col("term") < "u"))
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TERM_RANGE_COUNT = f"""
+WITH {_SQL_TOK}
+SELECT count(*) AS n_docs FROM (
+  SELECT DISTINCT doc_id FROM tok WHERE term >= 's' AND term < 'u')
+"""
+
+
+def q_terms_set(spark, sf_dir):
+    """TermInSetQuery ({{!terms}}): docs containing any of the set."""
+    tok = _tok(spark, sf_dir)
+    m = (
+        tok.filter(F.col("term").isin("dup", "vector"))
+        .select("doc_id")
+        .distinct()
+    )
+    return m.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+
+
+SQL_TERMS_SET = f"""
+WITH {_SQL_TOK}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE term IN ('dup', 'vector') ORDER BY doc_id
+"""
+
+
+def q_synonym_bm25(spark, sf_dir):
+    """SynonymQuery: OR scored as one pseudo-term — summed tf, max df."""
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    syn = tok.filter(F.col("term").isin("fast", "slow"))
+    tf = syn.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    df1 = tok.filter(F.col("term") == "fast").select("doc_id").distinct().count()
+    df2 = tok.filter(F.col("term") == "slow").select("doc_id").distinct().count()
+    df_max = max(df1, df2)
+    j = tf.join(dl, "doc_id")
+    return _topk(
+        j.select(
+            "doc_id",
+            _bm25_expr(F.col("tf"), F.col("dl"), F.lit(float(df_max)), n, avgdl).alias(
+                "score"
+            ),
+        )
+    )
+
+
+SQL_SYNONYM_BM25 = f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, count(*) AS tf FROM tok
+       WHERE term IN ('fast', 'slow') GROUP BY doc_id),
+dfm AS (
+  SELECT greatest(
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'fast'),
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'slow')) AS df
+),
+g AS (
+  SELECT tf.doc_id, {_SQL_BM25.format(df="dfm.df", tf="tf.tf")} AS score
+  FROM tf, dl, cstats, dfm WHERE dl.doc_id = tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_dismax_bm25(spark, sf_dir):
+    """DisjunctionMaxQuery: max of per-term scores + 0.3 * others."""
+    s1 = _term_scores(spark, sf_dir, "dup")
+    s2 = _term_scores(spark, sf_dir, "vector")
+    u = s1.unionByName(s2)
+    g = u.groupBy("doc_id").agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+    return _topk(
+        g.select(
+            "doc_id",
+            (F.col("_mx") + 0.3 * (F.col("_sm") - F.col("_mx"))).alias("score"),
+        )
+    )
+
+
+SQL_DISMAX_BM25 = f"""
+WITH {_SQL_TOK},
+{_sql_nterm_scores(["dup", "vector"])},
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2),
+g AS (SELECT doc_id, max(score) + 0.3 * (sum(score) - max(score)) AS score
+      FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_filtered_term_bm25(spark, sf_dir):
+    """Solr fq composition: lang='en' FILTER + scored term (filter clauses
+    don't contribute to score — ScoreMode.COMPLETE_NO_SCORES)."""
+    s = _term_scores(spark, sf_dir, "dup")
+    keep = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    return _topk(s.join(keep, "doc_id", "left_semi"))
+
+
+SQL_FILTERED_TERM_BM25 = f"""
+WITH {_SQL_TOK},
+{_sql_term_scores("dup")},
+g AS (SELECT scored.* FROM scored
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_total_hit_count(spark, sf_dir):
+    """TotalHitCountCollector: hit count of a boolean OR query."""
+    tok = _tok(spark, sf_dir)
+    return (
+        tok.filter(F.col("term").isin("dup", "vector"))
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("total_hits"))
+    )
+
+
+SQL_TOTAL_HIT_COUNT = f"""
+WITH {_SQL_TOK}
+SELECT count(*) AS total_hits FROM (
+  SELECT DISTINCT doc_id FROM tok WHERE term IN ('dup', 'vector'))
+"""
+
+
+def q_collection_stats(spark, sf_dir):
+    """IndexSearcher#collectionStatistics: docCount, sumTotalTermFreq, avgdl,
+    vocabulary size — exact global stats (ExactStatsCache semantics)."""
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    vocab = tok.select("term").distinct().count()
+    sum_ttf = dl.agg(F.sum("dl")).first()[0]
+    return tok.sparkSession.createDataFrame(
+        [(n, int(sum_ttf), round(avgdl, 4), vocab)],
+        "doc_count long, sum_ttf long, avgdl double, vocab_size long",
+    )
+
+
+SQL_COLLECTION_STATS = f"""
+WITH {_SQL_TOK}
+SELECT (SELECT count(*) FROM documents) AS doc_count,
+       CAST(sum(dl) AS BIGINT) AS sum_ttf,
+       ROUND(avg(dl), 4) AS avgdl,
+       (SELECT count(DISTINCT term) FROM tok) AS vocab_size
+FROM dl
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    """TermsComponent / high-df term ranking: top 10 terms by df."""
+    tok = _tok(spark, sf_dir)
+    df = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count("*").alias("ttf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
+    return df
+
+
+SQL_TOP_TERMS = f"""
+WITH {_SQL_TOK}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tok GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+from .entry_relational import REGISTRY_RELATIONAL  # noqa: E402
+
+REGISTRY: dict[str, tuple] = {
+    "term_query_bm25": (q_term_bm25, SQL_TERM_BM25),
+    "bool_or_bm25": (q_bool_or_bm25, SQL_BOOL_OR_BM25),
+    "bool_and_bm25": (q_bool_and_bm25, SQL_BOOL_AND_BM25),
+    "bool_must_not_bm25": (q_bool_not_bm25, SQL_BOOL_NOT_BM25),
+    "min_should_match": (q_min_should_match, SQL_MIN_SHOULD_MATCH),
+    "phrase_query_bm25": (q_phrase_bm25, SQL_PHRASE_BM25),
+    "prefix_query": (q_prefix_query, SQL_PREFIX_QUERY),
+    "fuzzy_query": (q_fuzzy_query, SQL_FUZZY_QUERY),
+    "term_range_count": (q_term_range_count, SQL_TERM_RANGE_COUNT),
+    "terms_set_query": (q_terms_set, SQL_TERMS_SET),
+    "synonym_query_bm25": (q_synonym_bm25, SQL_SYNONYM_BM25),
+    "dismax_bm25": (q_dismax_bm25, SQL_DISMAX_BM25),
+    "filtered_term_bm25": (q_filtered_term_bm25, SQL_FILTERED_TERM_BM25),
+    "total_hit_count": (q_total_hit_count, SQL_TOTAL_HIT_COUNT),
+    "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
+}
+REGISTRY.update(REGISTRY_RELATIONAL)
+
+from .entry_pipeline import REGISTRY_PIPELINE  # noqa: E402
+
+REGISTRY.update(REGISTRY_PIPELINE)

@@ -1,0 +1,887 @@
+"""Driver-facing entries: facets/stats/aggregations (§3.7), streaming
+expressions (§3.9), joins (§3.8), collectors/grouping (§3.6), parallel SQL
+(§3.10) and scalar functions (§3.11) — each Spark recipe next to its DuckDB
+oracle, identical column names + deterministic numerics (exact-cents sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import collapse as C
+from .operators import facets as FA
+from .operators import joins as J
+from .operators import mlt as M
+from .operators import streams as S
+
+_money = FA.exact_money
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# facets & stats
+# --------------------------------------------------------------------------
+
+def q_facet_field(spark, sf_dir):
+    return FA.facet_field(_t(spark, sf_dir, "documents"), "lang", limit=5)
+
+
+SQL_FACET_FIELD = """
+SELECT lang AS facet_value, count(*) AS count FROM documents
+GROUP BY lang ORDER BY count DESC, facet_value LIMIT 5
+"""
+
+
+def q_facet_field_index(spark, sf_dir):
+    return FA.facet_field(
+        _t(spark, sf_dir, "documents"), "source", limit=10, sort="index"
+    )
+
+
+SQL_FACET_FIELD_INDEX = """
+SELECT source AS facet_value, count(*) AS count FROM documents
+GROUP BY source ORDER BY facet_value LIMIT 10
+"""
+
+
+def q_facet_range(spark, sf_dir):
+    return FA.facet_range(_t(spark, sf_dir, "documents"), "n_chars", 0, 600, 50)
+
+
+SQL_FACET_RANGE = """
+SELECT CAST(floor(n_chars / 50) * 50 AS DOUBLE) AS bucket_start,
+       count(*) AS count
+FROM documents WHERE n_chars >= 0 AND n_chars < 600
+GROUP BY 1 ORDER BY bucket_start
+"""
+
+
+def q_facet_query(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return FA.facet_query(
+        d,
+        {
+            "long_docs": F.col("n_chars") > 300,
+            "english": F.col("lang") == "en",
+        },
+    )
+
+
+SQL_FACET_QUERY = """
+SELECT 'long_docs' AS facet_name,
+       CAST(count(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS count FROM documents
+UNION ALL
+SELECT 'english', CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) FROM documents
+"""
+
+
+def q_facet_pivot(spark, sf_dir):
+    return FA.facet_pivot(_t(spark, sf_dir, "documents"), ["lang", "source"], 20)
+
+
+SQL_FACET_PIVOT = """
+SELECT lang, source, count(*) AS count FROM documents
+GROUP BY lang, source ORDER BY count DESC, lang, source LIMIT 20
+"""
+
+
+def q_facet_rollup(spark, sf_dir):
+    return FA.facet_rollup(_t(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+SQL_FACET_ROLLUP = """
+SELECT lang, source, count(*) AS count FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST
+"""
+
+
+def q_facet_interval(spark, sf_dir):
+    return FA.facet_interval(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        [("small", 0, 150), ("medium", 150, 300), ("large", 300, None)],
+    )
+
+
+SQL_FACET_INTERVAL = """
+SELECT interval, count(*) AS count FROM (
+  SELECT CASE WHEN n_chars >= 0 AND n_chars < 150 THEN 'small'
+              WHEN n_chars >= 150 AND n_chars < 300 THEN 'medium'
+              WHEN n_chars >= 300 THEN 'large' END AS interval
+  FROM documents) t
+WHERE interval IS NOT NULL GROUP BY interval ORDER BY interval
+"""
+
+
+def q_stats_component(spark, sf_dir):
+    return FA.stats_component(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+SQL_STATS_COMPONENT = """
+SELECT CAST(count(l_extendedprice) AS BIGINT) AS count,
+       CAST(count(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT) AS missing,
+       min(l_extendedprice) AS min, max(l_extendedprice) AS max,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / count(l_extendedprice) AS mean,
+       ROUND(stddev_samp(l_extendedprice), 4) AS stddev
+FROM lineitem
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    return FA.percentiles(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", [0.25, 0.5, 0.9]
+    )
+
+
+SQL_PERCENTILES = """
+SELECT ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS p25,
+       ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90
+FROM lineitem
+"""
+
+
+def q_unique_agg(spark, sf_dir):
+    return FA.unique_agg(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_suppkey")
+
+
+SQL_UNIQUE_AGG = """
+SELECT l_returnflag AS facet_value, count(DISTINCT l_suppkey) AS unique
+FROM lineitem GROUP BY l_returnflag ORDER BY facet_value
+"""
+
+
+def q_json_facet_nested(spark, sf_dir):
+    return FA.json_facet_nested(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_linestatus",
+        "l_extendedprice", top_inner=2,
+    )
+
+
+SQL_JSON_FACET_NESTED = """
+WITH sub AS (
+  SELECT l_returnflag AS outer_value, l_linestatus AS inner_value,
+         count(*) AS count,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS metric_sum,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_linestatus) AS rank
+  FROM lineitem GROUP BY 1, 2)
+SELECT outer_value, inner_value, count, metric_sum, CAST(rank AS INT) AS rank
+FROM sub WHERE rank <= 2 ORDER BY outer_value, rank
+"""
+
+
+def q_timeseries(spark, sf_dir):
+    return FA.timeseries(_t(spark, sf_dir, "events"), "ts", "value", "day")
+
+
+SQL_TIMESERIES = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS bucket_ts,
+       count(*) AS count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events GROUP BY 1 ORDER BY bucket_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming expressions
+# --------------------------------------------------------------------------
+
+def q_search_export(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return S.search_stream(
+        li,
+        F.col("l_returnflag") == "R",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        limit=20,
+    )
+
+
+SQL_SEARCH_EXPORT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_returnflag = 'R'
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def q_rollup_stream(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return S.rollup_stream(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("count"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(_money("l_extendedprice")) / 100.0).alias("sum_price"),
+            F.round(F.sum(_money("l_discount")) / 100.0 / F.count("*"), 4).alias(
+                "avg_disc"
+            ),
+        ],
+    )
+
+
+SQL_ROLLUP_STREAM = """
+SELECT l_returnflag, l_linestatus, count(*) AS count,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+       ROUND(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(*), 4) AS avg_disc
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_having_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return S.having_stream(
+        o,
+        ["o_custkey"],
+        [F.count("*").alias("n_orders")],
+        F.col("n_orders") >= 18,
+    )
+
+
+SQL_HAVING_STREAM = """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 18 ORDER BY o_custkey
+"""
+
+
+def q_top_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return S.top_stream(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        15,
+    )
+
+
+SQL_TOP_STREAM = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def q_unique_stream(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    u = S.unique_stream(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey"],
+        [F.asc("l_linenumber")],
+    )
+    return u.orderBy("l_orderkey").limit(20)
+
+
+SQL_UNIQUE_STREAM = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+  FROM lineitem) t
+WHERE rn = 1 ORDER BY l_orderkey LIMIT 20
+"""
+
+
+def q_select_eval(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = S.select_eval(
+        li,
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "revenue": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        },
+    )
+    return (
+        out.orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", F.round("revenue", 4).alias("revenue"))
+    )
+
+
+SQL_SELECT_EVAL = """
+SELECT l_orderkey, l_linenumber, ROUND(revenue, 4) AS revenue FROM (
+  SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1 - l_discount) AS revenue
+  FROM lineitem
+  ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 20) t
+"""
+
+
+def q_merge_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
+    m = S.merge_stream([a, b], [F.asc("o_orderkey")])
+    return m.groupBy("o_orderpriority").agg(F.count("*").alias("count")).orderBy(
+        "o_orderpriority"
+    )
+
+
+SQL_MERGE_STREAM = """
+SELECT o_orderpriority, count(*) AS count FROM (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O') t
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_cartesian_product(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    ex = S.cartesian_product_stream(d.select("doc_id", "toks"), "toks", "term")
+    return ex.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+
+
+SQL_CARTESIAN_PRODUCT = """
+SELECT count(*) AS n_rows, count(DISTINCT term) AS n_terms FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+"""
+
+
+def q_fetch_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+    return S.fetch_stream(
+        top.select("o_orderkey", "o_custkey", "o_totalprice"),
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        ["c_name"],
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+SQL_FETCH_STREAM = """
+SELECT t.o_orderkey, t.o_custkey, t.o_totalprice, c.c_name FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t
+LEFT JOIN customer c ON c.c_custkey = t.o_custkey
+ORDER BY t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q_significant_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    fg = d.filter(F.col("lang") == "de").select("doc_id")
+    return S.significant_terms(tok, fg, min_doc_freq=2, limit=10)
+
+
+SQL_SIGNIFICANT_TERMS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+fg_docs AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM tok GROUP BY term),
+fg AS (SELECT term, count(DISTINCT doc_id) AS fg_df FROM tok
+       WHERE doc_id IN (SELECT doc_id FROM fg_docs) GROUP BY term),
+sizes AS (SELECT (SELECT count(DISTINCT doc_id) FROM tok) AS bg_size,
+                 (SELECT count(*) FROM fg_docs) AS fg_size)
+SELECT term, fg_df, bg_df,
+       ROUND((fg_df / CAST(fg_size AS DOUBLE)) / (bg_df / CAST(bg_size AS DOUBLE)), 4) AS score
+FROM fg JOIN bg USING (term), sizes
+WHERE fg_df >= 2 ORDER BY score DESC, term LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def q_hash_join(spark, sf_dir):
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    j = J.hash_join(o, c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_money("o_totalprice")) / 100.0).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_HASH_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_outer_join(spark, sf_dir):
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    j = J.outer_hash_join(
+        c.select("c_custkey"),
+        o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count("*").alias("n")
+        ),
+        "c_custkey",
+    )
+    return j.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("no_orders"),
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE n IS NULL) AS BIGINT) AS no_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey AS c_custkey, count(*) AS n FROM orders GROUP BY 1) t
+USING (c_custkey)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    x = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return J.semi_join(f, x, "o_custkey").agg(F.count("*").alias("n_both"))
+
+
+SQL_SEMI_JOIN = """
+SELECT count(*) AS n_both FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') f
+WHERE o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    p, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    unordered = J.anti_join(
+        p.select("p_partkey"),
+        li.select(F.col("l_partkey").alias("p_partkey")),
+        "p_partkey",
+    )
+    return unordered.agg(F.count("*").alias("n_unordered_parts"))
+
+
+SQL_ANTI_JOIN = """
+SELECT count(*) AS n_unordered_parts FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def q_join_score_mode(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    scored = J.join_with_score_mode(
+        li, "l_orderkey", "o_orderkey", "l_extendedprice", "max"
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_JOIN_SCORE_MODE = """
+SELECT o_orderkey, ROUND(score, 4) AS score FROM (
+  SELECT l_orderkey AS o_orderkey, max(l_extendedprice) AS score
+  FROM lineitem GROUP BY 1 ORDER BY score DESC, o_orderkey LIMIT 10) t
+"""
+
+
+def q_block_join_parent(spark, sf_dir):
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    parents = J.block_join_parent(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        o,
+        "o_orderkey",
+        F.col("l_quantity") >= 49,
+        F.col("l_quantity"),
+        "total",
+    )
+    return (
+        parents.orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("score").cast("double").alias("score"), "n_children")
+    )
+
+
+SQL_BLOCK_JOIN_PARENT = """
+SELECT o_orderkey, CAST(score AS DOUBLE) AS score, n_children FROM (
+  SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS score,
+         count(*) AS n_children
+  FROM lineitem WHERE l_quantity >= 49 GROUP BY 1) t
+WHERE o_orderkey IN (SELECT o_orderkey FROM orders)
+ORDER BY score DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_block_join_children(spark, sf_dir):
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    kids = J.block_join_children(
+        o,
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        F.col("o_totalprice") > 400000,
+    )
+    return kids.agg(F.count("*").alias("n_children"))
+
+
+SQL_BLOCK_JOIN_CHILDREN = """
+SELECT count(*) AS n_children FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
+def q_graph_2hop(spark, sf_dir):
+    """gatherNodes 2-hop: nation -> customers -> orders."""
+    from .operators.graph import gather_nodes
+
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    start = c.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_custkey").alias("from")
+    )
+    hop = gather_nodes(
+        o.select(F.col("o_custkey").alias("from"), F.col("o_orderkey").alias("to")),
+        "from",
+        "to",
+        start,
+        hops=1,
+    )
+    return hop.agg(F.count("*").alias("n_orders"))
+
+
+SQL_GRAPH_2HOP = """
+SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+"""
+
+
+# --------------------------------------------------------------------------
+# collectors / grouping / collapse / rerank
+# --------------------------------------------------------------------------
+
+def q_collapse(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = C.collapse(d, "lang", [F.desc("n_chars"), F.asc("doc_id")])
+    return out.select("doc_id", "lang", "n_chars").orderBy("lang")
+
+
+SQL_COLLAPSE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+  FROM documents) t
+WHERE rn = 1 ORDER BY lang
+"""
+
+
+def q_expand(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = C.expand(d, "lang", [F.desc("n_chars"), F.asc("doc_id")], 2)
+    return out.select("doc_id", "lang", "n_chars", "rank").orderBy("lang", "rank")
+
+
+SQL_EXPAND = """
+SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+  FROM documents) t
+WHERE rn <= 2 ORDER BY lang, rn
+"""
+
+
+def q_grouping_two_pass(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = C.grouping_two_pass(
+        d, "source", [F.max("n_chars")], [F.desc("n_chars"), F.asc("doc_id")], 3, 2
+    )
+    return out.select("source", "doc_id", "n_chars", "rank").orderBy(
+        "source", "rank"
+    )
+
+
+SQL_GROUPING_TWO_PASS = """
+WITH heads AS (
+  SELECT source FROM documents GROUP BY source
+  ORDER BY max(n_chars) DESC, source LIMIT 3)
+SELECT source, doc_id, n_chars, CAST(rn AS INT) AS rank FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) rn
+  FROM documents WHERE source IN (SELECT source FROM heads)) t
+WHERE rn <= 2 ORDER BY source, rn
+"""
+
+
+def q_rerank(spark, sf_dir):
+    """ReRank: first pass by n_chars desc (top 20), rescore by tf('dup')*100."""
+    d = _t(spark, sf_dir, "documents")
+    tf_dup = F.size(F.filter(F.split("text", " "), lambda t: t == F.lit("dup")))
+    out = C.rerank(
+        d.select("doc_id", "n_chars", "text"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        tf_dup.cast("double") * 100.0,
+        top_n=20,
+        weight=1.0,
+        k=10,
+        first_score=F.col("n_chars").cast("double"),
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+SQL_RERANK = """
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE)
+           + 100.0 * len(list_filter(string_split(text,' '), t -> t = 'dup')) AS score
+  FROM (SELECT * FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20) f
+  ORDER BY score DESC, doc_id LIMIT 10) t
+ORDER BY score DESC, doc_id
+"""
+
+
+def q_diversified_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = C.diversified_topk(
+        d, "lang", [F.desc("n_chars"), F.asc("doc_id")], max_per_key=2, k=10
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SQL_DIVERSIFIED_TOPK = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+  FROM documents) t
+WHERE rn <= 2 ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+def q_mlt(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = d.count()
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    return M.more_like_this(tok, dl, doc_id=0, n_docs=n, avgdl=avgdl, max_terms=3)
+
+
+SQL_MLT = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),
+mlt AS (
+  SELECT src.term, ROUND(src.tf * ln(cstats.n / CAST(dfs.df AS DOUBLE)), 4) AS s
+  FROM src JOIN dfs USING (term), cstats
+  ORDER BY s DESC, term LIMIT 3),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM mlt) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id, cstats
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score FROM (
+  SELECT * FROM scored WHERE doc_id != 0
+  ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+# --------------------------------------------------------------------------
+# parallel SQL (§3.10) + scalar functions (§3.11)
+# --------------------------------------------------------------------------
+
+def q_sql_handler(spark, sf_dir):
+    """Parallel SQL layer: the supported reference SQL surface is literally
+    spark.sql (SQLHandler.java -> Calcite -> streaming expr; here Catalyst)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_price
+        FROM lineitem_v WHERE l_quantity > 10
+        GROUP BY l_returnflag HAVING count(*) > 100
+        ORDER BY l_returnflag LIMIT 10
+        """
+    )
+
+
+SQL_SQL_HANDLER = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag HAVING count(*) > 100
+ORDER BY l_returnflag LIMIT 10
+"""
+
+
+def q_function_recip(spark, sf_dir):
+    """recip(ms(NOW,ts),m,a,b) freshness boost, NOW pinned (DateMathParser)."""
+    from .functions.valuesources import recip
+
+    e = _t(spark, sf_dir, "events")
+    now_ms = 1706745600000  # 2024-02-01T00:00:00Z, fixed per request
+    # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC so the cast is identity
+    age_days = (
+        F.lit(now_ms) - F.unix_millis(F.col("ts").cast("timestamp"))
+    ) / 86400000.0
+    boost = recip(age_days, 1.0, 1.0, 1.0)
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(boost), 6).alias("avg_boost"))
+        .orderBy("event_type")
+    )
+
+
+SQL_FUNCTION_RECIP = """
+SELECT event_type,
+       ROUND(avg(1.0 / ((1706745600000 - epoch_ms(ts)) / 86400000.0 + 1.0)), 6)
+         AS avg_boost
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_scale_function(spark, sf_dir):
+    from .functions.valuesources import scale
+
+    o = _t(spark, sf_dir, "orders")
+    scaled = scale(o, "o_totalprice", 0.0, 1.0)
+    return (
+        o.select("o_orderkey", F.round(scaled, 6).alias("scaled"))
+        .orderBy(F.desc("scaled"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_SCALE_FUNCTION = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - (SELECT min(o_totalprice) FROM orders))
+             / ((SELECT max(o_totalprice) FROM orders)
+                - (SELECT min(o_totalprice) FROM orders)), 6) AS scaled
+FROM orders ORDER BY scaled DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_strdist(spark, sf_dir):
+    from .functions.valuesources import strdist_levenshtein_sim
+
+    c = _t(spark, sf_dir, "customer")
+    sim = strdist_levenshtein_sim(F.col("c_name"), F.lit("Customer#000000100"))
+    return (
+        c.select("c_custkey", F.round(sim, 4).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_STRDIST = """
+SELECT c_custkey,
+       ROUND(CASE WHEN greatest(length(c_name), 18) = 0 THEN 1.0
+             ELSE 1.0 - levenshtein(c_name, 'Customer#000000100')
+                  / CAST(greatest(length(c_name), 18) AS DOUBLE) END, 4) AS similarity
+FROM customer ORDER BY similarity DESC, c_custkey LIMIT 10
+"""
+
+
+def q_date_math(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    month = F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+    return (
+        o.groupBy(month.alias("month_ts"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("month_ts")
+        .limit(12)
+    )
+
+
+SQL_DATE_MATH = """
+SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ts,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY month_ts LIMIT 12
+"""
+
+
+def q_geodist(spark, sf_dir):
+    """geodist() haversine over synthetic nation coordinates (deterministic
+    arithmetic on n_nationkey, reproduced in the oracle)."""
+    from .functions.valuesources import geodist_km
+
+    n = _t(spark, sf_dir, "nation")
+    lat = (F.col("n_nationkey") * 7 % 120 - 60).cast("double")
+    lon = (F.col("n_nationkey") * 13 % 340 - 170).cast("double")
+    d = geodist_km(lat, lon, F.lit(48.8566), F.lit(2.3522))
+    return (
+        n.select("n_nationkey", F.round(d, 2).alias("dist_km"))
+        .orderBy("dist_km", "n_nationkey")
+        .limit(10)
+    )
+
+
+SQL_GEODIST = """
+SELECT n_nationkey, ROUND(dist_km, 2) AS dist_km FROM (
+  SELECT n_nationkey,
+         2 * 6371.0087714 * asin(sqrt(
+           pow(sin(radians(48.8566 - CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE)) / 2), 2)
+           + cos(radians(CAST(n_nationkey * 7 % 120 - 60 AS DOUBLE))) * cos(radians(48.8566))
+             * pow(sin(radians(2.3522 - CAST(n_nationkey * 13 % 340 - 170 AS DOUBLE)) / 2), 2)
+         )) AS dist_km
+  FROM nation) t
+ORDER BY dist_km, n_nationkey LIMIT 10
+"""
+
+
+REGISTRY_RELATIONAL: dict[str, tuple] = {
+    "facet_field_counts": (q_facet_field, SQL_FACET_FIELD),
+    "facet_field_index_sort": (q_facet_field_index, SQL_FACET_FIELD_INDEX),
+    "facet_range_histogram": (q_facet_range, SQL_FACET_RANGE),
+    "facet_query_counts": (q_facet_query, SQL_FACET_QUERY),
+    "facet_pivot": (q_facet_pivot, SQL_FACET_PIVOT),
+    "facet_rollup_totals": (q_facet_rollup, SQL_FACET_ROLLUP),
+    "facet_interval": (q_facet_interval, SQL_FACET_INTERVAL),
+    "stats_component": (q_stats_component, SQL_STATS_COMPONENT),
+    "stats_percentiles": (q_percentiles, SQL_PERCENTILES),
+    "unique_agg": (q_unique_agg, SQL_UNIQUE_AGG),
+    "json_facet_nested": (q_json_facet_nested, SQL_JSON_FACET_NESTED),
+    "timeseries_day": (q_timeseries, SQL_TIMESERIES),
+    "search_export": (q_search_export, SQL_SEARCH_EXPORT),
+    "rollup_stream": (q_rollup_stream, SQL_ROLLUP_STREAM),
+    "having_stream": (q_having_stream, SQL_HAVING_STREAM),
+    "top_stream": (q_top_stream, SQL_TOP_STREAM),
+    "unique_stream": (q_unique_stream, SQL_UNIQUE_STREAM),
+    "select_eval": (q_select_eval, SQL_SELECT_EVAL),
+    "merge_stream": (q_merge_stream, SQL_MERGE_STREAM),
+    "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),
+    "fetch_stream": (q_fetch_stream, SQL_FETCH_STREAM),
+    "significant_terms": (q_significant_terms, SQL_SIGNIFICANT_TERMS),
+    "hash_join": (q_hash_join, SQL_HASH_JOIN),
+    "outer_hash_join": (q_outer_join, SQL_OUTER_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "join_score_mode": (q_join_score_mode, SQL_JOIN_SCORE_MODE),
+    "block_join_parent": (q_block_join_parent, SQL_BLOCK_JOIN_PARENT),
+    "block_join_children": (q_block_join_children, SQL_BLOCK_JOIN_CHILDREN),
+    "graph_gather_nodes": (q_graph_2hop, SQL_GRAPH_2HOP),
+    "collapse_field": (q_collapse, SQL_COLLAPSE),
+    "expand_groups": (q_expand, SQL_EXPAND),
+    "grouping_two_pass": (q_grouping_two_pass, SQL_GROUPING_TWO_PASS),
+    "rerank_topn": (q_rerank, SQL_RERANK),
+    "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
+    "more_like_this": (q_mlt, SQL_MLT),
+    "sql_handler": (q_sql_handler, SQL_SQL_HANDLER),
+    "function_recip_freshness": (q_function_recip, SQL_FUNCTION_RECIP),
+    "function_scale": (q_scale_function, SQL_SCALE_FUNCTION),
+    "function_strdist": (q_strdist, SQL_STRDIST),
+    "function_date_trunc": (q_date_math, SQL_DATE_MATH),
+    "function_geodist": (q_geodist, SQL_GEODIST),
+}

@@ -1,0 +1,200 @@
+"""Faceting & stats — Solr SimpleFacets / StatsComponent / JSON Facet API
+(SURVEY.md §3.7) as exact DataFrame aggregations.
+
+Where SolrCloud needs overrequest + refinement (per-shard top-limit buckets
+are approximate; FacetFieldMerger.java), Spark's shuffle groupBy is exact by
+construction — a semantics improvement, noted in SURVEY.md §5.1.
+
+Reference twins cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_money(col) -> F.Column:
+    """Deterministic sum helper: 2-decimal doubles -> exact integer cents.
+    Makes sums order-independent (float sums are not)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def facet_field(
+    df: DataFrame,
+    field: str,
+    limit: int = 10,
+    mincount: int = 1,
+    sort: str = "count",
+) -> DataFrame:
+    """facet.field — group-count with limit/mincount/sort=count|index
+    (solr/core/src/java/org/apache/solr/request/SimpleFacets.java ≈L120)."""
+    g = df.groupBy(F.col(field).alias("facet_value")).agg(
+        F.count("*").alias("count")
+    )
+    if mincount > 0:
+        g = g.filter(F.col("count") >= mincount)
+    if sort == "count":
+        g = g.orderBy(F.desc("count"), F.asc("facet_value"))
+    else:  # index order
+        g = g.orderBy(F.asc("facet_value"))
+    return g.limit(limit)
+
+
+def facet_range(
+    df: DataFrame, field: str, start: float, end: float, gap: float
+) -> DataFrame:
+    """facet.range — fixed-width histogram (RangeFacetProcessor.java);
+    values outside [start, end) are dropped (hardend semantics)."""
+    bucket = (
+        F.floor((F.col(field) - F.lit(start)) / F.lit(gap)) * F.lit(gap)
+        + F.lit(start)
+    ).cast("double")
+    return (
+        df.filter((F.col(field) >= start) & (F.col(field) < end))
+        .groupBy(bucket.alias("bucket_start"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("bucket_start")
+    )
+
+
+def facet_query(df: DataFrame, predicates: dict[str, F.Column]) -> DataFrame:
+    """facet.query — one count per named predicate (SimpleFacets
+    getFacetQueryCounts)."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+        for name, cond in predicates.items()
+    ]
+    wide = df.agg(*aggs)
+    # unpivot to (facet_name, count) rows
+    names = list(predicates.keys())
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (facet_name, count)"
+    )
+
+
+def facet_pivot(
+    df: DataFrame, fields: list[str], limit: int = 20
+) -> DataFrame:
+    """facet.pivot — multi-level group-by drill-down
+    (PivotFacetProcessor.java ≈L60)."""
+    g = df.groupBy(*fields).agg(F.count("*").alias("count"))
+    return g.orderBy(F.desc("count"), *[F.asc(f) for f in fields]).limit(limit)
+
+
+def facet_rollup(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Hierarchical totals — facet.pivot's implicit per-level totals as a
+    ROLLUP grouping set (SURVEY.md §3.7 grouping-set analogs)."""
+    return (
+        df.rollup(*fields)
+        .agg(F.count("*").alias("count"))
+        .orderBy(*[F.asc_nulls_first(f) for f in fields])
+    )
+
+
+def facet_interval(
+    df: DataFrame, field: str, intervals: list[tuple[str, float, float]]
+) -> DataFrame:
+    """facet.interval (IntervalFacets.java): arbitrary [lo, hi) interval
+    counts; intervals = [(name, lo, hi)], hi=None means unbounded."""
+    expr = None
+    for name, lo, hi in intervals:
+        cond = F.col(field) >= lo
+        if hi is not None:
+            cond = cond & (F.col(field) < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        df.select(expr.alias("interval"))
+        .filter(F.col("interval").isNotNull())
+        .groupBy("interval")
+        .agg(F.count("*").alias("count"))
+        .orderBy("interval")
+    )
+
+
+def stats_component(df: DataFrame, field: str, money: bool = True) -> DataFrame:
+    """StatsComponent (StatsValuesFactory.java ≈L80): min/max/sum/count/
+    missing/mean/stddev(sample)/sumOfSquares. Money fields use exact-cents
+    sums for cross-engine determinism."""
+    c = F.col(field)
+    if money:
+        cents = exact_money(field)
+        sum_expr = (F.sum(cents) / 100.0).alias("sum")
+        mean_expr = (F.sum(cents) / 100.0 / F.count(c)).alias("mean")
+    else:
+        sum_expr = F.sum(c).alias("sum")
+        mean_expr = F.avg(c).alias("mean")
+    return df.agg(
+        F.count(c).alias("count"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("missing"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        sum_expr,
+        mean_expr,
+        F.round(F.stddev_samp(c), 4).alias("stddev"),
+    )
+
+
+def percentiles(df: DataFrame, field: str, ps: list[float]) -> DataFrame:
+    """stats percentiles — Solr uses t-digest (PercentileAgg.java); we use
+    Spark's EXACT percentile (continuous interpolation) so the DuckDB
+    quantile_cont oracle matches bit-for-bit; percentile_approx remains
+    available as the sketch path at scale."""
+    arr = F.expr(
+        f"percentile({field}, array({', '.join(str(p) for p in ps)}))"
+    )
+    cols = [
+        F.round(arr[i], 4).alias(f"p{int(p * 100)}") for i, p in enumerate(ps)
+    ]
+    return df.agg(*cols)
+
+
+def unique_agg(df: DataFrame, group: str, field: str) -> DataFrame:
+    """facet 'unique' / countDistinct (UniqueAgg.java): exact distinct per
+    bucket. 'hll' (HLLAgg.java) maps to approx_count_distinct at scale."""
+    return (
+        df.groupBy(F.col(group).alias("facet_value"))
+        .agg(F.count_distinct(F.col(field)).alias("unique"))
+        .orderBy("facet_value")
+    )
+
+
+def json_facet_nested(
+    df: DataFrame, outer: str, inner: str, metric_field: str, top_inner: int = 2
+) -> DataFrame:
+    """JSON Facet API nested sub-facets (FacetFieldProcessor.java ≈L100):
+    terms bucket on `outer`, per-bucket metric + top-N `inner` sub-buckets."""
+    w = Window.partitionBy(outer).orderBy(
+        F.desc("count"), F.asc(inner)
+    )
+    sub = (
+        df.groupBy(outer, inner)
+        .agg(F.count("*").alias("count"), F.sum(exact_money(metric_field)).alias("_cents"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_inner)
+    )
+    return sub.select(
+        F.col(outer).alias("outer_value"),
+        F.col(inner).alias("inner_value"),
+        "count",
+        (F.col("_cents") / 100.0).alias("metric_sum"),
+        "rank",
+    ).orderBy("outer_value", "rank")
+
+
+def timeseries(
+    df: DataFrame, ts_field: str, value_field: str, unit: str = "day"
+) -> DataFrame:
+    """timeseries() stream / date-range facet (TimeSeriesStream.java ≈L60):
+    fixed-gap date buckets + metrics. Bucket surfaced as epoch seconds for
+    cross-engine hash stability."""
+    bucket = F.unix_timestamp(F.date_trunc(unit, F.col(ts_field)))
+    return (
+        df.groupBy(bucket.alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("count"),
+            (F.sum(exact_money(value_field)) / 100.0).alias("sum_value"),
+        )
+        .orderBy("bucket_ts")
+    )

@@ -1,0 +1,70 @@
+"""Graph traversal (SURVEY.md §3.8/§3.9): gatherNodes / shortestPath as
+iterative frontier-expansion DataFrame joins (BFS), with cycle avoidance.
+
+Reference twins: solr/solrj/src/java/org/apache/solr/client/solrj/io/graph/
+GatherNodesStream.java (≈L80), ShortestPathStream.java (≈L60).
+
+At 100TB scale each hop is one equi-join shuffle; the frontier is usually
+small enough to broadcast — we broadcast it explicitly, and checkpoint/
+localCheckpoint between hops to cut lineage growth on deep traversals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gather_nodes(
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    start: DataFrame,
+    hops: int = 1,
+    dedup: bool = True,
+) -> DataFrame:
+    """gatherNodes(): expand the frontier `hops` times along (from -> to).
+    start: DataFrame with one column named `from_col`. Returns distinct
+    reached node ids in a column named `node`."""
+    frontier = start.select(F.col(from_col).alias("node"))
+    for _ in range(hops):
+        nxt = edges.join(
+            F.broadcast(frontier.withColumnRenamed("node", from_col)),
+            from_col,
+            "inner",
+        ).select(F.col(to_col).alias("node"))
+        frontier = nxt.distinct() if dedup else nxt
+    return frontier.distinct()
+
+
+def shortest_path(
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    source,
+    target,
+    max_depth: int = 6,
+) -> int | None:
+    """shortestPath(): BFS depth of `target` from `source`, or None.
+    Visited-set pruning = the reference's cycle detection."""
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(source,)], ["node"])
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", from_col)),
+                from_col,
+                "inner",
+            )
+            .select(F.col(to_col).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if nxt.filter(F.col("node") == target).count() > 0:
+            return depth
+        if nxt.isEmpty():
+            return None
+        visited = visited.unionByName(nxt).distinct().localCheckpoint()
+        frontier = nxt.localCheckpoint()
+    return None

@@ -1,0 +1,92 @@
+"""Text analysis for training-data pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting. All JVM-side expressions
+(split/regexp/md5) — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import ENGLISH_STOP_WORDS
+
+_STOP_ARRAY = sorted(ENGLISH_STOP_WORDS)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex word count + distinct terms per doc."""
+    toks = F.split(F.col(text_col), r"\s+")
+    words = F.expr(rf"regexp_extract_all({text_col}, '[a-z0-9]+', 0)")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(words).alias("word_tokens"),
+        F.size(F.array_distinct(words)).alias("distinct_terms"),
+    )
+
+
+def stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fraction of tokens that are English stopwords — the core signal of an
+    n-gram language-ID heuristic."""
+    toks = F.split(F.col(text_col), " ")
+    stops = F.array(*[F.lit(w) for w in _STOP_ARRAY])
+    n_stop = F.size(F.array_intersect(toks, stops))  # distinct-stopword count
+    n_stop_total = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, t))
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("distinct_stopwords"),
+        F.round(n_stop_total / F.size(toks), 4).alias("stop_ratio"),
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID: stopword-density thresholding ('en' if dense enough).
+    Real corpora: per-language character n-gram profiles via the same
+    expression shape (score per language -> greatest())."""
+    s = stopword_ratio(df, text_col)
+    return s.select(
+        "doc_id",
+        "stop_ratio",
+        F.when(F.col("stop_ratio") >= 0.03, "en").otherwise("other").alias(
+            "pred_lang"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / mean word length / stopword ratio blended —
+    Gopher-style filters as one select."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    mean_len = (F.length(F.col(text_col)) - (n - 1)) / n  # avg token length
+    stops = F.array(*[F.lit(w) for w in _STOP_ARRAY])
+    stop_r = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n
+    score = (
+        F.when(n < 8, 0.0)
+        .when(mean_len < 2.0, 0.2)
+        .otherwise(
+            F.least(F.lit(1.0), n / F.lit(256.0)) * 0.6
+            + F.least(F.lit(1.0), stop_r * 10) * 0.4
+        )
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(stop_r, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized (sorted distinct terms)
+    content — robust to token order, the classic fingerprint dedup key."""
+    words = F.array_sort(
+        F.array_distinct(F.split(F.col(text_col), " "))
+    )
+    return df.select(
+        "doc_id", F.md5(F.concat_ws(" ", words)).alias("fingerprint")
+    )
