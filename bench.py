@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline engine path at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+What is measured (BASELINE.md driver-target rows):
+
+  * ``index_build``     — pages -> docmeta/postings/term_stats full build
+                          (docs/s reported as ``docs_per_sec``)
+  * ``term_top10`` etc. — BM25 top-10 query latencies on the built index,
+                          median of N_REPS runs each
+  * relational/pipeline headliners over the driver's parquet tables
+
+Scaling evidence (north_rule two-cluster criterion, sandbox form):
+``python bench.py --scaling`` re-runs the same job at local[8] and
+local[32] in fresh subprocesses and writes BENCH.md with both throughputs
+and the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+N_REPS = 3
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    return float(m.group(1)) if m else 0.1
+
+
+def _pages_path(sf: float) -> str:
+    """Deterministic synthetic pages corpus, cached across runs per sf."""
+    out = f"/tmp/spark_graft_pages_sf{sf}.parquet"
+    if not os.path.exists(out):
+        from lucene_solr_spark.fixtures import write_pages
+
+        write_pages(sf, out + ".tmp")
+        os.replace(out + ".tmp", out)
+    return out
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"bench-local{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    sf = _sf_of(sf_dir)
+    pages_pq = _pages_path(sf)
+
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.query import Boolean, Phrase, Prefix, Term
+    from lucene_solr_spark.search import Searcher
+
+    queries: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # ---- index build (the write path; north_rule headline metric) ----------
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    pages = spark.read.parquet(pages_pq)
+    n_docs = pages.count()
+    t0 = time.perf_counter()
+    build_index(spark, pages, idx_dir, profile="en")
+    build_s = time.perf_counter() - t0
+    queries["index_build"] = round(build_s, 3)
+    docs_per_sec = n_docs / build_s
+
+    index = read_index(spark, idx_dir)
+    # cache the hot tables once, as a long-lived searcher process would
+    index["postings"] = index["postings"].persist()
+    index["docmeta"] = index["docmeta"].persist()
+    index["postings"].count()
+    index["docmeta"].count()
+    searcher = Searcher(index)
+
+    # head words (Zipf head = worst-case posting lengths) + mid-frequency
+    def timed(name: str, fn) -> None:
+        reps = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        queries[name] = round(statistics.median(reps), 4)
+
+    timed("term_top10", lambda: searcher.search(Term("search"), 10).collect())
+    timed(
+        "bool_and_top10",
+        lambda: searcher.search(
+            Boolean(must=[Term("search"), Term("engine")]), 10
+        ).collect(),
+    )
+    timed(
+        "bool_or_top10",
+        lambda: searcher.search(
+            Boolean(should=[Term("search"), Term("engine"), Term("index")]), 10
+        ).collect(),
+    )
+    timed(
+        "phrase_top10",
+        lambda: searcher.search(Phrase(["search", "engine"]), 10).collect(),
+    )
+    timed("prefix_count", lambda: searcher.count(Prefix("w0001")))
+
+    # ---- driver-table headliners (documents/lineitem at sf_dir) -----------
+    import __spark_entry__ as entry
+
+    reg = entry.queries()
+    for name in ("term_query_bm25", "dedup_minhash_lsh", "tpch_q1_pricing"):
+        if name in reg:
+            fn = reg[name]
+            timed(f"drv_{name}", lambda fn=fn: fn(spark, sf_dir).collect())
+
+    total = round(time.perf_counter() - t_all, 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs_indexed": n_docs,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "bm25_term_p50_ms": round(queries["term_top10"] * 1000, 1),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str) -> None:
+    """north_rule two-cluster-size criterion, sandbox form: same job, same
+    input, local[8] vs local[32]; efficiency = (T8/T32) * (8/32)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {line}")
+
+    b8, b32 = results[8], results[32]
+    # scaling efficiency on the build (throughput-based): how much of the 4x
+    # core increase turns into throughput
+    eff_build = (b32["docs_per_sec"] / b8["docs_per_sec"]) / 4.0
+    lines = [
+        "# BENCH — measured numbers (scaling evidence per north_rule)",
+        "",
+        f"Same job, same input (synthetic `pages` sf={b8['sf']}, "
+        f"{b8['n_docs_indexed']} docs), identical code, two parallelism "
+        "levels (sandbox stand-in for N vs 4N executors):",
+        "",
+        "| parallelism | index build (s) | docs/s | BM25 term top-10 p50 (ms) |",
+        "|---|---|---|---|",
+        f"| local[8]  | {b8['queries']['index_build']} | {b8['docs_per_sec']} | {b8['bm25_term_p50_ms']} |",
+        f"| local[32] | {b32['queries']['index_build']} | {b32['docs_per_sec']} | {b32['bm25_term_p50_ms']} |",
+        "",
+        f"**Index-build scaling efficiency (8 -> 32 cores): "
+        f"{eff_build:.3f}** (target >= 0.8 x ideal; 1.0 = perfect linear).",
+        "",
+        "Full per-query JSON:",
+        "```json",
+        json.dumps(b8),
+        json.dumps(b32),
+        "```",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"scaling efficiency (build, 8->32): {eff_build:.3f} -> BENCH.md")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    args = ap.parse_args()
+    if args.scaling:
+        run_scaling(args.sf_dir)
+        return
+    print(json.dumps(run_bench(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

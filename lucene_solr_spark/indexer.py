@@ -43,6 +43,7 @@ def analyzed_docs(pages: DataFrame, profile: str = "en") -> DataFrame:
 
     One analysis pass feeds both docmeta and postings (the reference also
     inverts exactly once per doc — DefaultIndexingChain#processDocument).
+    Kept for tests/small corpora; the build hot path is `analyzed_flat`.
     """
     analyze_udf = make_analyze_udf(profile)
     toks = pages.select(
@@ -53,6 +54,71 @@ def analyzed_docs(pages: DataFrame, profile: str = "en") -> DataFrame:
         with_ids.withColumn("norm_byte", norm_byte_udf("field_len"))
         .withColumn("dlq", quantized_len_udf("field_len"))
     )
+
+
+_FLAT_SCHEMA = (
+    "doc_id long, url string, lang string, field_len int, norm_byte int, "
+    "dlq int, term string, pos int"
+)
+
+
+def analyzed_flat(pages: DataFrame, profile: str = "en") -> DataFrame:
+    """The vectorized write path: pages -> ONE flat columnar pass.
+
+    Emits, per Arrow batch, a doc-header row per document (term IS NULL,
+    carrying url/lang/field_len/norm_byte/dlq — the docmeta) plus one row
+    per emitted token (doc_id, dlq, term, pos). This keeps analysis fully
+    columnar (analysis.analyze_flat: unique-token chain + numpy scatter;
+    no per-row Python) and needs NO doc-level join afterwards — the header
+    rows ARE docmeta, filtered not shuffled.
+
+    doc_ids are assigned on a slim url-only projection first (scalable
+    dense-rank, ids.assign_dense_ids), then joined back doc-level — at
+    10^12 rows that join is hash-partitioned by url on both sides.
+    """
+    import pandas as pd
+
+    from .analysis import analyze_flat
+    from .norms import LENGTH_TABLE, int_to_byte4
+
+    ids = assign_dense_ids(pages.select("url"), "url")
+    with_ids = pages.select("url", "lang", "text").join(ids, "url")
+
+    def gen(batches):
+        for pdf in batches:
+            row_idx, terms, pos, field_len = analyze_flat(
+                pdf["text"].to_numpy(), profile
+            )
+            doc_ids = pdf["doc_id"].to_numpy()
+            nb = int_to_byte4(field_len)
+            dlq = LENGTH_TABLE[nb]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "url": pdf["url"].to_numpy(),
+                    "lang": pdf["lang"].to_numpy(),
+                    "field_len": field_len,
+                    "norm_byte": nb,
+                    "dlq": dlq,
+                    "term": None,
+                    "pos": None,
+                }
+            )
+            if len(row_idx):
+                yield pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[row_idx],
+                        "url": None,
+                        "lang": None,
+                        "field_len": None,
+                        "norm_byte": None,
+                        "dlq": dlq[row_idx],
+                        "term": terms,
+                        "pos": pos,  # 0-based, same as analyze()
+                    }
+                )
+
+    return with_ids.mapInPandas(gen, _FLAT_SCHEMA)
 
 
 def build_index(
@@ -66,23 +132,22 @@ def build_index(
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
     """
-    docs = analyzed_docs(pages, profile).persist()
+    from pyspark import StorageLevel
 
-    docmeta = docs.select("doc_id", "url", "lang", "field_len", "norm_byte", "dlq")
+    flat = analyzed_flat(pages, profile).persist(StorageLevel.MEMORY_AND_DISK)
+
+    docmeta = flat.filter(F.col("term").isNull()).select(
+        "doc_id", "url", "lang", "field_len", "norm_byte", "dlq"
+    )
     docmeta.repartitionByRange(
-        max(docs.sparkSession.sparkContext.defaultParallelism, 1), "doc_id"
+        max(spark.sparkContext.defaultParallelism, 1), "doc_id"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
 
     # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
     # posting row — the Spark analog of Lucene's doc-local norms array read:
     # it turns the per-query docmeta join (a shuffle) into a column read.
-    tok = docs.select(
-        "doc_id", "dlq", F.explode("toks").alias("t")
-    ).select(
-        "doc_id",
-        "dlq",
-        F.col("t.term").alias("term"),
-        F.col("t.pos").alias("pos"),
+    tok = flat.filter(F.col("term").isNotNull()).select(
+        "doc_id", "dlq", "term", "pos"
     )
 
     if salt > 1:
@@ -126,7 +191,7 @@ def build_index(
         "bucket"
     ).parquet(os.path.join(out_dir, "term_stats"))
 
-    agg = docs.agg(
+    agg = docmeta.agg(
         F.count("*").alias("N"), F.sum("field_len").alias("sum_ttf")
     ).collect()[0]
     n_docs, sum_ttf = int(agg["N"]), int(agg["sum_ttf"] or 0)
@@ -140,7 +205,7 @@ def build_index(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
         os.path.join(out_dir, "stats")
     )
-    docs.unpersist()
+    flat.unpersist()
     return stats
 
 
