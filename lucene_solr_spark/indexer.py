@@ -128,15 +128,16 @@ def build_index(
     profile: str = "en",
     num_buckets: int = DEFAULT_BUCKETS,
     salt: int = 0,
+    packed: bool = True,
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
     """
     from pyspark import StorageLevel
 
-    flat = analyzed_flat(pages, profile).persist(StorageLevel.MEMORY_AND_DISK)
+    stream = analyzed_flat(pages, profile).persist(StorageLevel.MEMORY_AND_DISK)
 
-    docmeta = flat.filter(F.col("term").isNull()).select(
+    docmeta = stream.filter(F.col("term").isNull()).select(
         "doc_id", "url", "lang", "field_len", "norm_byte", "dlq"
     )
     docmeta.repartitionByRange(
@@ -146,7 +147,7 @@ def build_index(
     # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
     # posting row — the Spark analog of Lucene's doc-local norms array read:
     # it turns the per-query docmeta join (a shuffle) into a column read.
-    tok = flat.filter(F.col("term").isNotNull()).select(
+    tok = stream.filter(F.col("term").isNotNull()).select(
         "doc_id", "dlq", "term", "pos"
     )
 
@@ -161,19 +162,20 @@ def build_index(
             F.first("dlq").alias("dlq"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
-        flat = partial.groupBy("term", "doc_id").agg(
+        perdoc = partial.groupBy("term", "doc_id").agg(
             F.sum("tf").alias("tf"),
             F.first("dlq").alias("dlq"),
             F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions"),
         )
     else:
-        flat = tok.groupBy("term", "doc_id").agg(
+        perdoc = tok.groupBy("term", "doc_id").agg(
             F.count("*").alias("tf"),
             F.first("dlq").alias("dlq"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
 
-    postings = flat.withColumn(
+    perdoc = perdoc.persist(StorageLevel.MEMORY_AND_DISK)
+    postings = perdoc.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
     postings.repartition(num_buckets, "bucket").sortWithinPartitions(
@@ -182,8 +184,11 @@ def build_index(
         os.path.join(out_dir, "postings")
     )
 
+    if packed:
+        write_packed_postings(perdoc, out_dir, num_buckets)
+
     term_stats = (
-        flat.groupBy("term")
+        perdoc.groupBy("term")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
     )
@@ -205,8 +210,70 @@ def build_index(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
         os.path.join(out_dir, "stats")
     )
-    flat.unpersist()
+    stream.unpersist()
+    perdoc.unpersist()
     return stats
+
+
+PACKED_SCHEMA = (
+    "term string, blk long, n int, docs binary, tfs binary, dlqs binary, "
+    "max_tf int, min_dlq int"
+)
+
+
+def write_packed_postings(
+    perdoc: DataFrame, out_dir: str, num_buckets: int
+) -> None:
+    """Per-(term, doc) postings -> packed binary blocks with impacts.
+
+    Spark restatement of Lucene84PostingsWriter blocks + impacts
+    (SURVEY.md §4.1 step 4; ForUtil.java ≈L80, CompetitiveImpactAccumulator
+    ≈L30): each (term, blk) group packs its sorted doc_ids (delta+varint),
+    tfs and dlqs, and records the block-max impact pair (max_tf, min_dlq)
+    that upper-bounds BM25 for any (k1, b).
+
+    Block key = doc_id // BLOCK_SPAN — a doc-RANGE, not a per-term rank, so
+    (a) head terms spread over many groups (Zipf skew answer) and (b) blocks
+    ALIGN across terms: every posting for one doc lands in the same blk for
+    every term, which turns block-max WAND into a per-blk kernel (wand.py).
+    """
+    import pandas as pd
+
+    from .codec import pack_postings_block, varint_encode
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["doc_id"].to_numpy().argsort(kind="stable")
+        docs = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dlqs = pdf["dlq"].to_numpy()[order]
+        docs_blob, tfs_blob = pack_postings_block(docs, tfs)
+        import numpy as np
+
+        dlqs_blob = varint_encode(dlqs.astype(np.uint64))
+        return pd.DataFrame(
+            {
+                "term": [key[0]],
+                "blk": [key[1]],
+                "n": [len(docs)],
+                "docs": [docs_blob],
+                "tfs": [tfs_blob],
+                "dlqs": [dlqs_blob],
+                "max_tf": [int(tfs.max())],
+                "min_dlq": [int(dlqs.min())],
+            }
+        )
+
+    blocked = perdoc.groupBy(
+        "term", (F.col("doc_id") / BLOCK_SPAN).cast("long").alias("blk")
+    )
+    packed = blocked.applyInPandas(pack, PACKED_SCHEMA).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    )
+    packed.repartition("bucket").sortWithinPartitions(
+        "term", "blk"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "packed")
+    )
 
 
 def read_index(spark: SparkSession, index_dir: str) -> dict:
@@ -217,12 +284,16 @@ def read_index(spark: SparkSession, index_dir: str) -> dict:
     stats_files = glob.glob(os.path.join(index_dir, "stats", "part-*"))
     with open(stats_files[0]) as f:
         stats = json.loads(f.readline())
-    return {
+    out = {
         "docmeta": spark.read.parquet(os.path.join(index_dir, "docmeta")),
         "postings": spark.read.parquet(os.path.join(index_dir, "postings")),
         "term_stats": spark.read.parquet(os.path.join(index_dir, "term_stats")),
         "stats": stats,
     }
+    packed_dir = os.path.join(index_dir, "packed")
+    if os.path.isdir(packed_dir):
+        out["packed"] = spark.read.parquet(packed_dir)
+    return out
 
 
 def bucket_of(term: str, num_buckets: int, spark: SparkSession) -> int:

@@ -1,0 +1,195 @@
+"""Block-max WAND top-k over packed posting blocks.
+
+Spark restatement of Lucene's WANDScorer / ImpactsDISI (SURVEY.md §3.4,
+§5.3 item 1; lucene/core/src/java/org/apache/lucene/search/WANDScorer.java
+≈L60, MaxScoreCache.java ≈L40, BlockMaxConjunctionScorer.java ≈L40):
+
+  Lucene: per segment, iterators keep per-block max impacts; once the
+  top-k heap is full, blocks whose summed max-score can't beat the k-th
+  score are skipped (advanceShallow).
+
+  Ours: packed blocks are doc-RANGE aligned across terms (indexer:
+  blk = doc_id // BLOCK_SPAN), so
+
+    1. the *bound pass* is pure metadata SQL: per (term, blk) upper bound
+       ub = idf * score(max_tf, min_dlq); per-blk bound = sum of its
+       terms' ubs (a groupBy over a few thousand tiny rows — JVM-side);
+    2. the *threshold* θ is estimated by exactly scoring only the most
+       promising blocks (highest sum-ub), k-th score of that subset —
+       a valid (conservative) lower bound of the true k-th score;
+    3. the *prune*: only blocks with sum_ub >= θ are decoded at all;
+    4. the *kernel*: every doc's full score lives inside ONE blk group
+       (alignment!), so scoring is applyInPandas per blk — decode
+       varint blocks, numpy-accumulate over a dense local score array,
+       emit the per-blk top-k. No (doc_id, score) shuffle ever happens:
+       the only shuffled rows are k rows per surviving block.
+    5. global top-k = orderBy(score desc, doc_id).limit(k) over those.
+
+Soundness: ub uses the same float64 BM25 formula inflated by (1+1e-9), so
+ub >= any achievable score in the block; θ from a subset <= true k-th
+score; hence no pruned block can contain a true top-k doc (ties included,
+since survivors use >=). Verified against the exhaustive scorer in tests
+(the TestWANDScorer differential-oracle pattern, SURVEY.md §6.1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1
+from . import indexer as _indexer
+
+_UB_SLACK = 1.0 + 1e-9
+
+
+def _bm25(tf, dlq, idf: float, avgdl: float) -> np.ndarray:
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dlq / avgdl)
+    return idf * tf / (tf + norm)
+
+
+class WandSearcher:
+    """Top-k disjunction/conjunction over a packed index (read_index dict)."""
+
+    def __init__(self, index: dict):
+        if "packed" not in index:
+            raise ValueError("index has no packed postings (build with packed=True)")
+        self.packed: DataFrame = index["packed"]
+        self.term_stats: DataFrame = index["term_stats"]
+        self.n_docs: int = index["stats"]["doc_count"]
+        self.avgdl: float = float(index["stats"]["avgdl"])
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        rows = (
+            self.term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        n = self.n_docs
+        return {
+            r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in rows
+        }
+
+    def _meta_with_ub(self, idfs: dict[str, float]) -> DataFrame:
+        spark = self.packed.sparkSession
+        idf_df = spark.createDataFrame(
+            [(t, v) for t, v in idfs.items()], "term string, idf double"
+        )
+        meta = self.packed.filter(F.col("term").isin(list(idfs))).join(
+            F.broadcast(idf_df), "term"
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("min_dlq") / F.lit(self.avgdl)
+        )
+        ub = (
+            F.col("idf") * F.col("max_tf") / (F.col("max_tf") + norm)
+        ) * F.lit(_UB_SLACK)
+        return meta.withColumn("ub", ub)
+
+    def _kernel(self, blocks: DataFrame, idfs: dict[str, float], k: int,
+                mode: str, n_terms: int):
+        """applyInPandas per blk: decode, accumulate, per-blk top-k."""
+        import pandas as pd
+
+        from .codec import unpack_postings_block, varint_decode
+
+        avgdl = self.avgdl
+        span = _indexer.BLOCK_SPAN
+
+        def score_blk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            blk = int(key[0])
+            base = blk * span
+            scores = np.zeros(span, dtype=np.float64)
+            counts = np.zeros(span, dtype=np.int32)
+            for row in pdf.itertuples(index=False):
+                docs, tfs = unpack_postings_block(row.docs, row.tfs)
+                dlqs, _ = varint_decode(row.dlqs)
+                local = docs - base
+                scores[local] += _bm25(
+                    tfs.astype(np.float64),
+                    dlqs.astype(np.float64),
+                    idfs[row.term],
+                    avgdl,
+                )
+                counts[local] += 1
+            if mode == "and":
+                mask = counts == n_terms
+            else:
+                mask = counts > 0
+            hit = np.nonzero(mask)[0]
+            if hit.size == 0:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+            hs = scores[hit]
+            if hit.size > k:
+                part = np.argpartition(-hs, k - 1)[:k]
+                hit, hs = hit[part], hs[part]
+            return pd.DataFrame({"doc_id": hit + base, "score": hs})
+
+        return blocks.groupBy("blk").applyInPandas(
+            score_blk, "doc_id long, score double"
+        )
+
+    def search(
+        self, terms: list[str], k: int = 10, mode: str = "or"
+    ) -> DataFrame:
+        """Top-k (doc_id, score) for an OR (sum-score) or AND query."""
+        idfs = self._idfs(terms)
+        spark = self.packed.sparkSession
+        if not idfs or (mode == "and" and len(idfs) < len(set(terms))):
+            return spark.createDataFrame([], "doc_id long, score double")
+        meta = self._meta_with_ub(idfs).persist()
+        n_terms = len(idfs)
+
+        blk_ub = meta.groupBy("blk").agg(
+            F.sum("ub").alias("sum_ub"), F.count("*").alias("n_terms_in_blk")
+        )
+        if mode == "and":
+            blk_ub = blk_ub.filter(F.col("n_terms_in_blk") == n_terms)
+
+        # θ estimation: exactly score the most promising blocks only
+        span = _indexer.BLOCK_SPAN
+        n_probe = max(2, (k + span - 1) // span + 1)
+        probe_blks = [
+            r["blk"]
+            for r in blk_ub.orderBy(F.desc("sum_ub")).limit(n_probe).collect()
+        ]
+        theta = -math.inf
+        if probe_blks:
+            probe = meta.filter(F.col("blk").isin(probe_blks))
+            top = (
+                self._kernel(probe, idfs, k, mode, n_terms)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if len(top) == k:
+                theta = top[-1]["score"]
+
+        survivors = blk_ub.filter(F.col("sum_ub") >= theta).select("blk")
+        cand = meta.join(F.broadcast(survivors), "blk")
+        out = (
+            self._kernel(cand, idfs, k, mode, n_terms)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = out.collect()
+        meta.unpersist()
+        return spark.createDataFrame(rows, "doc_id long, score double") if rows else spark.createDataFrame([], "doc_id long, score double")
+
+    def pruning_stats(self, terms: list[str], k: int = 10) -> dict:
+        """How many blocks WAND skipped (observability for BENCH)."""
+        idfs = self._idfs(terms)
+        meta = self._meta_with_ub(idfs)
+        blk_ub = meta.groupBy("blk").agg(F.sum("ub").alias("sum_ub"))
+        total = blk_ub.count()
+        top = self.search(terms, k)  # runs the full path
+        kth = top.collect()[-1]["score"] if top.count() >= k else -math.inf
+        kept = blk_ub.filter(F.col("sum_ub") >= kth).count()
+        return {"total_blocks": total, "kept_blocks": kept, "theta": kth}

@@ -1,0 +1,166 @@
+"""Codec round-trips, flat-analyzer parity, and the WAND differential
+oracle (the TestWANDScorer pattern, SURVEY.md §6.1): pruned top-k must be
+rank- and score-identical to the exhaustive scorer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_varint_roundtrip_random():
+    from lucene_solr_spark.codec import varint_decode, varint_encode
+
+    rng = np.random.default_rng(7)
+    for _ in range(100):
+        n = int(rng.integers(0, 400))
+        bits = int(rng.integers(1, 50))
+        vals = rng.integers(0, 1 << bits, size=n).astype(np.uint64)
+        enc = varint_encode(vals)
+        dec, off = varint_decode(enc)
+        assert off == len(enc)
+        assert np.array_equal(dec, vals)
+
+
+def test_varint_edges():
+    from lucene_solr_spark.codec import varint_decode, varint_encode
+
+    for arr in (
+        np.empty(0, dtype=np.uint64),
+        np.zeros(7, dtype=np.uint64),
+        np.array([127, 128, 129, (1 << 35) - 1], dtype=np.uint64),
+    ):
+        dec, _ = varint_decode(varint_encode(arr))
+        assert np.array_equal(dec, arr)
+
+
+def test_postings_block_roundtrip_and_compression():
+    from lucene_solr_spark.codec import (
+        pack_postings_block,
+        unpack_postings_block,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = np.sort(rng.choice(1_000_000, size=5000, replace=False))
+    tfs = rng.integers(1, 50, size=5000)
+    db, tb = pack_postings_block(docs, tfs)
+    d2, t2 = unpack_postings_block(db, tb)
+    assert np.array_equal(d2, docs)
+    assert np.array_equal(t2, tfs)
+    # delta+varint must beat raw int64+int64 representation comfortably
+    assert len(db) + len(tb) < 5000 * 16 / 3
+
+
+# ---------------------------------------------------------------------------
+# flat analyzer parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("profile", ["en", "standard", "simple"])
+def test_analyze_flat_matches_analyze(profile):
+    from lucene_solr_spark.analysis import analyze, analyze_flat
+    from lucene_solr_spark.fixtures import generate_pages
+
+    texts = generate_pages(300).column("text").to_pylist()
+    texts += ["", "the a of", "Engine's O'Neil 中文日本 3.14 x" + "y" * 600]
+    row_idx, terms, pos, field_len = analyze_flat(texts, profile)
+    per_row: dict[int, list] = {}
+    for r, t, p in zip(row_idx, terms, pos):
+        per_row.setdefault(int(r), []).append((t, int(p)))
+    for i, txt in enumerate(texts):
+        expect = analyze(txt, profile)
+        assert per_row.get(i, []) == expect, f"row {i} ({profile})"
+        assert field_len[i] == len(expect)
+
+
+# ---------------------------------------------------------------------------
+# WAND differential oracle — multi-block via shrunken BLOCK_SPAN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wand_index(spark, pages_small, tmp_path_factory, request):
+    import lucene_solr_spark.indexer as indexer
+    from lucene_solr_spark.indexer import build_index, read_index
+
+    old_span = indexer.BLOCK_SPAN
+    indexer.BLOCK_SPAN = 64  # 1000 docs -> ~16 blocks: pruning is real
+    try:
+        out = str(tmp_path_factory.mktemp("wandidx") / "idx")
+        pages = spark.read.parquet(pages_small)
+        build_index(spark, pages, out, profile="en", num_buckets=4)
+        yield read_index(spark, out)
+    finally:
+        indexer.BLOCK_SPAN = old_span
+
+
+@pytest.fixture(scope="module")
+def small_span():
+    import lucene_solr_spark.indexer as indexer
+
+    old = indexer.BLOCK_SPAN
+    indexer.BLOCK_SPAN = 64
+    yield
+    indexer.BLOCK_SPAN = old
+
+
+QUERIES = [
+    (["search"], "or"),
+    (["search", "engin"], "or"),
+    (["search", "engin"], "and"),
+    (["the"], "or"),  # stopword: not in index -> empty
+    (["w000001", "w000002", "w000003"], "or"),
+    (["nosuchterm"], "or"),
+    (["search", "nosuchterm"], "and"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+def test_wand_equals_exhaustive(spark, wand_index, small_span, terms, mode):
+    from lucene_solr_spark.query import Boolean, Term
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.wand import WandSearcher
+
+    s = Searcher(wand_index)
+    w = WandSearcher(wand_index)
+    clauses = [Term(t) for t in terms]
+    bq = Boolean(must=clauses) if mode == "and" else Boolean(should=clauses)
+    exact = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in s.score_all(bq)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    wand = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in w.search(terms, 10, mode).collect()
+    ]
+    assert wand == exact
+
+
+def test_wand_prunes_blocks(spark, wand_index, small_span):
+    from lucene_solr_spark.wand import WandSearcher
+
+    w = WandSearcher(wand_index)
+    st = w.pruning_stats(["search", "engin"], 5)
+    assert st["total_blocks"] > 4
+    assert st["kept_blocks"] < st["total_blocks"], st
+
+
+def test_packed_blocks_align_and_sorted(wand_index):
+    """CheckIndex-style invariants on the packed table (SURVEY.md §6.2.6)."""
+    from lucene_solr_spark.codec import unpack_postings_block
+
+    rows = wand_index["packed"].limit(200).collect()
+    assert rows
+    for r in rows:
+        docs, tfs = unpack_postings_block(bytes(r["docs"]), bytes(r["tfs"]))
+        assert len(docs) == r["n"]
+        assert (np.diff(docs) > 0).all()  # strictly increasing doc_ids
+        assert (tfs >= 1).all()
+        assert tfs.max() == r["max_tf"]
+        assert (docs // 64 == r["blk"]).all()  # doc-range alignment
