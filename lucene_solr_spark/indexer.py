@@ -62,7 +62,9 @@ _FLAT_SCHEMA = (
 )
 
 
-def analyzed_flat(pages: DataFrame, profile: str = "en") -> DataFrame:
+def analyzed_flat(
+    pages: DataFrame, profile: str = "en", doc_base: int = 0
+) -> DataFrame:
     """The vectorized write path: pages -> ONE flat columnar pass.
 
     Emits, per Arrow batch, a doc-header row per document (term IS NULL,
@@ -82,6 +84,8 @@ def analyzed_flat(pages: DataFrame, profile: str = "en") -> DataFrame:
     from .norms import LENGTH_TABLE, int_to_byte4
 
     ids = assign_dense_ids(pages.select("url"), "url")
+    if doc_base:
+        ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
     with_ids = pages.select("url", "lang", "text").join(ids, "url")
 
     def gen(batches):
@@ -129,13 +133,16 @@ def build_index(
     num_buckets: int = DEFAULT_BUCKETS,
     salt: int = 0,
     packed: bool = True,
+    doc_base: int = 0,
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
     """
     from pyspark import StorageLevel
 
-    stream = analyzed_flat(pages, profile).persist(StorageLevel.MEMORY_AND_DISK)
+    stream = analyzed_flat(pages, profile, doc_base).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     docmeta = stream.filter(F.col("term").isNull()).select(
         "doc_id", "url", "lang", "field_len", "norm_byte", "dlq"
