@@ -116,7 +116,14 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             reps.append(time.perf_counter() - t0)
         queries[name] = round(statistics.median(reps), 4)
 
+    from lucene_solr_spark.wand import WandSearcher
+
+    wand = WandSearcher(index)
     timed("term_top10", lambda: searcher.search(Term("search"), 10).collect())
+    timed(
+        "wand_or_top10",
+        lambda: wand.search(["search", "engin", "index"], 10).collect(),
+    )
     timed(
         "bool_and_top10",
         lambda: searcher.search(
@@ -139,7 +146,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry
 
     reg = entry.queries()
-    for name in ("term_query_bm25", "dedup_minhash_lsh", "tpch_q1_pricing"):
+    for name in (
+        "term_query_bm25",
+        "dedup_minhash_lsh_buckets",
+        "facet_field_counts",
+        "ann_cosine_topk",
+    ):
         if name in reg:
             fn = reg[name]
             timed(f"drv_{name}", lambda fn=fn: fn(spark, sf_dir).collect())

@@ -204,6 +204,41 @@ def analyze_flat(texts, profile: str = "en"):
     return row_idx[keep], terms[keep], pos[keep], field_len
 
 
+def analyze_flat_grouped(texts, profile: str = "en"):
+    """analyze_flat + map-side per-(row, term) aggregation — the DWPT
+    in-RAM inversion (TermsHashPerField#add): tf and sorted positions are
+    computed HERE, before any shuffle, so the index build never shuffles
+    token-level rows.
+
+    Returns (grp_row, grp_term, grp_tf, pos_values, pos_offsets, field_len):
+      grp_row     int64[g]   — row index of each (row, term) group
+      grp_term    object[g]  — analyzed term
+      grp_tf      int64[g]   — term frequency within the row
+      pos_values  int64[k]   — all positions, group-major, sorted per group
+      pos_offsets int64[g+1] — group i's positions = values[off[i]:off[i+1]]
+                               (exactly an Arrow ListArray, zero-copy)
+      field_len   int64[n]   — emitted-token count per row
+    """
+    row_idx, terms, pos, field_len = analyze_flat(texts, profile)
+    if len(row_idx) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return row_idx, terms, empty, empty, np.zeros(1, np.int64), field_len
+    import pandas as pd
+
+    codes, uniq = pd.factorize(terms)
+    # sort by (row, term-code); pos is already ascending within each row
+    order = np.lexsort((pos, codes, row_idx))
+    r, c, p = row_idx[order], codes[order], pos[order]
+    boundary = np.empty(len(r), dtype=bool)
+    boundary[0] = True
+    np.not_equal(r[1:], r[:-1], out=boundary[1:])
+    boundary[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(boundary)
+    tf = np.diff(np.append(starts, len(r)))
+    offsets = np.append(starts, len(r))
+    return r[starts], uniq[c[starts]], tf, p, offsets, field_len
+
+
 def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
     """Query-time analysis of a bare term/phrase string (same chain as
     index time — Lucene's query parser analyzes query text with the

@@ -31,18 +31,20 @@ __all__ = [
 ]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized.
+def varint_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array, vectorized, WITHOUT framing.
 
-    Strategy: compute per-value byte length from bit_length, then scatter
-    each value's 7-bit groups into a flat output buffer with numpy fancy
-    indexing — O(total_bytes) numpy work, no Python-level per-value loop.
+    Returns (buffer uint8[N], nbytes int64[n]) — per-value byte lengths let
+    callers slice multi-group buffers (the partition-level packer encodes a
+    whole partition once, then cuts per-block blobs by offset).
+
+    Strategy: compute per-value byte length, then scatter each value's
+    7-bit groups into the flat buffer with fancy indexing — O(total_bytes)
+    numpy work, no Python-level per-value loop.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    n = v.size
-    header = _encode_small(np.array([n], dtype=np.uint64))
-    if n == 0:
-        return bytes(header)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = _varint_len(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
@@ -55,6 +57,16 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[sel] - 1) > k  # continuation bit
         out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Framed LEB128: varint(n) header + n raw varints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    header = _encode_small(np.array([v.size], dtype=np.uint64))
+    if v.size == 0:
+        return bytes(header)
+    out, _ = varint_encode_raw(v)
     return bytes(header) + out.tobytes()
 
 

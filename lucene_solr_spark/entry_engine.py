@@ -1,0 +1,197 @@
+"""Driver-contract entries that run the REAL engine end-to-end —
+build_index (simple profile, unquantized norms) -> packed posting blocks ->
+WandSearcher / Searcher — and verify against a pure ANSI-SQL DuckDB oracle.
+
+This is the strongest correctness claim in the registry: the whole physical
+pipeline (vectorized analysis, delta+varint blocks, block-max WAND pruning,
+bucket-pruned stats lookup) must reproduce the mathematical BM25 definition
+the SQL states. The quantized english profile (Porter, SmallFloat norms —
+not SQL-expressible) is covered by oracle.py tests instead (SURVEY.md §6.2
+item 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_ENGINE: dict = {}
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _engine(spark, sf_dir):
+    """Build once per sf_dir: simple-profile, raw-dl index over documents
+    (url := zero-padded doc_id so dense ids are monotone in doc_id)."""
+    if sf_dir in _ENGINE:
+        return _ENGINE[sf_dir]
+    import tempfile
+
+    from .indexer import build_index, read_index
+    from .search import Searcher
+    from .wand import WandSearcher
+
+    d = _docs(spark, sf_dir).select(
+        F.format_string("doc%09d", F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="lss_wand_idx_")
+    build_index(
+        spark, d, out, profile="simple", num_buckets=8, quantize=False
+    )
+    idx = read_index(spark, out)
+    # map engine-internal dense ids back to the original doc_id
+    idmap = idx["docmeta"].select(
+        F.col("doc_id").alias("_eid"),
+        F.substring("url", 4, 9).cast("long").alias("orig_id"),
+    )
+    _ENGINE[sf_dir] = {
+        "index": idx,
+        "searcher": Searcher(idx),
+        "wand": WandSearcher(idx),
+        "idmap": idmap,
+    }
+    return _ENGINE[sf_dir]
+
+
+def _to_orig(eng, df):
+    """(doc_id=dense, score) -> (doc_id=original, score) rounded."""
+    return (
+        df.withColumnRenamed("doc_id", "_eid")
+        .join(F.broadcast(eng["idmap"]), "_eid")
+        .select(
+            F.col("orig_id").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+    )
+
+
+def q_engine_wand_term(spark, sf_dir):
+    """Full engine path for a TermQuery: packed blocks + block-max WAND
+    (WANDScorer.java ≈L60) == SQL BM25 definition."""
+    eng = _engine(spark, sf_dir)
+    return _to_orig(eng, eng["wand"].search(["dup"], 10, "or"))
+
+
+def q_engine_wand_or(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _to_orig(eng, eng["wand"].search(["dup", "vector"], 10, "or"))
+
+
+def q_engine_wand_and(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    return _to_orig(eng, eng["wand"].search(["dup", "vector"], 10, "and"))
+
+
+def q_engine_searcher_bool(spark, sf_dir):
+    """Searcher plan-compiler path (union+groupBy scorer DAG) on the same
+    index: SHOULD over three terms."""
+    from .query import Boolean, Term
+
+    eng = _engine(spark, sf_dir)
+    q = Boolean(should=[Term("dup"), Term("vector"), Term("window")])
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+_TOK = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl
+)"""
+
+_BM25 = (
+    "ln(1 + (cstats.n - {df} + 0.5) / ({df} + 0.5)) * {tf}"
+    " / ({tf} + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))"
+)
+
+
+def _sql_scores(i: int, term: str) -> str:
+    return (
+        f"t{i} AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id),\n"
+        f"d{i} AS (SELECT count(*) AS df FROM t{i}),\n"
+        f"s{i} AS (SELECT t{i}.doc_id, "
+        + _BM25.format(df=f"d{i}.df", tf=f"t{i}.tf")
+        + f" AS score FROM t{i}, dl, cstats, d{i} WHERE dl.doc_id = t{i}.doc_id)"
+    )
+
+
+SQL_ENGINE_WAND_TERM = f"""
+WITH {_TOK},
+{_sql_scores(1, "dup")}
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s1 ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+SQL_ENGINE_WAND_OR = f"""
+WITH {_TOK},
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+SQL_ENGINE_WAND_AND = f"""
+WITH {_TOK},
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+g AS (SELECT s1.doc_id, s1.score + s2.score AS score
+      FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+SQL_ENGINE_SEARCHER_BOOL = f"""
+WITH {_TOK},
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+{_sql_scores(3, "window")},
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2
+      UNION ALL SELECT doc_id, score FROM s3),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window agg (streaming/incremental.py) run on the
+    batch events table — Spark's unified batch/stream semantics make the
+    same plan checkable against plain SQL (window == date_trunc hour)."""
+    from .streaming import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(events, "1 hour", "2 hours")
+    return (
+        out.select(
+            F.unix_timestamp("window_start").alias("win_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        ).orderBy("win_start", "event_type")
+    )
+
+
+SQL_STREAMING_WINDOW_COUNTS = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+REGISTRY_ENGINE: dict[str, tuple] = {
+    "streaming_window_counts": (
+        q_streaming_window_counts,
+        SQL_STREAMING_WINDOW_COUNTS,
+    ),
+    "engine_wand_term_sql": (q_engine_wand_term, SQL_ENGINE_WAND_TERM),
+    "engine_wand_or_sql": (q_engine_wand_or, SQL_ENGINE_WAND_OR),
+    "engine_wand_and_sql": (q_engine_wand_and, SQL_ENGINE_WAND_AND),
+    "engine_searcher_bool_sql": (q_engine_searcher_bool, SQL_ENGINE_SEARCHER_BOOL),
+}

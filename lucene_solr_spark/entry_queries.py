@@ -564,3 +564,7 @@ REGISTRY.update(REGISTRY_RELATIONAL)
 from .entry_pipeline import REGISTRY_PIPELINE  # noqa: E402
 
 REGISTRY.update(REGISTRY_PIPELINE)
+
+from .entry_engine import REGISTRY_ENGINE  # noqa: E402
+
+REGISTRY.update(REGISTRY_ENGINE)

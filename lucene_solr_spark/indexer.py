@@ -58,29 +58,36 @@ def analyzed_docs(pages: DataFrame, profile: str = "en") -> DataFrame:
 
 _FLAT_SCHEMA = (
     "doc_id long, url string, lang string, field_len int, norm_byte int, "
-    "dlq int, term string, pos int"
+    "dlq int, term string, tf int, positions array<int>"
 )
 
 
 def analyzed_flat(
-    pages: DataFrame, profile: str = "en", doc_base: int = 0
+    pages: DataFrame,
+    profile: str = "en",
+    doc_base: int = 0,
+    quantize: bool = True,
 ) -> DataFrame:
-    """The vectorized write path: pages -> ONE flat columnar pass.
+    """The vectorized write path: pages -> ONE flat columnar pass that
+    already contains the full inversion (the DWPT in-RAM index).
 
     Emits, per Arrow batch, a doc-header row per document (term IS NULL,
-    carrying url/lang/field_len/norm_byte/dlq — the docmeta) plus one row
-    per emitted token (doc_id, dlq, term, pos). This keeps analysis fully
-    columnar (analysis.analyze_flat: unique-token chain + numpy scatter;
-    no per-row Python) and needs NO doc-level join afterwards — the header
-    rows ARE docmeta, filtered not shuffled.
+    carrying url/lang/field_len/norm_byte/dlq — the docmeta) plus ONE ROW
+    PER (doc, term) with tf and sorted positions, aggregated map-side in
+    numpy (analysis.analyze_flat_grouped — TermsHashPerField#add). The
+    index build therefore NEVER shuffles token-level rows: the only wide
+    exchanges left are the bucket repartition for the write and the tiny
+    term_stats combine. Output is built with mapInArrow: positions become
+    a zero-copy Arrow ListArray (offsets + values), no per-group Python
+    objects.
 
     doc_ids are assigned on a slim url-only projection first (scalable
     dense-rank, ids.assign_dense_ids), then joined back doc-level — at
     10^12 rows that join is hash-partitioned by url on both sides.
     """
-    import pandas as pd
+    import pyarrow as pa
 
-    from .analysis import analyze_flat
+    from .analysis import analyze_flat_grouped
     from .norms import LENGTH_TABLE, int_to_byte4
 
     ids = assign_dense_ids(pages.select("url"), "url")
@@ -88,41 +95,72 @@ def analyzed_flat(
         ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
     with_ids = pages.select("url", "lang", "text").join(ids, "url")
 
+    arrow_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("url", pa.string()),
+            ("lang", pa.string()),
+            ("field_len", pa.int32()),
+            ("norm_byte", pa.int32()),
+            ("dlq", pa.int32()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+
     def gen(batches):
-        for pdf in batches:
-            row_idx, terms, pos, field_len = analyze_flat(
-                pdf["text"].to_numpy(), profile
+        import numpy as np
+
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index("text")).to_pandas()
+            n = len(texts)
+            grp_row, grp_term, grp_tf, pos_vals, pos_off, field_len = (
+                analyze_flat_grouped(texts, profile)
             )
-            doc_ids = pdf["doc_id"].to_numpy()
+            doc_ids = rb.column(
+                rb.schema.get_field_index("doc_id")
+            ).to_numpy()
             nb = int_to_byte4(field_len)
-            dlq = LENGTH_TABLE[nb]
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "url": pdf["url"].to_numpy(),
-                    "lang": pdf["lang"].to_numpy(),
-                    "field_len": field_len,
-                    "norm_byte": nb,
-                    "dlq": dlq,
-                    "term": None,
-                    "pos": None,
-                }
+            # quantize=False keeps exact lengths (norms="no loss" mode —
+            # the ANSI-SQL-expressible twin used by the DuckDB oracle)
+            dlq = LENGTH_TABLE[nb] if quantize else field_len
+            g = len(grp_row)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    rb.column(rb.schema.get_field_index("url")),
+                    rb.column(rb.schema.get_field_index("lang")),
+                    pa.array(field_len.astype(np.int32)),
+                    pa.array(nb.astype(np.int32)),
+                    pa.array(dlq.astype(np.int32)),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.int32()),
+                    pa.nulls(n, pa.list_(pa.int32())),
+                ],
+                schema=arrow_schema,
             )
-            if len(row_idx):
-                yield pd.DataFrame(
-                    {
-                        "doc_id": doc_ids[row_idx],
-                        "url": None,
-                        "lang": None,
-                        "field_len": None,
-                        "norm_byte": None,
-                        "dlq": dlq[row_idx],
-                        "term": terms,
-                        "pos": pos,  # 0-based, same as analyze()
-                    }
+            if g:
+                positions = pa.ListArray.from_arrays(
+                    pa.array(pos_off.astype(np.int32)),
+                    pa.array(pos_vals.astype(np.int32)),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids[grp_row], pa.int64()),
+                        pa.nulls(g, pa.string()),
+                        pa.nulls(g, pa.string()),
+                        pa.nulls(g, pa.int32()),
+                        pa.nulls(g, pa.int32()),
+                        pa.array(dlq[grp_row].astype(np.int32)),
+                        pa.array(grp_term, pa.string()),
+                        pa.array(grp_tf.astype(np.int32)),
+                        positions,
+                    ],
+                    schema=arrow_schema,
                 )
 
-    return with_ids.mapInPandas(gen, _FLAT_SCHEMA)
+    return with_ids.mapInArrow(gen, _FLAT_SCHEMA)
 
 
 def build_index(
@@ -134,13 +172,14 @@ def build_index(
     salt: int = 0,
     packed: bool = True,
     doc_base: int = 0,
+    quantize: bool = True,
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
     """
     from pyspark import StorageLevel
 
-    stream = analyzed_flat(pages, profile, doc_base).persist(
+    stream = analyzed_flat(pages, profile, doc_base, quantize).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -154,45 +193,35 @@ def build_index(
     # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
     # posting row — the Spark analog of Lucene's doc-local norms array read:
     # it turns the per-query docmeta join (a shuffle) into a column read.
-    tok = stream.filter(F.col("term").isNotNull()).select(
-        "doc_id", "dlq", "term", "pos"
+    # (term, doc) aggregation already happened MAP-SIDE inside analyzed_flat
+    # (the DWPT inversion), so no token-level shuffle exists. The remaining
+    # skew surface is the bucket exchange (a bucket holding several Zipf
+    # head terms); `salt > 1` splits each bucket's stream `salt` ways by
+    # doc-range — block-aligned, so packed (term, blk) groups stay whole
+    # (SURVEY.md §5.3 item 6, the explicit skew answer of the north_rule).
+    perdoc = stream.filter(F.col("term").isNotNull()).select(
+        "term", "doc_id", "tf", "dlq", "positions"
     )
-
-    if salt > 1:
-        # two-stage salted aggregation for extreme head-term skew:
-        # partial (term, salt) combine, then final combine — the classic
-        # map-side-combine answer to Zipf keys (SURVEY.md §5.3 item 6).
-        partial = tok.groupBy(
-            "term", "doc_id", (F.pmod(F.col("pos"), F.lit(salt))).alias("_s")
-        ).agg(
-            F.count("*").alias("tf"),
-            F.first("dlq").alias("dlq"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        perdoc = partial.groupBy("term", "doc_id").agg(
-            F.sum("tf").alias("tf"),
-            F.first("dlq").alias("dlq"),
-            F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions"),
-        )
-    else:
-        perdoc = tok.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"),
-            F.first("dlq").alias("dlq"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
 
     perdoc = perdoc.persist(StorageLevel.MEMORY_AND_DISK)
     postings = perdoc.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
-    postings.repartition(num_buckets, "bucket").sortWithinPartitions(
+    part_keys = [F.col("bucket")]
+    n_parts = num_buckets
+    if salt > 1:
+        part_keys.append(
+            F.pmod((F.col("doc_id") / BLOCK_SPAN).cast("long"), F.lit(salt))
+        )
+        n_parts = num_buckets * salt
+    postings.repartition(n_parts, *part_keys).sortWithinPartitions(
         "term", "doc_id"
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "postings")
     )
 
     if packed:
-        write_packed_postings(perdoc, out_dir, num_buckets)
+        write_packed_postings(perdoc, out_dir, num_buckets, salt=salt)
 
     term_stats = (
         perdoc.groupBy("term")
@@ -229,7 +258,7 @@ PACKED_SCHEMA = (
 
 
 def write_packed_postings(
-    perdoc: DataFrame, out_dir: str, num_buckets: int
+    perdoc: DataFrame, out_dir: str, num_buckets: int, salt: int = 0
 ) -> None:
     """Per-(term, doc) postings -> packed binary blocks with impacts.
 
@@ -243,42 +272,108 @@ def write_packed_postings(
     (a) head terms spread over many groups (Zipf skew answer) and (b) blocks
     ALIGN across terms: every posting for one doc lands in the same blk for
     every term, which turns block-max WAND into a per-blk kernel (wand.py).
+
+    Execution: ONE exchange (repartition by term bucket + sort by
+    (term, doc_id)), then a partition-level vectorized packer — the whole
+    partition is varint-encoded in a handful of numpy passes and per-block
+    blobs are cut out by offset; no per-group Python UDF calls
+    (FreqProxTermsWriter#flush: sort terms once, walk postings once).
     """
     import pandas as pd
 
-    from .codec import pack_postings_block, varint_encode
+    span = BLOCK_SPAN
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        order = pdf["doc_id"].to_numpy().argsort(kind="stable")
-        docs = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dlqs = pdf["dlq"].to_numpy()[order]
-        docs_blob, tfs_blob = pack_postings_block(docs, tfs)
+    def pack_partition(batches):
         import numpy as np
 
-        dlqs_blob = varint_encode(dlqs.astype(np.uint64))
-        return pd.DataFrame(
+        from .codec import _encode_small, varint_encode_raw
+
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dlqs = pdf["dlq"].to_numpy(dtype=np.int64)
+        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(pdf["term"].to_numpy(dtype=object))
+        blk = docs // span
+        # group boundaries on the (term, blk) sorted stream
+        boundary = np.empty(len(docs), dtype=bool)
+        boundary[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
+        boundary[1:] |= blk[1:] != blk[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(docs))
+        counts = ends - starts
+        # delta-encode doc ids with a reset at every group start
+        deltas = np.empty_like(docs)
+        deltas[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+        deltas[starts] = docs[starts]
+        # one vectorized varint pass over the whole partition per stream
+        dbuf, dlen = varint_encode_raw(deltas.astype(np.uint64))
+        tbuf, tlen = varint_encode_raw(tfs.astype(np.uint64))
+        qbuf, qlen = varint_encode_raw(dlqs.astype(np.uint64))
+        dof = np.concatenate(([0], np.cumsum(dlen)))
+        tof = np.concatenate(([0], np.cumsum(tlen)))
+        qof = np.concatenate(([0], np.cumsum(qlen)))
+        dbytes, tbytes, qbytes = dbuf.tobytes(), tbuf.tobytes(), qbuf.tobytes()
+        max_tf = np.maximum.reduceat(tfs, starts)
+        min_dlq = np.minimum.reduceat(dlqs, starts)
+        headers = {}  # counts repeat a lot (full blocks) — memoize framing
+
+        def frame(n: int) -> bytes:
+            h = headers.get(n)
+            if h is None:
+                h = bytes(_encode_small(np.array([n], dtype=np.uint64)))
+                headers[n] = h
+            return h
+
+        yield pd.DataFrame(
             {
-                "term": [key[0]],
-                "blk": [key[1]],
-                "n": [len(docs)],
-                "docs": [docs_blob],
-                "tfs": [tfs_blob],
-                "dlqs": [dlqs_blob],
-                "max_tf": [int(tfs.max())],
-                "min_dlq": [int(dlqs.min())],
+                "term": uniq[codes[starts]],
+                "blk": blk[starts],
+                "n": counts.astype(np.int32),
+                "docs": [
+                    frame(counts[g]) + dbytes[dof[starts[g]] : dof[ends[g]]]
+                    for g in range(len(starts))
+                ],
+                "tfs": [
+                    frame(counts[g]) + tbytes[tof[starts[g]] : tof[ends[g]]]
+                    for g in range(len(starts))
+                ],
+                "dlqs": [
+                    frame(counts[g]) + qbytes[qof[starts[g]] : qof[ends[g]]]
+                    for g in range(len(starts))
+                ],
+                "max_tf": max_tf.astype(np.int32),
+                "min_dlq": min_dlq.astype(np.int32),
+                "bucket": buckets[starts].astype(np.int32),
             }
         )
 
-    blocked = perdoc.groupBy(
-        "term", (F.col("doc_id") / BLOCK_SPAN).cast("long").alias("blk")
+    src = perdoc
+    if "bucket" not in src.columns:
+        src = src.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+    part_keys = [F.col("bucket")]
+    n_parts = num_buckets
+    if salt > 1:
+        # skew split by doc-range: a (term, blk) group maps to ONE partition
+        # (blk determines the salt key), so packing stays partition-local
+        part_keys.append(
+            F.pmod((F.col("doc_id") / BLOCK_SPAN).cast("long"), F.lit(salt))
+        )
+        n_parts = num_buckets * salt
+    packed = (
+        src.select("term", "doc_id", "tf", "dlq", "bucket")
+        .repartition(n_parts, *part_keys)
+        .sortWithinPartitions("term", "doc_id")
+        .mapInPandas(pack_partition, PACKED_SCHEMA + ", bucket int")
     )
-    packed = blocked.applyInPandas(pack, PACKED_SCHEMA).withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    )
-    packed.repartition("bucket").sortWithinPartitions(
-        "term", "blk"
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
+    packed.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "packed")
     )
 

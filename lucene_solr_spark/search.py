@@ -77,11 +77,21 @@ class Searcher:
         self.similarity = similarity
 
     # ---- stats bind (Weight creation) ------------------------------------
+    def _buckets(self, terms) -> list[int]:
+        from .xxhash import bucket_of_term
+
+        return sorted({bucket_of_term(t, self.num_buckets) for t in terms})
+
     def _stats_for(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
+        ts = self.term_stats
+        if "bucket" in ts.columns:
+            # partition pruning: the terms-dict seek touches only the
+            # buckets the query terms hash to (SegmentTermsEnum#seekExact)
+            ts = ts.filter(F.col("bucket").isin(self._buckets(terms)))
         rows = (
-            self.term_stats.filter(F.col("term").isin(list(terms)))
+            ts.filter(F.col("term").isin(list(terms)))
             .select("term", "df", "ttf")
             .collect()
         )
@@ -101,7 +111,14 @@ class Searcher:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def _term_postings(self, term: str) -> DataFrame:
-        return self.postings.filter(F.col("term") == term)
+        p = self.postings
+        if "bucket" in p.columns:
+            from .xxhash import bucket_of_term
+
+            p = p.filter(
+                F.col("bucket") == bucket_of_term(term, self.num_buckets)
+            )
+        return p.filter(F.col("term") == term)
 
     # ---- leaf scorers: (doc_id, score) ------------------------------------
     def _compile(self, q: Query, stats: dict, scored: bool = True) -> DataFrame:
@@ -123,7 +140,10 @@ class Searcher:
             if not present:
                 return self._empty()
             df_max = max(stats[t]["df"] for t in present)
-            p = self.postings.filter(F.col("term").isin(present))
+            p = self.postings
+            if "bucket" in p.columns:
+                p = p.filter(F.col("bucket").isin(self._buckets(present)))
+            p = p.filter(F.col("term").isin(present))
             g = p.groupBy("doc_id").agg(
                 F.sum("tf").alias("tf"), F.first("dlq").alias("dlq")
             )

@@ -61,10 +61,25 @@ class WandSearcher:
         self.term_stats: DataFrame = index["term_stats"]
         self.n_docs: int = index["stats"]["doc_count"]
         self.avgdl: float = float(index["stats"]["avgdl"])
+        self.num_buckets: int = int(index["stats"].get("num_buckets", 16))
+        # below this many candidate blocks, θ-probing costs more than it
+        # saves (an extra Spark round trip) — decode everything instead
+        self.probe_threshold: int = 64
+
+    def _pruned(self, df: DataFrame, terms: list[str]) -> DataFrame:
+        if "bucket" in df.columns:
+            from .xxhash import bucket_of_term
+
+            buckets = sorted(
+                {bucket_of_term(t, self.num_buckets) for t in terms}
+            )
+            df = df.filter(F.col("bucket").isin(buckets))
+        return df
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         rows = (
-            self.term_stats.filter(F.col("term").isin(terms))
+            self._pruned(self.term_stats, terms)
+            .filter(F.col("term").isin(terms))
             .select("term", "df")
             .collect()
         )
@@ -79,8 +94,10 @@ class WandSearcher:
         idf_df = spark.createDataFrame(
             [(t, v) for t, v in idfs.items()], "term string, idf double"
         )
-        meta = self.packed.filter(F.col("term").isin(list(idfs))).join(
-            F.broadcast(idf_df), "term"
+        meta = (
+            self._pruned(self.packed, list(idfs))
+            .filter(F.col("term").isin(list(idfs)))
+            .join(F.broadcast(idf_df), "term")
         )
         norm = F.lit(BM25_K1) * (
             F.lit(1.0 - BM25_B)
@@ -153,15 +170,22 @@ class WandSearcher:
         if mode == "and":
             blk_ub = blk_ub.filter(F.col("n_terms_in_blk") == n_terms)
 
-        # θ estimation: exactly score the most promising blocks only
+        # θ estimation: exactly score the most promising blocks only.
+        # blk_ub is tiny metadata (≤ a few rows per 4096-doc range), so we
+        # collect it once; when the block count is small the probe round
+        # trip costs more than decoding everything — skip it (adaptive,
+        # like totalHitsThreshold gating WAND activation in Lucene).
         span = _indexer.BLOCK_SPAN
-        n_probe = max(2, (k + span - 1) // span + 1)
-        probe_blks = [
-            r["blk"]
-            for r in blk_ub.orderBy(F.desc("sum_ub")).limit(n_probe).collect()
-        ]
+        blk_rows = blk_ub.collect()
         theta = -math.inf
-        if probe_blks:
+        if len(blk_rows) > self.probe_threshold:
+            n_probe = max(2, (k + span - 1) // span + 1)
+            probe_blks = [
+                r["blk"]
+                for r in sorted(
+                    blk_rows, key=lambda r: -r["sum_ub"]
+                )[:n_probe]
+            ]
             probe = meta.filter(F.col("blk").isin(probe_blks))
             top = (
                 self._kernel(probe, idfs, k, mode, n_terms)
@@ -172,8 +196,8 @@ class WandSearcher:
             if len(top) == k:
                 theta = top[-1]["score"]
 
-        survivors = blk_ub.filter(F.col("sum_ub") >= theta).select("blk")
-        cand = meta.join(F.broadcast(survivors), "blk")
+        surviving_blks = [r["blk"] for r in blk_rows if r["sum_ub"] >= theta]
+        cand = meta.filter(F.col("blk").isin(surviving_blks))
         out = (
             self._kernel(cand, idfs, k, mode, n_terms)
             .orderBy(F.desc("score"), F.asc("doc_id"))

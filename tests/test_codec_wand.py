@@ -146,6 +146,7 @@ def test_wand_prunes_blocks(spark, wand_index, small_span):
     from lucene_solr_spark.wand import WandSearcher
 
     w = WandSearcher(wand_index)
+    w.probe_threshold = 4  # force the θ-probe path on this small index
     st = w.pruning_stats(["search", "engin"], 5)
     assert st["total_blocks"] > 4
     assert st["kept_blocks"] < st["total_blocks"], st
@@ -164,3 +165,34 @@ def test_packed_blocks_align_and_sorted(wand_index):
         assert (tfs >= 1).all()
         assert tfs.max() == r["max_tf"]
         assert (docs // 64 == r["blk"]).all()  # doc-range alignment
+
+
+# ---------------------------------------------------------------------------
+# driver-side xxhash64 must match Spark's (bucket-pruning soundness)
+# ---------------------------------------------------------------------------
+
+def test_xxhash64_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.xxhash import xxhash64
+
+    words = (
+        ["", "a", "ab", "abc", "abcd", "search", "engine's", "café", "中文"]
+        + ["x" * n for n in (5, 7, 8, 9, 15, 16, 31, 32, 33, 64, 100)]
+        + [f"w{i:06d}" for i in range(50)]
+    )
+    df = spark.createDataFrame([(w,) for w in words], "t string").select(
+        "t", F.xxhash64("t").alias("h")
+    )
+    for r in df.collect():
+        assert xxhash64(r["t"]) == r["h"], r["t"]
+
+
+def test_bucket_pruning_in_plan(index_small):
+    """The term postings scan must touch only the term's bucket partition
+    (PartitionFilters in the FileSourceScan)."""
+    from lucene_solr_spark.search import Searcher
+
+    s = Searcher(index_small)
+    plan = s._term_postings("search")._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
