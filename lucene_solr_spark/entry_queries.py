@@ -568,3 +568,7 @@ REGISTRY.update(REGISTRY_PIPELINE)
 from .entry_engine import REGISTRY_ENGINE  # noqa: E402
 
 REGISTRY.update(REGISTRY_ENGINE)
+
+from .entry_features import REGISTRY_FEATURES  # noqa: E402
+
+REGISTRY.update(REGISTRY_FEATURES)

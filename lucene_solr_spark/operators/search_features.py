@@ -1,0 +1,125 @@
+"""Search-UX operator family: highlighting, suggesters, spellcheck,
+real-time get, LTR rescoring — pure DataFrame/Column recipes (JVM-side,
+whole-stage codegen; no Python in any of these paths).
+
+Reference parity (SURVEY.md §3):
+  * Highlighter — lucene/highlighter/src/java/org/apache/lucene/search/
+    uhighlight/UnifiedHighlighter.java (≈L80): best-window snippet with
+    matched terms wrapped. Ours: array ops over the token split (first-hit
+    window; the reference's passage scoring is a config tier above this).
+  * Suggester — lucene/suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/AnalyzingInfixSuggester.java (≈L60) / Solr TermsComponent
+    prefix mode: top-k terms by frequency under a prefix.
+  * Spellcheck — solr/core/src/java/org/apache/solr/spelling/
+    DirectSolrSpellChecker.java (≈L40, backed by Lucene FuzzyTermsEnum):
+    candidate corrections within edit distance, ranked (distance asc,
+    df desc).
+  * Real-time get — solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java (≈L120): point lookup by uniqueKey.
+  * LTR — solr/contrib/ltr/src/java/org/apache/solr/ltr/model/
+    LinearModel.java (≈L40): rescore top-N candidates with a weighted
+    feature sum (ReRankQParserPlugin two-stage plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def highlight_first_window(
+    df: DataFrame,
+    text_col: str,
+    terms: list[str],
+    before: int = 3,
+    after: int = 3,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Add `snippet`: the window around the FIRST matching term, matches
+    wrapped in pre/post tags. Rows with no match get a null snippet.
+
+    Entirely built-in array functions: split -> array_position (min over
+    the query terms) -> slice -> transform(wrap) -> array_join.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # 1-based first position of each term; 0 = absent
+    positions = [F.array_position(toks, t) for t in terms]
+    first_hit = F.least(
+        *[F.when(p > 0, p).otherwise(F.lit(None)) for p in positions]
+    ) if len(terms) > 1 else F.when(positions[0] > 0, positions[0])
+    start = F.greatest(first_hit - before, F.lit(1))
+    # end-anchored length so a hit near the text start yields a shorter
+    # window (matches the [start, first_hit+after] slice semantics)
+    length = first_hit + after - start + 1
+    window = F.slice(toks, start, length)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    wrapped = F.transform(
+        window,
+        lambda t: F.when(
+            F.array_contains(term_arr, t), F.concat(F.lit(pre), t, F.lit(post))
+        ).otherwise(t),
+    )
+    snippet = F.when(first_hit.isNotNull(), F.array_join(wrapped, " "))
+    return df.withColumn("snippet", snippet)
+
+
+def suggest_prefix(
+    tokens: DataFrame, prefix: str, k: int = 10
+) -> DataFrame:
+    """Top-k (term, df) under a prefix from a (doc_id, term) token table —
+    the terms-dict prefix walk of AnalyzingInfixSuggester/TermsComponent."""
+    return (
+        tokens.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def spellcheck(
+    tokens: DataFrame, word: str, max_edits: int = 2, k: int = 5
+) -> DataFrame:
+    """Correction candidates: distinct terms within `max_edits`, ranked by
+    (distance asc, df desc, term) — DirectSolrSpellChecker's ordering."""
+    cand = (
+        tokens.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter(
+            (F.col("distance") <= max_edits) & (F.col("term") != word)
+        )
+    )
+    return cand.orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    ).limit(k).select("term", "distance", "df")
+
+
+def realtime_get(df: DataFrame, key_col: str, key) -> DataFrame:
+    """Point lookup by uniqueKey (RealTimeGetComponent). On a doc_id- or
+    url-partitioned table this prunes to one partition/file via min-max."""
+    return df.filter(F.col(key_col) == F.lit(key))
+
+
+def ltr_linear_rescore(
+    candidates: DataFrame,
+    features: dict[str, Column],
+    weights: dict[str, float],
+    k: int = 10,
+    order_tiebreak: str = "doc_id",
+) -> DataFrame:
+    """LinearModel rescoring of a phase-1 candidate set (ReRank plan shape):
+    materialize features as columns, score = Σ w_i · f_i, re-sort top-k."""
+    out = candidates
+    for name, col in features.items():
+        out = out.withColumn(name, col)
+    score = None
+    for name, w in weights.items():
+        contrib = F.lit(float(w)) * F.col(name)
+        score = contrib if score is None else score + contrib
+    return (
+        out.withColumn("ltr_score", score)
+        .orderBy(F.desc("ltr_score"), F.asc(order_tiebreak))
+        .limit(k)
+    )
