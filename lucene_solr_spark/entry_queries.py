@@ -572,3 +572,7 @@ REGISTRY.update(REGISTRY_ENGINE)
 from .entry_features import REGISTRY_FEATURES  # noqa: E402
 
 REGISTRY.update(REGISTRY_FEATURES)
+
+from .entry_spans import REGISTRY_SPANS  # noqa: E402
+
+REGISTRY.update(REGISTRY_SPANS)

@@ -150,7 +150,10 @@ def generate_pages(n_docs: int, seed: int = SEED) -> pa.Table:
 def write_pages(sf: float, out_path: str, seed: int = SEED) -> int:
     n = round(1_000_000 * sf)
     table = generate_pages(n, seed)
-    pq.write_table(table, out_path)
+    # small row groups keep the file splittable: Spark maps read partitions
+    # to row-group boundaries, so a single-row-group file would scan on one
+    # core no matter the cluster size
+    pq.write_table(table, out_path, row_group_size=8192)
     return n
 
 

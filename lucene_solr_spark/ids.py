@@ -19,12 +19,28 @@ from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
-    df: DataFrame, key: str, id_col: str = "doc_id", partitions: int | None = None
+    df: DataFrame,
+    key: str,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+    persist_exchange: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
+    """`persist_exchange=True` caches the range-partitioned input so the
+    counting pass and the main pass share one exchange — use it when `df`
+    carries a wide payload (the index build passes text through here).
+    The persisted handle is appended to `cache_registry` (if given) so the
+    caller can unpersist when done."""
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(p, key).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if persist_exchange:
+        from pyspark import StorageLevel
+
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(ranged)
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()
     )  # <= `partitions` rows — driver-side by design, O(p) not O(rows)

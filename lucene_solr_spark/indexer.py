@@ -62,40 +62,66 @@ _FLAT_SCHEMA = (
 )
 
 
-def analyzed_flat(
+def write_pages_with_ids(
+    spark: SparkSession,
     pages: DataFrame,
-    profile: str = "en",
+    out_path: str,
     doc_base: int = 0,
-    quantize: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """The vectorized write path: pages -> ONE flat columnar pass that
-    already contains the full inversion (the DWPT in-RAM index).
+    """Materialize (doc_id, url, lang, text), url-sorted with stable dense
+    ids, as a splittable parquet staging table — the disk-backed form of
+    ids.assign_dense_ids (one range exchange + per-partition offsets; the
+    written parquet replaces any in-memory persist so every later pass is
+    a plain parallel columnar scan)."""
+    p = partitions or max(pages.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    with_ids = assign_dense_ids(
+        pages.select("url", "lang", "text"), "url", partitions=p
+    )
+    if doc_base:
+        with_ids = with_ids.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(doc_base)
+        )
+    with_ids.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
 
-    Emits, per Arrow batch, a doc-header row per document (term IS NULL,
-    carrying url/lang/field_len/norm_byte/dlq — the docmeta) plus ONE ROW
-    PER (doc, term) with tf and sorted positions, aggregated map-side in
-    numpy (analysis.analyze_flat_grouped — TermsHashPerField#add). The
-    index build therefore NEVER shuffles token-level rows: the only wide
-    exchanges left are the bucket repartition for the write and the tiny
-    term_stats combine. Output is built with mapInArrow: positions become
-    a zero-copy Arrow ListArray (offsets + values), no per-group Python
-    objects.
 
-    doc_ids are assigned on a slim url-only projection first (scalable
-    dense-rank, ids.assign_dense_ids), then joined back doc-level — at
-    10^12 rows that join is hash-partitioned by url on both sides.
+def _analyzer_gen(profile: str, quantize: bool, emit: str):
+    """mapInArrow generator factory over (doc_id, url, lang, text) batches.
+
+    emit="perdoc":  one row per (doc, term) — doc_id, dlq, term, tf,
+                    sorted positions (zero-copy ListArray). The inverted
+                    stream; analysis.analyze_flat_grouped is the DWPT
+                    in-RAM inversion (TermsHashPerField#add).
+    emit="docmeta": one row per doc — doc_id, url, lang, field_len,
+                    norm_byte, dlq (PerField#invert norm computation).
     """
     import pyarrow as pa
 
     from .analysis import analyze_flat_grouped
     from .norms import LENGTH_TABLE, int_to_byte4
 
-    ids = assign_dense_ids(pages.select("url"), "url")
-    if doc_base:
-        ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
-    with_ids = pages.select("url", "lang", "text").join(ids, "url")
+    perdoc_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("dlq", pa.int32()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.list_(pa.int32())),
+        ]
+    )
+    docmeta_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("url", pa.string()),
+            ("lang", pa.string()),
+            ("field_len", pa.int32()),
+            ("norm_byte", pa.int32()),
+            ("dlq", pa.int32()),
+        ]
+    )
 
-    arrow_schema = pa.schema(
+    union_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
             ("url", pa.string()),
@@ -113,34 +139,65 @@ def analyzed_flat(
         import numpy as np
 
         for rb in batches:
-            texts = rb.column(rb.schema.get_field_index("text")).to_pandas()
-            n = len(texts)
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            texts = rb.column(idx["text"]).to_pandas()
             grp_row, grp_term, grp_tf, pos_vals, pos_off, field_len = (
                 analyze_flat_grouped(texts, profile)
             )
-            doc_ids = rb.column(
-                rb.schema.get_field_index("doc_id")
-            ).to_numpy()
+            doc_ids = rb.column(idx["doc_id"]).to_numpy()
             nb = int_to_byte4(field_len)
-            # quantize=False keeps exact lengths (norms="no loss" mode —
+            # quantize=False keeps exact lengths (norms "no loss" mode —
             # the ANSI-SQL-expressible twin used by the DuckDB oracle)
             dlq = LENGTH_TABLE[nb] if quantize else field_len
-            g = len(grp_row)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(doc_ids, pa.int64()),
-                    rb.column(rb.schema.get_field_index("url")),
-                    rb.column(rb.schema.get_field_index("lang")),
-                    pa.array(field_len.astype(np.int32)),
-                    pa.array(nb.astype(np.int32)),
-                    pa.array(dlq.astype(np.int32)),
-                    pa.nulls(n, pa.string()),
-                    pa.nulls(n, pa.int32()),
-                    pa.nulls(n, pa.list_(pa.int32())),
-                ],
-                schema=arrow_schema,
-            )
-            if g:
+            if emit == "union":
+                n = len(texts)
+                g = len(grp_row)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids, pa.int64()),
+                        rb.column(idx["url"]),
+                        rb.column(idx["lang"]),
+                        pa.array(field_len.astype(np.int32)),
+                        pa.array(nb.astype(np.int32)),
+                        pa.array(dlq.astype(np.int32)),
+                        pa.nulls(n, pa.string()),
+                        pa.nulls(n, pa.int32()),
+                        pa.nulls(n, pa.list_(pa.int32())),
+                    ],
+                    schema=union_schema,
+                )
+                if g:
+                    positions = pa.ListArray.from_arrays(
+                        pa.array(pos_off.astype(np.int32)),
+                        pa.array(pos_vals.astype(np.int32)),
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(doc_ids[grp_row], pa.int64()),
+                            pa.nulls(g, pa.string()),
+                            pa.nulls(g, pa.string()),
+                            pa.nulls(g, pa.int32()),
+                            pa.nulls(g, pa.int32()),
+                            pa.array(dlq[grp_row].astype(np.int32)),
+                            pa.array(grp_term, pa.string()),
+                            pa.array(grp_tf.astype(np.int32)),
+                            positions,
+                        ],
+                        schema=union_schema,
+                    )
+            elif emit == "docmeta":
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids, pa.int64()),
+                        rb.column(idx["url"]),
+                        rb.column(idx["lang"]),
+                        pa.array(field_len.astype(np.int32)),
+                        pa.array(nb.astype(np.int32)),
+                        pa.array(dlq.astype(np.int32)),
+                    ],
+                    schema=docmeta_schema,
+                )
+            elif len(grp_row):
                 positions = pa.ListArray.from_arrays(
                     pa.array(pos_off.astype(np.int32)),
                     pa.array(pos_vals.astype(np.int32)),
@@ -148,19 +205,64 @@ def analyzed_flat(
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(doc_ids[grp_row], pa.int64()),
-                        pa.nulls(g, pa.string()),
-                        pa.nulls(g, pa.string()),
-                        pa.nulls(g, pa.int32()),
-                        pa.nulls(g, pa.int32()),
                         pa.array(dlq[grp_row].astype(np.int32)),
                         pa.array(grp_term, pa.string()),
                         pa.array(grp_tf.astype(np.int32)),
                         positions,
                     ],
-                    schema=arrow_schema,
+                    schema=perdoc_schema,
                 )
 
-    return with_ids.mapInArrow(gen, _FLAT_SCHEMA)
+    return gen
+
+
+PERDOC_SCHEMA = "doc_id long, dlq int, term string, tf int, positions array<int>"
+DOCMETA_SCHEMA = (
+    "doc_id long, url string, lang string, field_len int, norm_byte int, dlq int"
+)
+
+
+def analyzed_flat(
+    pages: DataFrame,
+    profile: str = "en",
+    doc_base: int = 0,
+    quantize: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Back-compat single-stream view (docmeta header rows with term NULL +
+    perdoc rows) — tests and small corpora; build_index uses the two slim
+    passes directly."""
+    p = max(pages.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    with_ids = assign_dense_ids(
+        pages.select("url", "lang", "text"),
+        "url",
+        partitions=p,
+        persist_exchange=True,
+        cache_registry=cache_registry,
+    )
+    if doc_base:
+        with_ids = with_ids.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(doc_base)
+        )
+    meta = with_ids.mapInArrow(
+        _analyzer_gen(profile, quantize, "docmeta"), DOCMETA_SCHEMA
+    ).select(
+        "doc_id", "url", "lang", "field_len", "norm_byte", "dlq",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("int").alias("tf"),
+        F.lit(None).cast("array<int>").alias("positions"),
+    )
+    perdoc = with_ids.mapInArrow(
+        _analyzer_gen(profile, quantize, "perdoc"), PERDOC_SCHEMA
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("int").alias("field_len"),
+        F.lit(None).cast("int").alias("norm_byte"),
+        "dlq", "term", "tf", "positions",
+    )
+    return meta.unionByName(perdoc)
 
 
 def build_index(
@@ -176,34 +278,49 @@ def build_index(
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
+
+    Materialization strategy (disk-staged, no in-memory persists — the
+    written parquet IS the cache, the exact DWPT flush-then-merge shape):
+
+      1. `_pages_ids` staging: one range exchange assigns stable dense
+         doc ids; written as splittable parquet so every later pass is a
+         plain parallel columnar scan.
+      2. perdoc pass: analyzer (map-side inversion, no token shuffle) ->
+         5-column slim stream -> bucket exchange -> sorted postings write.
+      3. docmeta pass: analyzer again over `_pages_ids`, emitting one row
+         per doc (re-running the vectorized analyzer is cheaper than
+         materializing a wide union stream: measured 2x on the write).
+      4. packed blocks + term_stats derive from the WRITTEN postings
+         (columnar scan prunes to 4 narrow columns; no positions move).
     """
-    from pyspark import StorageLevel
+    import shutil
 
-    stream = analyzed_flat(pages, profile, doc_base, quantize).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ids_path = os.path.join(out_dir, "_pages_ids")
+    with_ids = write_pages_with_ids(spark, pages, ids_path, doc_base)
 
-    docmeta = stream.filter(F.col("term").isNull()).select(
-        "doc_id", "url", "lang", "field_len", "norm_byte", "dlq"
-    )
-    docmeta.repartitionByRange(
-        max(spark.sparkContext.defaultParallelism, 1), "doc_id"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
+    # ---- ONE analyzer pass -> slim perdoc staging parquet -----------------
+    # narrow pipeline: parquet scan -> analyzer -> disk; 5 columns only —
+    # row width is what the parquet writer pays for, so docmeta fields are
+    # NOT padded onto the 40M perdoc rows (measured 2x on the write)
+    staging = os.path.join(out_dir, "_staging")
+    with_ids.mapInArrow(
+        _analyzer_gen(profile, quantize, "perdoc"), PERDOC_SCHEMA
+    ).write.mode("overwrite").parquet(staging)
+    st = spark.read.parquet(staging)
 
+    # ---- flat postings ----------------------------------------------------
     # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
-    # posting row — the Spark analog of Lucene's doc-local norms array read:
-    # it turns the per-query docmeta join (a shuffle) into a column read.
-    # (term, doc) aggregation already happened MAP-SIDE inside analyzed_flat
+    # posting row — the Spark analog of Lucene's doc-local norms array read.
+    # (term, doc) aggregation already happened MAP-SIDE inside the analyzer
     # (the DWPT inversion), so no token-level shuffle exists. The remaining
     # skew surface is the bucket exchange (a bucket holding several Zipf
-    # head terms); `salt > 1` splits each bucket's stream `salt` ways by
-    # doc-range — block-aligned, so packed (term, blk) groups stay whole
-    # (SURVEY.md §5.3 item 6, the explicit skew answer of the north_rule).
-    perdoc = stream.filter(F.col("term").isNotNull()).select(
-        "term", "doc_id", "tf", "dlq", "positions"
-    )
-
-    perdoc = perdoc.persist(StorageLevel.MEMORY_AND_DISK)
+    # head terms); salting splits each bucket's stream by doc-range —
+    # block-aligned, so packed (term, blk) groups stay whole (SURVEY.md
+    # §5.3 item 6). salt=0 auto-sizes to keep every core busy.
+    perdoc = st
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    if salt == 0:
+        salt = max(1, (2 * par) // max(num_buckets, 1))
     postings = perdoc.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
@@ -220,11 +337,40 @@ def build_index(
         os.path.join(out_dir, "postings")
     )
 
+    # ---- docmeta WITHOUT a second analysis: the BM25 norm length is the
+    # emitted-token count, which is exactly sum(tf) over the doc's perdoc
+    # rows (PerField#invert / discountOverlaps). Map-side partial agg
+    # shrinks the exchange to ~one row per doc; zero-token docs come back
+    # via the left join on _pages_ids; SmallFloat quantization re-applied
+    # on the 1-row-per-doc frame (norms.py bit-exact kernels).
+    from .udfs import norm_byte_udf, quantized_len_udf
+
+    fl = st.groupBy("doc_id").agg(F.sum("tf").alias("field_len"))
+    docmeta = (
+        with_ids.select("doc_id", "url", "lang")
+        .join(fl, "doc_id", "left")
+        .withColumn("field_len", F.coalesce("field_len", F.lit(0)).cast("int"))
+        .withColumn("norm_byte", norm_byte_udf("field_len"))
+        .withColumn(
+            "dlq",
+            quantized_len_udf("field_len") if quantize else F.col("field_len"),
+        )
+    )
+    docmeta.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
+    docmeta_w = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+
+    # ---- derived tables: read back the written postings (columnar-pruned)
+    postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
     if packed:
-        write_packed_postings(perdoc, out_dir, num_buckets, salt=salt)
+        write_packed_postings(
+            postings_w.select("term", "doc_id", "tf", "dlq", "bucket"),
+            out_dir,
+            num_buckets,
+            salt=salt,
+        )
 
     term_stats = (
-        perdoc.groupBy("term")
+        postings_w.groupBy("term")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
     )
@@ -232,7 +378,7 @@ def build_index(
         "bucket"
     ).parquet(os.path.join(out_dir, "term_stats"))
 
-    agg = docmeta.agg(
+    agg = docmeta_w.agg(
         F.count("*").alias("N"), F.sum("field_len").alias("sum_ttf")
     ).collect()[0]
     n_docs, sum_ttf = int(agg["N"]), int(agg["sum_ttf"] or 0)
@@ -246,8 +392,8 @@ def build_index(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
         os.path.join(out_dir, "stats")
     )
-    stream.unpersist()
-    perdoc.unpersist()
+    shutil.rmtree(ids_path, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     return stats
 
 
