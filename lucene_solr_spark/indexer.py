@@ -369,10 +369,19 @@ def build_index(
             salt=salt,
         )
 
-    term_stats = (
-        postings_w.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+    # df/ttf are additive over packed blocks (n, sum_tf) — aggregating the
+    # ~/4096x-smaller block metadata instead of the 40M posting rows
+    ts_src = (
+        spark.read.parquet(os.path.join(out_dir, "packed")).groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("sum_tf").alias("ttf")
+        )
+        if packed
+        else postings_w.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        )
+    )
+    term_stats = ts_src.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
     term_stats.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
         "bucket"
@@ -399,7 +408,7 @@ def build_index(
 
 PACKED_SCHEMA = (
     "term string, blk long, n int, docs binary, tfs binary, dlqs binary, "
-    "max_tf int, min_dlq int"
+    "max_tf int, min_dlq int, sum_tf long"
 )
 
 
@@ -467,6 +476,7 @@ def write_packed_postings(
         dbytes, tbytes, qbytes = dbuf.tobytes(), tbuf.tobytes(), qbuf.tobytes()
         max_tf = np.maximum.reduceat(tfs, starts)
         min_dlq = np.minimum.reduceat(dlqs, starts)
+        sum_tf = np.add.reduceat(tfs, starts)
         headers = {}  # counts repeat a lot (full blocks) — memoize framing
 
         def frame(n: int) -> bytes:
@@ -495,6 +505,7 @@ def write_packed_postings(
                 ],
                 "max_tf": max_tf.astype(np.int32),
                 "min_dlq": min_dlq.astype(np.int32),
+                "sum_tf": sum_tf.astype(np.int64),
                 "bucket": buckets[starts].astype(np.int32),
             }
         )
