@@ -68,7 +68,7 @@ def _session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -239,9 +239,10 @@ def run_scaling(sf_dir: str) -> None:
         "```",
         "",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is the curated evidence doc; raw auto-gen goes alongside
+    with open(os.path.join(REPO, "BENCH_AUTO.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"scaling efficiency (build, 8->32): {eff_build:.3f} -> BENCH.md")
+    print(f"scaling efficiency (build, 8->32): {eff_build:.3f} -> BENCH_AUTO.md")
 
 
 def main() -> None:
