@@ -150,3 +150,46 @@ REGISTRY_FEATURES: dict[str, tuple] = {
     "realtime_get": (q_realtime_get, SQL_REALTIME_GET),
     "ltr_linear_rescore": (q_ltr_rescore, SQL_LTR_RESCORE),
 }
+
+
+# ---------------------------------------------------------------------------
+# ML streaming expressions (train/classify/kmeans) — rows-only (spark.ml
+# models aren't ANSI-SQL-expressible; determinism via fixed seeds)
+# ---------------------------------------------------------------------------
+
+def q_ml_train_classify(spark, sf_dir):
+    """TextLogitStream/ClassifyStream parity: train a text classifier to
+    predict lang=='en' from text, report per-class prediction counts
+    (operators/ml.py; TextLogitStream.java ≈L80)."""
+    from .operators.ml import train_text_logit
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    _model, preds = train_text_logit(docs, "text", "label", max_iter=5)
+    return (
+        preds.groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+def q_ml_kmeans(spark, sf_dir):
+    """kmeans() math-evaluator parity over the embeddings table: cluster
+    sizes with fixed seed (operators/ml.py; KmeansEvaluator)."""
+    from .operators.ml import kmeans_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_embeddings(emb, "embedding", k=4, seed=42)
+    return (
+        out.groupBy("cluster").agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )
+
+
+REGISTRY_FEATURES.update(
+    {
+        "ml_train_classify": (q_ml_train_classify, None),
+        "ml_kmeans_clusters": (q_ml_kmeans, None),
+    }
+)
