@@ -239,6 +239,48 @@ def analyze_flat_grouped(texts, profile: str = "en"):
     return r[starts], uniq[c[starts]], tf, p, offsets, field_len
 
 
+# ---------------------------------------------------------------------------
+# token-filter library beyond the core chain (SURVEY.md §3.2 rows
+# ShingleFilter / NGramTokenFilter / EdgeNGramTokenFilter /
+# ASCIIFoldingFilter) — list-in/list-out, usable per-row or vectorized
+# ---------------------------------------------------------------------------
+
+def shingles(tokens: list[str], n: int = 2, sep: str = " ") -> list[str]:
+    """ShingleFilter: token n-grams (.../analysis/shingle/ShingleFilter.java)."""
+    return [sep.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def char_ngrams(term: str, n: int = 3) -> list[str]:
+    """NGramTokenFilter: all char n-grams (.../analysis/ngram/)."""
+    return [term[i : i + n] for i in range(len(term) - n + 1)]
+
+
+def edge_ngrams(term: str, min_n: int = 1, max_n: int = 5) -> list[str]:
+    """EdgeNGramTokenFilter: leading prefixes min_n..max_n (autocomplete)."""
+    return [term[:i] for i in range(min_n, min(max_n, len(term)) + 1)]
+
+
+_FOLD_SPECIAL = {"ß": "ss", "æ": "ae", "œ": "oe", "Æ": "AE", "Œ": "OE",
+                 "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ł": "l", "Ł": "L"}
+
+
+def ascii_fold(term: str) -> str:
+    """ASCIIFoldingFilter equivalent for the Latin ranges: NFD-decompose,
+    drop combining marks, map the non-decomposable specials
+    (.../miscellaneous/ASCIIFoldingFilter.java — its ~2000-LoC switch is
+    the hand-unrolled form of exactly this)."""
+    import unicodedata
+
+    out = []
+    for c in term:
+        if c in _FOLD_SPECIAL:
+            out.append(_FOLD_SPECIAL[c])
+            continue
+        d = unicodedata.normalize("NFD", c)
+        out.append("".join(x for x in d if not unicodedata.combining(x)))
+    return "".join(out)
+
+
 def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
     """Query-time analysis of a bare term/phrase string (same chain as
     index time — Lucene's query parser analyzes query text with the

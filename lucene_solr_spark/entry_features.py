@@ -193,3 +193,105 @@ REGISTRY_FEATURES.update(
         "ml_kmeans_clusters": (q_ml_kmeans, None),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# analysis-chain breadth: shingles / char n-grams / edge n-grams
+# (ShingleFilter, NGramTokenFilter, EdgeNGramTokenFilter — SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+def q_shingle_bigrams(spark, sf_dir):
+    """Token bigrams (ShingleFilter n=2): top-10 by count — pure Column
+    ops: split -> slide via transform over an index sequence."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("shingle"))
+        .limit(10)
+    )
+
+
+SQL_SHINGLE_BIGRAMS = f"""
+WITH {_TOKS.replace("AS term", "AS term, generate_subscripts(string_split(text, ' '), 1) AS pos").replace("unnest(string_split(text, ' '))", "unnest(string_split(text, ' '))")}
+SELECT a.term || ' ' || b.term AS shingle, count(*) AS n
+FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY 1 ORDER BY n DESC, shingle LIMIT 10
+"""
+
+
+def q_char_ngrams(spark, sf_dir):
+    """Char 3-grams over the distinct vocabulary (NGramTokenFilter):
+    top-10 by #terms containing the gram."""
+    vocab = _tok(spark, sf_dir).select("term").distinct()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("term") - 2),
+            lambda i: F.col("term").substr(i, F.lit(3)),
+        )
+    )
+    return (
+        vocab.filter(F.length("term") >= 3)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("gram"))
+        .limit(10)
+    )
+
+
+SQL_CHAR_NGRAMS = f"""
+WITH {_TOKS},
+vocab AS (SELECT DISTINCT term FROM tok WHERE length(term) >= 3),
+grams AS (
+  SELECT DISTINCT term, substr(term, i, 3) AS gram
+  FROM vocab, unnest(range(1, length(term) - 1)) AS t(i)
+)
+SELECT gram, count(*) AS n_terms FROM grams
+GROUP BY gram ORDER BY n_terms DESC, gram LIMIT 10
+"""
+
+
+def q_edge_ngrams(spark, sf_dir):
+    """Edge n-grams 1..4 of the vocabulary (EdgeNGramTokenFilter —
+    the autocomplete index): top-10 prefixes by #terms."""
+    vocab = _tok(spark, sf_dir).select("term").distinct()
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("term"), F.lit(4))),
+        lambda i: F.col("term").substr(F.lit(1), i),
+    )
+    return (
+        vocab.select(F.explode(prefixes).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("prefix"))
+        .limit(10)
+    )
+
+
+SQL_EDGE_NGRAMS = f"""
+WITH {_TOKS},
+vocab AS (SELECT DISTINCT term FROM tok),
+grams AS (
+  SELECT term, substr(term, 1, i) AS prefix
+  FROM vocab, unnest(range(1, least(length(term), 4) + 1)) AS t(i)
+)
+SELECT prefix, count(*) AS n_terms FROM grams
+GROUP BY prefix ORDER BY n_terms DESC, prefix LIMIT 10
+"""
+
+
+REGISTRY_FEATURES.update(
+    {
+        "shingle_bigrams": (q_shingle_bigrams, SQL_SHINGLE_BIGRAMS),
+        "char_ngrams": (q_char_ngrams, SQL_CHAR_NGRAMS),
+        "edge_ngrams": (q_edge_ngrams, SQL_EDGE_NGRAMS),
+    }
+)

@@ -105,3 +105,18 @@ def test_ltr_rescore(spark, mini_tok):
     ).collect()
     assert out[0]["doc_id"] == 3 and out[0]["ltr_score"] == 3.0
     assert out[1]["doc_id"] == 0 and out[1]["ltr_score"] == 1.5
+
+
+def test_token_filter_library():
+    from lucene_solr_spark.analysis import (
+        ascii_fold,
+        char_ngrams,
+        edge_ngrams,
+        shingles,
+    )
+
+    assert shingles(["quick", "brown", "fox"], 2) == ["quick brown", "brown fox"]
+    assert shingles(["solo"], 2) == []
+    assert char_ngrams("index", 3) == ["ind", "nde", "dex"]
+    assert edge_ngrams("search", 2, 4) == ["se", "sea", "sear"]
+    assert ascii_fold("café straße naïve œuvre") == "cafe strasse naive oeuvre"
