@@ -273,19 +273,30 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
 def q_unique_stream(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     u = S.unique_stream(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            # explicit double: the oracle side may register l_quantity as
+            # DECIMAL (canonical TPC-H typing), which value-hashes
+            # differently than float — pin both sides to DOUBLE
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        ),
         ["l_orderkey"],
-        [F.asc("l_linenumber")],
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+        # — rank-1 by linenumber alone is a genuine tie (hash_match=false in
+        # round 1); l_quantity completes a deterministic total order
+        [F.asc("l_linenumber"), F.asc("l_quantity")],
     )
-    return u.orderBy("l_orderkey").limit(20)
+    return u.orderBy("l_orderkey", "l_linenumber").limit(20)
 
 
 SQL_UNIQUE_STREAM = """
-SELECT l_orderkey, l_linenumber, l_quantity FROM (
+SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity FROM (
   SELECT l_orderkey, l_linenumber, l_quantity,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) rn
   FROM lineitem) t
-WHERE rn = 1 ORDER BY l_orderkey LIMIT 20
+WHERE rn = 1 ORDER BY l_orderkey, l_linenumber LIMIT 20
 """
 
 

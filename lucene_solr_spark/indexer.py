@@ -327,8 +327,12 @@ def build_index(
     part_keys = [F.col("bucket")]
     n_parts = num_buckets
     if salt > 1:
+        # exact integer division: `/` is double division and disagrees with
+        # floor at doc_id >= 2^53 block boundaries (streaming doc_base is
+        # (1<<20 + epoch) * 2^33), which would split a (term, blk) group
+        # across salt partitions -> duplicate packed rows
         part_keys.append(
-            F.pmod((F.col("doc_id") / BLOCK_SPAN).cast("long"), F.lit(salt))
+            F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
         )
         n_parts = num_buckets * salt
     postings.repartition(n_parts, *part_keys).sortWithinPartitions(
@@ -519,9 +523,10 @@ def write_packed_postings(
     n_parts = num_buckets
     if salt > 1:
         # skew split by doc-range: a (term, blk) group maps to ONE partition
-        # (blk determines the salt key), so packing stays partition-local
+        # (blk determines the salt key), so packing stays partition-local.
+        # DIV (exact integer division) — double `/` rounds wrong past 2^53.
         part_keys.append(
-            F.pmod((F.col("doc_id") / BLOCK_SPAN).cast("long"), F.lit(salt))
+            F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
         )
         n_parts = num_buckets * salt
     packed = (

@@ -100,12 +100,21 @@ def build_segmented(
 
     units = pages.withColumn("_unit", F.pmod(F.xxhash64("url"), F.lit(n_units)))
     done_this_call = 0
+    # a unit is done if it appears in ANY done segment's `units` list —
+    # merge_segments rekeys manifest entries to "m<min(units)>", so looking
+    # up only str(u) would rebuild merged units and duplicate their docs
+    done_units = {
+        int(x)
+        for rec in man["segments"].values()
+        if rec.get("status") == "done"
+        for x in rec.get("units", [])
+    }
     for u in range(n_units):
         if max_units is not None and done_this_call >= max_units:
             break
         rec = man["segments"].get(str(u))
         sub = units.filter(F.col("_unit") == u).drop("_unit")
-        if rec is not None and rec.get("status") == "done":
+        if u in done_units:
             continue
         attempt = (rec.get("attempt", 0) if rec else 0) + 1
         seg = f"seg_{u:05d}"
@@ -201,9 +210,11 @@ def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-unit lineage + metrics as a DataFrame (the build_manifest table
     of SURVEY.md §5.3 item 7)."""
     man = read_manifest(out_dir) or {"segments": {}}
+    # manifest keys are "<unit>" for plain builds but "m<unit>" after
+    # compaction and "s<epoch>" for stream ingest — parse defensively
     rows = [
         (
-            int(u),
+            int(u) if str(u).isdigit() else None,
             r["seg"],
             r["status"],
             r.get("n_docs"),

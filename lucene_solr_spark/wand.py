@@ -76,23 +76,38 @@ class WandSearcher:
             df = df.filter(F.col("bucket").isin(buckets))
         return df
 
-    def _idfs(self, terms: list[str]) -> dict[str, float]:
+    def _idfs(self, terms: list[str]) -> tuple[dict[str, float], dict[str, int]]:
+        """(term -> idf, term -> query multiplicity).
+
+        A repeated query term is a repeated disjunction clause in Lucene
+        (DisjunctionSumScorer sums it once per clause), so its contribution
+        is weighted by multiplicity rather than deduped away.
+        """
+        from collections import Counter
+
+        weights = dict(Counter(terms))
+        uniq = list(weights)
         rows = (
-            self._pruned(self.term_stats, terms)
-            .filter(F.col("term").isin(terms))
+            self._pruned(self.term_stats, uniq)
+            .filter(F.col("term").isin(uniq))
             .select("term", "df")
             .collect()
         )
         n = self.n_docs
-        return {
+        idfs = {
             r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
             for r in rows
         }
+        return idfs, {t: weights[t] for t in idfs}
 
-    def _meta_with_ub(self, idfs: dict[str, float]) -> DataFrame:
+    def _meta_with_ub(
+        self, idfs: dict[str, float], weights: dict[str, int] | None = None
+    ) -> DataFrame:
         spark = self.packed.sparkSession
+        weights = weights or {}
         idf_df = spark.createDataFrame(
-            [(t, v) for t, v in idfs.items()], "term string, idf double"
+            [(t, v * weights.get(t, 1)) for t, v in idfs.items()],
+            "term string, idf double",
         )
         meta = (
             self._pruned(self.packed, list(idfs))
@@ -109,7 +124,7 @@ class WandSearcher:
         return meta.withColumn("ub", ub)
 
     def _kernel(self, blocks: DataFrame, idfs: dict[str, float], k: int,
-                mode: str, n_terms: int):
+                mode: str, n_terms: int, weights: dict[str, int] | None = None):
         """applyInPandas per blk: decode, accumulate, per-blk top-k."""
         import pandas as pd
 
@@ -117,6 +132,7 @@ class WandSearcher:
 
         avgdl = self.avgdl
         span = _indexer.BLOCK_SPAN
+        w = weights or {}
 
         def score_blk(key, pdf: pd.DataFrame) -> pd.DataFrame:
             blk = int(key[0])
@@ -127,7 +143,7 @@ class WandSearcher:
                 docs, tfs = unpack_postings_block(row.docs, row.tfs)
                 dlqs, _ = varint_decode(row.dlqs)
                 local = docs - base
-                scores[local] += _bm25(
+                scores[local] += w.get(row.term, 1) * _bm25(
                     tfs.astype(np.float64),
                     dlqs.astype(np.float64),
                     idfs[row.term],
@@ -145,8 +161,10 @@ class WandSearcher:
                 )
             hs = scores[hit]
             if hit.size > k:
-                part = np.argpartition(-hs, k - 1)[:k]
-                hit, hs = hit[part], hs[part]
+                # deterministic boundary: (score desc, doc_id asc), matching
+                # the global tie-break so k-th ties are never cut arbitrarily
+                order = np.lexsort((hit, -hs))[:k]
+                hit, hs = hit[order], hs[order]
             return pd.DataFrame({"doc_id": hit + base, "score": hs})
 
         return blocks.groupBy("blk").applyInPandas(
@@ -156,39 +174,51 @@ class WandSearcher:
     def search(
         self, terms: list[str], k: int = 10, mode: str = "or"
     ) -> DataFrame:
-        """Top-k (doc_id, score) for an OR (sum-score) or AND query."""
-        idfs = self._idfs(terms)
+        """Top-k (doc_id, score) for an OR (sum-score) or AND query.
+
+        Scale shape: per-block metadata (blk_ub) NEVER reaches the driver —
+        at 10^12 docs that is ~2.4e8 rows. The θ probe picks the highest
+        sum_ub blocks via a distributed orderBy/limit (n_probe rows, tiny,
+        broadcast back), θ itself is ONE scalar collected from the k probe
+        hits, and survivors are selected with a broadcast-semi-join on the
+        distributed blk_ub — no literal isin lists anywhere.
+        """
+        idfs, weights = self._idfs(terms)
         spark = self.packed.sparkSession
         if not idfs or (mode == "and" and len(idfs) < len(set(terms))):
             return spark.createDataFrame([], "doc_id long, score double")
-        meta = self._meta_with_ub(idfs).persist()
+        meta = self._meta_with_ub(idfs, weights).persist()
         n_terms = len(idfs)
 
         blk_ub = meta.groupBy("blk").agg(
-            F.sum("ub").alias("sum_ub"), F.count("*").alias("n_terms_in_blk")
+            F.sum("ub").alias("sum_ub"),
+            # count DISTINCT terms: if a (term, blk) group were ever split
+            # into two packed rows, count(*) would overflow n_terms and
+            # silently drop a valid AND block
+            F.count_distinct("term").alias("n_terms_in_blk"),
         )
         if mode == "and":
             blk_ub = blk_ub.filter(F.col("n_terms_in_blk") == n_terms)
 
-        # θ estimation: exactly score the most promising blocks only.
-        # blk_ub is tiny metadata (≤ a few rows per 4096-doc range), so we
-        # collect it once; when the block count is small the probe round
-        # trip costs more than decoding everything — skip it (adaptive,
-        # like totalHitsThreshold gating WAND activation in Lucene).
+        # θ estimation: exactly score only the most promising blocks.
+        # Adaptive gating without any extra Spark job: an upper bound on the
+        # candidate block count is known driver-side from collection stats
+        # (≤ n_docs/span ranges, and ≤ sum of term dfs) — when that bound is
+        # small, the probe round trip costs more than decoding everything
+        # (like totalHitsThreshold gating WAND activation in Lucene).
         span = _indexer.BLOCK_SPAN
-        blk_rows = blk_ub.collect()
+        max_blocks = (self.n_docs + span - 1) // span
         theta = -math.inf
-        if len(blk_rows) > self.probe_threshold:
+        if max_blocks > self.probe_threshold:
             n_probe = max(2, (k + span - 1) // span + 1)
-            probe_blks = [
-                r["blk"]
-                for r in sorted(
-                    blk_rows, key=lambda r: -r["sum_ub"]
-                )[:n_probe]
-            ]
-            probe = meta.filter(F.col("blk").isin(probe_blks))
+            probe_blks = (
+                blk_ub.orderBy(F.desc("sum_ub"), F.asc("blk"))
+                .limit(n_probe)
+                .select("blk")
+            )
+            probe = meta.join(F.broadcast(probe_blks), "blk")
             top = (
-                self._kernel(probe, idfs, k, mode, n_terms)
+                self._kernel(probe, idfs, k, mode, n_terms, weights)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -196,10 +226,14 @@ class WandSearcher:
             if len(top) == k:
                 theta = top[-1]["score"]
 
-        surviving_blks = [r["blk"] for r in blk_rows if r["sum_ub"] >= theta]
-        cand = meta.filter(F.col("blk").isin(surviving_blks))
+        # survivors stay distributed: semi-join meta against the pruned
+        # block metadata. No broadcast hint — post-θ survivors are usually
+        # tiny (AQE picks broadcast then) but can be wide for low-θ queries,
+        # and a forced broadcast of 1e8 blk rows would OOM the driver.
+        survivors = blk_ub.filter(F.col("sum_ub") >= F.lit(theta)).select("blk")
+        cand = meta.join(survivors, "blk", "left_semi")
         out = (
-            self._kernel(cand, idfs, k, mode, n_terms)
+            self._kernel(cand, idfs, k, mode, n_terms, weights)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
@@ -209,11 +243,11 @@ class WandSearcher:
 
     def pruning_stats(self, terms: list[str], k: int = 10) -> dict:
         """How many blocks WAND skipped (observability for BENCH)."""
-        idfs = self._idfs(terms)
-        meta = self._meta_with_ub(idfs)
+        idfs, weights = self._idfs(terms)
+        meta = self._meta_with_ub(idfs, weights)
         blk_ub = meta.groupBy("blk").agg(F.sum("ub").alias("sum_ub"))
         total = blk_ub.count()
-        top = self.search(terms, k)  # runs the full path
-        kth = top.collect()[-1]["score"] if top.count() >= k else -math.inf
+        rows = self.search(terms, k).collect()
+        kth = rows[-1]["score"] if len(rows) >= k else -math.inf
         kept = blk_ub.filter(F.col("sum_ub") >= kth).count()
         return {"total_blocks": total, "kept_blocks": kept, "theta": kth}
