@@ -105,7 +105,7 @@ SQL_SIMHASH = _sql_simhash()
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_vs_doc(_tok_pos(spark, sf_dir), ref_doc=0, n=3, k=10)
+    return D.ngram_jaccard_vs_doc(_docs(spark, sf_dir), ref_doc=0, n=3, k=10)
 
 
 SQL_NGRAM_JACCARD = """
@@ -128,6 +128,167 @@ j AS (SELECT s.doc_id, inter.inter / CAST(s.sz + refn.rn - inter.inter AS DOUBLE
 SELECT doc_id, ROUND(jac, 4) AS jaccard FROM (
   SELECT * FROM j ORDER BY jac DESC, doc_id LIMIT 10) t
 """
+
+
+# ---- full LSH dedup: banding -> pairs -> verify -> clusters ---------------
+
+_LSH_BANDS, _LSH_ROWS, _LSH_THRESH = 8, 2, 0.8
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs, exact-Jaccard verified: the part
+    of LSH dedup that actually identifies duplicates (b=8 bands × r=2 rows
+    over 3-gram shingles; bucket-join, never all-pairs)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.shingle_grams(docs, 3)
+    sig = D.minhash_over(sh, _LSH_BANDS * _LSH_ROWS)
+    pairs = D.lsh_candidate_pairs(sig, _LSH_BANDS, _LSH_ROWS)
+    return D.verify_jaccard(sh, pairs, _LSH_THRESH).orderBy("a", "b")
+
+
+_SQL_SHINGLE_CTES = """
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+               generate_subscripts(string_split(text,' '), 1) AS pos
+        FROM documents),
+sh AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS gram
+       FROM tok a
+       JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)"""
+
+
+def _sql_lsh_pairs_ctes() -> str:
+    nh = _LSH_BANDS * _LSH_ROWS
+    mhs = ", ".join(
+        f"min(md5(gram || '#{i}')) AS mh_{i}" for i in range(nh)
+    )
+    bands = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(mh_{b * _LSH_ROWS} || '|' || "
+        f"mh_{b * _LSH_ROWS + 1}) AS band_key FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""{_SQL_SHINGLE_CTES},
+sig AS (SELECT doc_id, {mhs} FROM sh GROUP BY doc_id),
+bands AS (
+{bands}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_key = y.band_key
+          AND x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN sh p ON p.doc_id = c.a
+          JOIN sh q ON q.doc_id = c.b AND q.gram = p.gram
+          GROUP BY c.a, c.b),
+verified AS (
+  SELECT i.a, i.b,
+         i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jac
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.a
+  JOIN sz sb ON sb.doc_id = i.b
+  WHERE i.i / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {_LSH_THRESH})"""
+
+
+SQL_LSH_PAIRS = f"""
+WITH {_sql_lsh_pairs_ctes()}
+SELECT a, b, ROUND(jac, 4) AS jaccard FROM verified ORDER BY a, b
+"""
+
+
+def q_lsh_clusters(spark, sf_dir):
+    """Near-dup clusters: verified LSH pairs -> connected components
+    (iterative min-label propagation) -> (cluster_id, n_docs). Keep-one
+    dedup = keep doc_id == cluster_id."""
+    docs = _docs(spark, sf_dir)
+    cc = D.lsh_dedup_clusters(
+        docs, 3, _LSH_BANDS, _LSH_ROWS, _LSH_THRESH
+    )
+    return (
+        cc.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
+SQL_LSH_CLUSTERS = f"""
+WITH RECURSIVE {_sql_lsh_pairs_ctes()},
+edges AS (SELECT a, b FROM verified UNION SELECT b, a FROM verified),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS n_docs FROM cc GROUP BY 1 ORDER BY cluster_id
+"""
+
+
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash (production width — the 16-bit entry above is the
+    compact SQL demo): tf-weighted md5-nibble bits, bit 63 as the sign."""
+    return (
+        D.simhash64(_tok_pos(spark, sf_dir))
+        .filter(F.col("doc_id") < 10)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_simhash64() -> str:
+    bit_sums = ",\n".join(
+        "sum(CASE WHEN (('0x' || substr(md5(term), {p}, 1))::BIGINT >> {s}) % 2 = 1 "
+        "THEN tf ELSE -tf END) AS b{b}".format(p=b // 4 + 1, s=b % 4, b=b)
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(63)
+    )
+    sign = "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST({sign} + {bits} AS BIGINT) AS simhash
+FROM sums WHERE doc_id < 10 ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH64 = _sql_simhash64()
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup candidates: 16-bit-chunk bucket join (pigeonhole-
+    complete for Hamming <= 3), exact bit_count verify. The oracle computes
+    the same pair set all-pairs — valid only at test scale; the engine's
+    bucket join is the 10^12 shape."""
+    sim = D.simhash64(_tok_pos(spark, sf_dir))
+    return D.simhash_hamming_candidates(sim, max_hamming=3).orderBy("a", "b")
+
+
+def _sql_simhash_hamming() -> str:
+    bit_sums = ",\n".join(
+        "sum(CASE WHEN (('0x' || substr(md5(term), {p}, 1))::BIGINT >> {s}) % 2 = 1 "
+        "THEN tf ELSE -tf END) AS b{b}".format(p=b // 4 + 1, s=b % 4, b=b)
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(63)
+    )
+    sign = "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+sums AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({sign} + {bits} AS BIGINT) AS simhash FROM sums)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY a, b
+"""
+
+
+SQL_SIMHASH_HAMMING = _sql_simhash_hamming()
 
 
 def q_fingerprint(spark, sf_dir):
@@ -178,19 +339,27 @@ SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
 
 
 def q_ann_ivf(spark, sf_dir):
-    qv, label = _query_vec(spark, sf_dir, 0)
+    """Trained IVF: engine-computed KMeans centroids (not the fixture's
+    pre-assigned label), partition-pruned probe. The oracle is the EXACT
+    brute-force ranking — green iff IVF recall@10 is 1.0. The fixture's
+    embeddings are near-uniform (a true top-10 spans 7 of 10 clusters —
+    IVF's worst case), so exact recall needs nprobe=6 here; on genuinely
+    clustered corpora nprobe=1-3 suffices (tests/test_pipeline_scale.py
+    asserts the recall curve)."""
+    qv, _ = _query_vec(spark, sf_dir, 0)
     e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-    return SIM.ivf_cosine_topk(e, qv, label, k=10)
+    assigned, centroids = SIM.ivf_train(e, n_centroids=10, seed=42)
+    return SIM.ivf_probe_topk(assigned, centroids, qv, nprobe=6, k=10)
 
 
+# exact brute-force oracle: IVF must reproduce the true top-10
 SQL_ANN_IVF = """
-WITH lbl AS (SELECT label FROM embeddings WHERE vec_id = 0),
-q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings WHERE vec_id = 0),
+WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
 v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
-      FROM embeddings WHERE vec_id != 0 AND label = (SELECT label FROM lbl)),
+      FROM embeddings WHERE vec_id != 0),
 dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
                 sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
          FROM v JOIN q USING (i) GROUP BY v.vec_id)
@@ -198,6 +367,20 @@ SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
   SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
   ORDER BY cosine DESC, vec_id LIMIT 10) t
 """
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """LARGE×LARGE approximate kNN join: hyperplane-LSH bucket both sides +
+    single-bit multiprobe (similarity.knn_join_bucketed). Rows-only entry;
+    recall vs the exact join is asserted in tests/test_pipeline_scale.py."""
+    e = _emb(spark, sf_dir)
+    left = e.filter(F.col("vec_id") < 3)
+    out = SIM.knn_join_bucketed(left, e, k=3)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("qid").alias("n_queries"),
+        F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+    )
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -387,12 +570,17 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "dedup_minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "dedup_minhash_lsh_buckets": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_simhash64": (q_simhash64, SQL_SIMHASH64),
+    "dedup_simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
+    "dedup_lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+    "dedup_lsh_clusters": (q_lsh_clusters, SQL_LSH_CLUSTERS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "knn_join_lsh": (q_knn_join_lsh, None),
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),

@@ -84,26 +84,33 @@ def simhash16(tok: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def shingle_grams(
+    docs: DataFrame, n: int = 3, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, gram): distinct word n-gram shingles per doc, built with a
+    JVM-side array transform over split(text) — a narrow O(tokens) map, no
+    join, no shuffle (replaces the old positional 3-way self-join, which
+    cost two exchanges per extra gram word)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_vs_doc(
-    tok: DataFrame, ref_doc: int, n: int = 3, k: int = 10
+    docs: DataFrame, ref_doc: int, n: int = 3, k: int = 10,
+    text_col: str = "text",
 ) -> DataFrame:
     """n-gram (shingle) Jaccard similarity of every doc vs a reference doc.
-    tok: (doc_id, term, pos). Shingles built by positional self-joins —
-    the same trick as the phrase scorer."""
-    t = tok
-    sh = t.alias("a")
-    for i in range(1, n):
-        sh = sh.join(
-            t.alias(f"t{i}"),
-            (F.col("a.doc_id") == F.col(f"t{i}.doc_id"))
-            & (F.col(f"t{i}.pos") == F.col("a.pos") + i),
-        )
-    gram = F.concat_ws(
-        " ", F.col("a.term"), *[F.col(f"t{i}.term") for i in range(1, n)]
-    )
-    shingles = sh.select(
-        F.col("a.doc_id").alias("doc_id"), gram.alias("gram")
-    ).distinct()
+    Shingles are a vectorized array transform (shingle_grams); the only
+    shuffles are the broadcast semi-join on the ref doc's grams and the
+    per-doc count aggregation."""
+    shingles = shingle_grams(docs, n, text_col)
     ref = shingles.filter(F.col("doc_id") == ref_doc).select("gram")
     ref_n = ref.count()
     inter = (
@@ -118,4 +125,216 @@ def ngram_jaccard_vs_doc(
         j.select("doc_id", F.round(jac, 4).alias("jaccard"))
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full LSH dedup: b×r banding -> candidate pairs -> exact-Jaccard verify ->
+# connected components -> cluster keep-one. The part that actually dedups:
+# single-band bucket COUNTS (minhash_lsh_buckets above) only locate
+# collisions; these stages resolve them into clusters at bucket-join cost,
+# never all-pairs.
+# ---------------------------------------------------------------------------
+
+def minhash_over(keys: DataFrame, num_hashes: int, key_col: str = "gram") -> DataFrame:
+    """Generic MinHash: (doc_id, key) -> (doc_id, mh_0..mh_{n-1}) with
+    h_i(doc) = min over keys of md5(key || '#i'). One groupBy(doc_id) — the
+    signature build is a narrow map + single agg regardless of num_hashes."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col(key_col), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return keys.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """b×r banding -> distinct candidate (a, b) pairs, a < b.
+
+    Shuffle shape at 10^12 docs: one explode to (doc, band, band_key) rows
+    (b per doc), one groupBy-free self-join keyed on (band, band_key) — the
+    join only materializes pairs WITHIN buckets (never all-pairs), and the
+    final distinct dedups pairs colliding in several bands."""
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    keys = band_rows[0]
+    for br in band_rows[1:]:
+        keys = keys.unionByName(br)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    shingles: DataFrame, pairs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs only -> (a, b, jaccard)
+    with jaccard >= threshold. Joins are keyed on gram (bucketable); the
+    candidate set — not the corpus — bounds the pair-side volume."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "gram")
+    sb = shingles.select(F.col("doc_id").alias("b"), "gram")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "gram"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(a, b) edges -> (doc_id, cluster) where cluster = min doc_id in the
+    connected component. Iterative min-label propagation (the Pregel shape:
+    each round one join + one min-agg, converging in O(log diameter) rounds
+    for typical dup chains; `max_iter` bounds pathological paths). The
+    per-round convergence check is a count() — one scalar to the driver."""
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        labels = labels.persist()
+        prop = (
+            sym.join(labels, sym["a"] == labels["doc_id"])
+            .select(F.col("b").alias("doc_id"), "cluster")
+        )
+        new = (
+            labels.select("doc_id", "cluster")
+            .unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+            .filter(F.col("cluster") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def lsh_dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup clustering: shingle -> MinHash(b×r) -> banded
+    candidate pairs -> exact-Jaccard verify -> connected components.
+    Returns (doc_id, cluster); keep-one policy = keep doc_id == cluster
+    (the minimum id in each component)."""
+    shingles = shingle_grams(docs, n, text_col)
+    sig = minhash_over(shingles, bands * rows_per_band)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band)
+    verified = verify_jaccard(shingles, pairs, threshold)
+    return connected_components(verified.select("a", "b"))
+
+
+def simhash64(tok: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc (bit b from nibble b//4 of md5(term), bit
+    position b%4), tf-weighted. 64 bits keep the collision rate meaningful
+    at 10^9+ docs — the 16-bit variant above exists only for the compact
+    SQL-parity demo. tok: (doc_id, term)."""
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cols = []
+    for b in range(64):
+        nib = F.conv(
+            F.substring(F.md5(F.col("term")), b // 4 + 1, 1), 16, 10
+        ).cast("int")
+        bit = F.shiftright(nib, b % 4) % 2
+        contrib = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
+        cols.append(F.sum(contrib).alias(f"_b{b}"))
+    agg = tf.groupBy("doc_id").agg(*cols)
+    # bit 63 is the two's-complement sign: encoded as LONG_MIN instead of a
+    # 1<<63 shift (which overflows in ANSI SQL) — identical bit pattern
+    sim = F.when(F.col("_b63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    for b in range(63):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sim = sim + F.shiftleft(bit, b)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_hamming_candidates(
+    sim: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates from 64-bit SimHashes via chunk bucketing: split
+    the hash into `chunks` 16-bit pieces; by pigeonhole any pair within
+    Hamming distance <= chunks-1 shares at least one exact chunk, so the
+    candidate join is keyed on (chunk_idx, chunk_value) — never all-pairs.
+    Returns (a, b, hamming) pairs with hamming <= max_hamming."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = []
+    for c in range(chunks):
+        pieces.append(
+            sim.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                (F.shiftrightunsigned("simhash", c * width) % F.lit(mask + 1)).alias(
+                    "piece"
+                ),
+            )
+        )
+    keys = pieces[0]
+    for p in pieces[1:]:
+        keys = keys.unionByName(p)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

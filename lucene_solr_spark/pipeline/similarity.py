@@ -65,11 +65,60 @@ def ivf_cosine_topk(
     emb: DataFrame, query_vec: list[float], query_partition, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding", part_col: str = "label",
 ) -> DataFrame:
-    """IVF-style ANN: scan only the query's coarse partition (here the
-    pre-assigned cluster `label`; at scale an Iceberg partition on the
-    centroid id → partition pruning does the candidate selection)."""
+    """IVF probe with an EXTERNAL coarse partition column (pre-assigned).
+    The trained path is ivf_train + ivf_probe_topk below."""
     return cosine_topk(
         emb.filter(F.col(part_col) == query_partition), query_vec, k,
+        id_col, vec_col,
+    )
+
+
+def ivf_train(
+    emb: DataFrame, n_centroids: int = 10, seed: int = 42,
+    vec_col: str = "embedding", max_iter: int = 20,
+):
+    """IVF coarse quantizer: train KMeans centroids over the corpus and
+    assign every vector -> (assigned_df with `centroid` column, centroids).
+
+    At 10^12 scale the assignment is written `partitionBy("centroid")`
+    (Iceberg partition on the centroid id), so a probe is a partition-
+    pruned scan; the centroid table itself is tiny (n_centroids × dim) and
+    lives on the driver / broadcast. Training cost is one KMeans over a
+    SAMPLE at scale (df.sample) — centroids don't need every row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("_v", array_to_vector(as_double(F.col(vec_col))))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_v"
+    ).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "centroid")
+        .drop("_v")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_probe_topk(
+    assigned: DataFrame, centroids: list[list[float]],
+    query_vec: list[float], nprobe: int = 3, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids by cosine vs the query (driver-side numpy
+    over the tiny centroid table), scan only the `nprobe` nearest
+    partitions, brute-force within. The filter is a partition-pruning
+    predicate on the centroid id — the 10^12-scale path reads nprobe
+    partitions, not the corpus."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    return cosine_topk(
+        assigned.filter(F.col("centroid").isin(probes)), query_vec, k,
         id_col, vec_col,
     )
 
@@ -120,6 +169,61 @@ def knn_join(
     cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
     # rank on the ROUNDED value (both engines see identical rounded ties)
     scored = cross.select("qid", "nid", F.round(cos, 4).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_join_bucketed(
+    left: DataFrame, right: DataFrame, k: int, n_planes: int = 4,
+    seed: int = 42, left_id="vec_id", right_id="vec_id", vec_col="embedding",
+) -> DataFrame:
+    """Approximate k-NN join for LARGE × LARGE sides: hyperplane-LSH bucket
+    BOTH sides with the same planes, equi-join on the bucket id, window
+    top-k per query within its bucket. Shuffle is keyed on the bucket —
+    never a cross product; recall/cost trades via n_planes (fewer planes =
+    bigger buckets = higher recall, more compute). Multiprobe: each query
+    also probes the n_planes single-bit-flip neighbor buckets, recovering
+    most boundary losses for one extra join row per plane."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    rng = np.random.default_rng(seed)
+    dim = int(right.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_col(v):
+        b = F.lit(0)
+        for i in range(n_planes):
+            p = F.array(*[F.lit(float(x)) for x in planes[i]])
+            b = b + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return b
+
+    r = right.select(
+        F.col(right_id).alias("nid"), as_double(F.col(vec_col)).alias("nv")
+    ).withColumn("bucket", bucket_col(F.col("nv")))
+    l0 = left.select(
+        F.col(left_id).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", bucket_col(F.col("qv")))
+    # multiprobe fan-out: own bucket + every single-bit flip
+    probes = l0.select(
+        "qid", "qv",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    cand = probes.join(r, "bucket").filter(F.col("qid") != F.col("nid"))
+    cos = _dot(F.col("qv"), F.col("nv")) / (
+        _norm(F.col("qv")) * _norm(F.col("nv"))
+    )
+    scored = cand.select(
+        "qid", "nid", F.round(cos, 4).alias("cosine")
+    ).dropDuplicates(["qid", "nid"])
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
