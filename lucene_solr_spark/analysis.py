@@ -281,6 +281,92 @@ def ascii_fold(term: str) -> str:
     return "".join(out)
 
 
+# ---------------------------------------------------------------------------
+# token-GRAPH filters (SURVEY.md §3.2 rows WordDelimiterGraphFilter /
+# SynonymGraphFilter): stacked tokens share a position — exactly what our
+# (term, position) postings model stores natively, and what MultiPhrase
+# consumes at query time. Index-time graph emission is FLATTENED (like
+# Lucene's FlattenGraphFilter, which indexing requires): posLength collapses
+# to 1, the documented lossy step that makes Lucene recommend query-time
+# synonyms for exact multi-word phrase semantics.
+# ---------------------------------------------------------------------------
+
+_WDGF_SPLIT_RE = re.compile(
+    r"[^0-9A-Za-z]+"          # delimiters
+    r"|(?<=[a-z])(?=[A-Z])"   # case change: wiFi -> wi|Fi
+    r"|(?<=[A-Za-z])(?=[0-9])"  # letter->digit: SD500 -> SD|500
+    r"|(?<=[0-9])(?=[A-Za-z])"  # digit->letter
+)
+
+
+def word_delimiter_graph(
+    token: str,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+) -> list[tuple[str, int]]:
+    """WordDelimiterGraphFilter (.../miscellaneous/
+    WordDelimiterGraphFilter.java ≈L120; default flags GENERATE_WORD_PARTS |
+    GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
+    STEM_ENGLISH_POSSESSIVE).
+
+    Returns [(subtoken, pos_increment)]: parts advance the position by 1;
+    catenated/original variants STACK on the first part (pos_increment 0) —
+    the token-graph shape, flattened.
+
+      "Wi-Fi"    -> [("Wi",1), ("Fi",1)]           (+ ("WiFi",0) if catenate)
+      "SD500"    -> [("SD",1), ("500",1)]
+      "O'Neil's" -> [("O",1), ("Neil",1)]
+      "foobar"   -> [("foobar",1)]
+    """
+    base = _POSSESSIVE_RE.sub("", token)
+    parts = [p for p in _WDGF_SPLIT_RE.split(base) if p]
+    if not parts:
+        return []
+    out: list[tuple[str, int]] = [(parts[0], 1)]
+    if preserve_original and token != parts[0]:
+        out.append((token, 0))
+    if catenate_all and len(parts) > 1:
+        out.append(("".join(parts), 0))
+    out.extend((p, 1) for p in parts[1:])
+    return out
+
+
+def synonym_graph(
+    tokens: list[tuple[str, int]],
+    rules: dict[tuple[str, ...], tuple[str, ...]],
+) -> list[tuple[str, int]]:
+    """Index-time SynonymGraphFilter (.../synonym/SynonymGraphFilter.java
+    ≈L80): greedy longest-match of multi-word rules over the token stream;
+    each matched rule's outputs are STACKED at the match's first position
+    (graph flattened for indexing — posLength collapses, the documented
+    lossy index-time behavior).
+
+    tokens: [(term, position)]; rules: {("new","york"): ("nyc",), ...}.
+    Returns the augmented [(term, position)] list, original tokens kept.
+    """
+    if not tokens:
+        return []
+    max_len = max((len(k) for k in rules), default=0)
+    out = list(tokens)
+    terms = [t for t, _ in tokens]
+    i = 0
+    while i < len(tokens):
+        matched = 0
+        # greedy: longest rule first (SynGraphFilter's FST longest match)
+        for ln in range(min(max_len, len(tokens) - i), 0, -1):
+            key = tuple(terms[i : i + ln])
+            # contiguity: positions must be consecutive (no stopword hole
+            # inside a synonym match)
+            if key in rules and tokens[i + ln - 1][1] - tokens[i][1] == ln - 1:
+                pos0 = tokens[i][1]
+                out.extend((syn, pos0) for syn in rules[key])
+                matched = ln
+                break
+        i += matched or 1
+    out.sort(key=lambda tp: (tp[1], tp[0]))
+    return out
+
+
 def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
     """Query-time analysis of a bare term/phrase string (same chain as
     index time — Lucene's query parser analyzes query text with the

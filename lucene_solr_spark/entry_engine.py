@@ -158,6 +158,46 @@ SELECT doc_id, ROUND(score, 4) AS score
 FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
+def q_engine_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery through the real engine: per-slot union of
+    positions (UnionPostingsEnum), shifted intersect, BM25 with summed
+    constituent idfs — '(hash|merge) join'."""
+    from .query import MultiPhrase
+
+    eng = _engine(spark, sf_dir)
+    q = MultiPhrase(slots=(("hash", "merge"), ("join",)))
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_MULTI_PHRASE = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+p1 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term IN ('hash', 'merge')),
+p2 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term = 'join'),
+d1 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'hash'),
+d2 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'merge'),
+d3 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'join'),
+ptf AS (SELECT p1.doc_id, count(*) AS tf
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        GROUP BY p1.doc_id),
+idfs AS (SELECT ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5))
+              + ln(1 + (cstats.n - d2.df + 0.5) / (d2.df + 0.5))
+              + ln(1 + (cstats.n - d3.df + 0.5) / (d3.df + 0.5)) AS s
+         FROM cstats, d1, d2, d3),
+g AS (SELECT ptf.doc_id,
+             idfs.s * ptf.tf
+               / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+      FROM ptf, dl, cstats, idfs WHERE dl.doc_id = ptf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window agg (streaming/incremental.py) run on the
     batch events table — Spark's unified batch/stream semantics make the
@@ -194,4 +234,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_wand_or_sql": (q_engine_wand_or, SQL_ENGINE_WAND_OR),
     "engine_wand_and_sql": (q_engine_wand_and, SQL_ENGINE_WAND_AND),
     "engine_searcher_bool_sql": (q_engine_searcher_bool, SQL_ENGINE_SEARCHER_BOOL),
+    "engine_multi_phrase_sql": (q_engine_multi_phrase, SQL_ENGINE_MULTI_PHRASE),
 }

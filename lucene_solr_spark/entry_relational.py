@@ -300,6 +300,35 @@ WHERE rn = 1 ORDER BY l_orderkey, l_linenumber LIMIT 20
 """
 
 
+def q_random_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return S.random_stream(
+        o.select("o_orderkey", "o_custkey"), "o_orderkey", 15, seed=42
+    )
+
+
+SQL_RANDOM_STREAM = """
+SELECT o_orderkey, o_custkey FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '#42') LIMIT 15
+"""
+
+
+def q_reduce_stream(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return S.reduce_stream(
+        o.filter(F.col("o_custkey") < 15).select("o_custkey", "o_orderkey"),
+        ["o_custkey"],
+        "o_orderkey",
+    )
+
+
+SQL_REDUCE_STREAM = """
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS "group",
+       count(*) AS n
+FROM orders WHERE o_custkey < 15 GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 def q_select_eval(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = S.select_eval(
@@ -823,6 +852,268 @@ FROM orders GROUP BY 1 ORDER BY month_ts LIMIT 12
 """
 
 
+# synthetic per-customer coordinates (deterministic key arithmetic, same
+# trick as q_geodist) — the corpus carries no lat/lon columns. Lazy: Column
+# construction needs an active SparkContext, which module import must not.
+def _lat():
+    return (F.col("c_custkey") * 7 % 120 - 60).cast("double")
+
+
+def _lon():
+    return (F.col("c_custkey") * 13 % 340 - 170).cast("double")
+_SQL_COORDS = """
+coords AS (SELECT c_custkey,
+                  CAST(c_custkey * 7 % 120 - 60 AS DOUBLE) AS lat,
+                  CAST(c_custkey * 13 % 340 - 170 AS DOUBLE) AS lon
+           FROM customer)"""
+
+
+def q_geo_box(spark, sf_dir):
+    """LatLonPoint.newBoxQuery: bounding-box containment (range predicates
+    -> parquet min-max pruning at the scan, the BKD analog)."""
+    from .functions.valuesources import geo_box
+
+    c = _t(spark, sf_dir, "customer")
+    inside = geo_box(_lat(), _lon(), -30.0, 30.0, -60.0, 60.0)
+    return (
+        c.filter(inside)
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(20)
+    )
+
+
+SQL_GEO_BOX = f"""
+WITH {_SQL_COORDS}
+SELECT c_custkey FROM coords
+WHERE lat BETWEEN -30 AND 30 AND lon BETWEEN -60 AND 60
+ORDER BY c_custkey LIMIT 20
+"""
+
+
+_POLY = [(-40.0, -100.0), (50.0, 0.0), (-40.0, 100.0)]
+
+
+def q_geo_polygon(spark, sf_dir):
+    """LatLonPoint.newPolygonQuery: ray-casting point-in-polygon for a
+    literal triangle, unrolled to Column arithmetic (no UDF)."""
+    from .functions.valuesources import point_in_polygon
+
+    c = _t(spark, sf_dir, "customer")
+    inside = point_in_polygon(_lat(), _lon(), _POLY)
+    return c.filter(inside).agg(F.count("*").alias("n_inside"))
+
+
+def _sql_polygon() -> str:
+    n = len(_POLY)
+    arms = []
+    for i in range(n):
+        y1, x1 = _POLY[i]
+        y2, x2 = _POLY[(i + 1) % n]
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        arms.append(
+            f"(CASE WHEN (({y1} > lat) != ({y2} > lat)) AND "
+            f"lon < {x1} + (lat - {y1}) * {slope!r} THEN 1 ELSE 0 END)"
+        )
+    return f"""
+WITH {_SQL_COORDS}
+SELECT count(*) AS n_inside FROM coords
+WHERE ({' + '.join(arms)}) % 2 = 1
+"""
+
+
+SQL_GEO_POLYGON = _sql_polygon()
+
+
+def q_facet_heatmap(spark, sf_dir):
+    """facet.heatmap: fixed-resolution geo grid-cell counts."""
+    from .operators.facets import heatmap_facet
+
+    c = _t(spark, sf_dir, "customer")
+    return heatmap_facet(c, _lat(), _lon(), 20.0)
+
+
+SQL_FACET_HEATMAP = f"""
+WITH {_SQL_COORDS}
+SELECT CAST(floor(lat / 20.0) AS INT) AS cell_lat,
+       CAST(floor(lon / 20.0) AS INT) AS cell_lon,
+       count(*) AS count
+FROM coords GROUP BY 1, 2 ORDER BY cell_lat, cell_lon
+"""
+
+
+def q_facet_sampled(spark, sf_dir):
+    """Sampling facet collector: counts over a deterministic 1/7 hash
+    sample, scaled back up."""
+    from .operators.facets import sampled_facet_counts
+
+    c = _t(spark, sf_dir, "customer")
+    return sampled_facet_counts(c, "c_mktsegment", "c_custkey", 7, seed=42)
+
+
+SQL_FACET_SAMPLED = """
+SELECT c_mktsegment,
+       count(*) AS sample_count,
+       count(*) * 7 AS estimated_count
+FROM customer
+WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#42'), 1, 8))::BIGINT % 7 = 0
+GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
+def q_unique_block(spark, sf_dir):
+    """uniqueBlock(_root_): distinct parent blocks per child bucket."""
+    from .operators.facets import unique_block
+
+    li = _t(spark, sf_dir, "lineitem")
+    return unique_block(li, "l_returnflag", "l_orderkey")
+
+
+SQL_UNIQUE_BLOCK = """
+SELECT l_returnflag, count(DISTINCT l_orderkey) AS unique_blocks
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def q_relatedness(spark, sf_dir):
+    """relatedness(fg, bg) semantic-knowledge-graph agg: which order
+    priorities relate to high-value orders (fg = totalprice > 300k,
+    bg = all orders)."""
+    from .operators.facets import relatedness_agg
+
+    o = _t(spark, sf_dir, "orders")
+    return relatedness_agg(
+        o,
+        "o_orderpriority",
+        F.col("o_totalprice") > 300000.0,
+        F.lit(True),
+    )
+
+
+SQL_RELATEDNESS = """
+WITH tot AS (
+  SELECT greatest(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END), 1) AS fg,
+         greatest(count(*), 1) AS bg
+  FROM orders),
+g AS (SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fg_count,
+             count(*) AS bg_count
+      FROM orders GROUP BY 1),
+r AS (SELECT o_orderpriority, fg_count, bg_count,
+             fg_count / CAST(tot.fg AS DOUBLE) AS fg_pop,
+             bg_count / CAST(tot.bg AS DOUBLE) AS bg_pop
+      FROM g, tot)
+SELECT o_orderpriority, fg_count, bg_count,
+       ROUND(CASE WHEN greatest(fg_pop, bg_pop) > 0
+                  THEN (fg_pop - bg_pop) / greatest(fg_pop, bg_pop)
+                  ELSE 0.0 END, 4) AS relatedness
+FROM r ORDER BY relatedness DESC, o_orderpriority
+"""
+
+
+def q_score_nodes(spark, sf_dir):
+    """scoreNodes(gatherNodes(...)): tf-idf node ranking — parts reached
+    from orders of customers 0-4, arrival count x log(N/df)."""
+    from .operators.graph import score_nodes
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    start_orders = (
+        o.filter(F.col("o_custkey") < 5)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    edges = li.select("l_orderkey", "l_partkey")
+    out = score_nodes(edges, "l_orderkey", "l_partkey", start_orders, hops=1)
+    return out.limit(15)
+
+
+SQL_SCORE_NODES = """
+WITH start AS (SELECT o_orderkey FROM orders WHERE o_custkey < 5),
+reached AS (SELECT l_partkey AS node, count(*) AS count
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM start)
+            GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_edges FROM lineitem),
+dfs AS (SELECT l_partkey AS node, count(*) AS df FROM lineitem GROUP BY 1)
+SELECT reached.node, reached.count,
+       ROUND(reached.count * ln(n.n_edges / dfs.df), 4) AS score
+FROM reached, n, dfs
+WHERE dfs.node = reached.node
+ORDER BY score DESC, reached.node LIMIT 15
+"""
+
+
+def q_date_math_fn(spark, sf_dir):
+    """DateMathParser (SURVEY §3.11 date row; DateMathParser.java ≈L150):
+    resolve Solr date-math expressions — NOW+1DAY, NOW/HOUR-7DAYS, chained
+    truncation/offset — against a pinned NOW (per-request NOW semantics),
+    then count events at or after each boundary. Differential: Spark
+    resolves via the parser; the oracle re-derives every boundary with
+    independent SQL datetime algebra."""
+    import datetime as dt
+
+    from .functions.valuesources import date_math
+
+    now = dt.datetime(2024, 1, 31, 12, 34, 56)
+    exprs = [
+        "NOW", "NOW/DAY", "NOW/HOUR", "NOW+1DAY", "NOW-3HOURS",
+        "NOW/DAY-7DAYS", "NOW/MONTH", "NOW/MONTH+1MONTH", "NOW-90MINUTES/MINUTE",
+    ]
+    bounds = spark.createDataFrame(
+        [(e, date_math(now, e)) for e in exprs], "expr string, b timestamp"
+    )
+    ev = _t(spark, sf_dir, "events")
+    joined = F.broadcast(bounds).join(ev, ev["ts"] >= bounds["b"], "left")
+    return (
+        joined.groupBy("expr", "b")
+        .agg(F.count("ts").alias("n_after"))
+        .select(
+            "expr",
+            F.unix_timestamp("b").alias("ts_epoch"),
+            "n_after",
+        )
+        .orderBy("expr")
+    )
+
+
+SQL_DATE_MATH_FN = """
+WITH bounds(expr, b) AS (
+  SELECT 'NOW', TIMESTAMP '2024-01-31 12:34:56' UNION ALL
+  SELECT 'NOW/DAY', date_trunc('day', TIMESTAMP '2024-01-31 12:34:56') UNION ALL
+  SELECT 'NOW/HOUR', date_trunc('hour', TIMESTAMP '2024-01-31 12:34:56') UNION ALL
+  SELECT 'NOW+1DAY', TIMESTAMP '2024-01-31 12:34:56' + INTERVAL 1 DAY UNION ALL
+  SELECT 'NOW-3HOURS', TIMESTAMP '2024-01-31 12:34:56' - INTERVAL 3 HOUR UNION ALL
+  SELECT 'NOW/DAY-7DAYS',
+         date_trunc('day', TIMESTAMP '2024-01-31 12:34:56') - INTERVAL 7 DAY UNION ALL
+  SELECT 'NOW/MONTH', date_trunc('month', TIMESTAMP '2024-01-31 12:34:56') UNION ALL
+  SELECT 'NOW/MONTH+1MONTH',
+         date_trunc('month', TIMESTAMP '2024-01-31 12:34:56') + INTERVAL 1 MONTH UNION ALL
+  SELECT 'NOW-90MINUTES/MINUTE',
+         date_trunc('minute', TIMESTAMP '2024-01-31 12:34:56' - INTERVAL 90 MINUTE))
+SELECT expr, CAST(epoch(b) AS BIGINT) AS ts_epoch,
+       (SELECT count(*) FROM events e WHERE e.ts >= bounds.b) AS n_after
+FROM bounds ORDER BY expr
+"""
+
+
+def q_ord_rank(spark, sf_dir):
+    """ord(f): 1-based rank in the sorted distinct value space
+    (OrdFieldSource)."""
+    from .functions.valuesources import ord_rank
+
+    c = _t(spark, sf_dir, "customer")
+    return ord_rank(c, "c_mktsegment").orderBy("ord")
+
+
+SQL_ORD_RANK = """
+SELECT c_mktsegment, CAST(dense_rank() OVER (ORDER BY c_mktsegment) AS INT) AS ord
+FROM (SELECT DISTINCT c_mktsegment FROM customer) t ORDER BY ord
+"""
+
+
 def q_geodist(spark, sf_dir):
     """geodist() haversine over synthetic nation coordinates (deterministic
     arithmetic on n_nationkey, reproduced in the oracle)."""
@@ -870,6 +1161,8 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "having_stream": (q_having_stream, SQL_HAVING_STREAM),
     "top_stream": (q_top_stream, SQL_TOP_STREAM),
     "unique_stream": (q_unique_stream, SQL_UNIQUE_STREAM),
+    "random_stream": (q_random_stream, SQL_RANDOM_STREAM),
+    "reduce_stream": (q_reduce_stream, SQL_REDUCE_STREAM),
     "select_eval": (q_select_eval, SQL_SELECT_EVAL),
     "merge_stream": (q_merge_stream, SQL_MERGE_STREAM),
     "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),
@@ -894,5 +1187,14 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "function_scale": (q_scale_function, SQL_SCALE_FUNCTION),
     "function_strdist": (q_strdist, SQL_STRDIST),
     "function_date_trunc": (q_date_math, SQL_DATE_MATH),
+    "function_date_math": (q_date_math_fn, SQL_DATE_MATH_FN),
+    "function_ord_rank": (q_ord_rank, SQL_ORD_RANK),
     "function_geodist": (q_geodist, SQL_GEODIST),
+    "geo_box_query": (q_geo_box, SQL_GEO_BOX),
+    "geo_polygon_query": (q_geo_polygon, SQL_GEO_POLYGON),
+    "facet_heatmap": (q_facet_heatmap, SQL_FACET_HEATMAP),
+    "facet_sampled": (q_facet_sampled, SQL_FACET_SAMPLED),
+    "unique_block_agg": (q_unique_block, SQL_UNIQUE_BLOCK),
+    "relatedness_agg": (q_relatedness, SQL_RELATEDNESS),
+    "score_nodes": (q_score_nodes, SQL_SCORE_NODES),
 }

@@ -194,11 +194,150 @@ FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_span_or(spark, sf_dir):
+    """SpanOrQuery: union of the 'big'/'small' position streams."""
+    from .operators.spans import span_or
+
+    return span_or(_tok(spark, sf_dir), ["big", "small"]).orderBy("doc_id")
+
+
+SQL_SPAN_OR = f"""
+WITH {_SQL_POS}
+SELECT doc_id, count(*) AS n_spans FROM (
+  SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ('big', 'small')) t
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_span_not(spark, sf_dir):
+    """SpanNotQuery: 'big' spans not adjacent (dist<=1) to any 'order'."""
+    from .operators.spans import span_not
+
+    return span_not(_tok(spark, sf_dir), "big", "order", 1).orderBy("doc_id")
+
+
+SQL_SPAN_NOT = f"""
+WITH {_SQL_POS},
+pa AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'big'),
+pb AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'order')
+SELECT pa.doc_id, count(*) AS n_spans
+FROM pa
+WHERE NOT EXISTS (SELECT 1 FROM pb
+                  WHERE pb.doc_id = pa.doc_id AND abs(pb.p - pa.p) <= 1)
+GROUP BY pa.doc_id ORDER BY pa.doc_id
+"""
+
+
+def _sim_entry(spark, sf_dir, score_fn, term="dup"):
+    """Shared scaffold: tf/dl/df/N/avgdl for one term, scored by a
+    similarity-family Column factory (raw lengths, SQL-expressible)."""
+    from .entry_queries import _cstats, _dl
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    tf = tok.filter(F.col("term") == term).groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_val = tf.count()
+    j = tf.join(dl, "doc_id")
+    scored = j.select(
+        "doc_id",
+        score_fn(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.lit(float(df_val)),
+            n,
+            avgdl,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def q_dfr_inl2(spark, sf_dir):
+    """DFRSimilarity I(n)L2 (SURVEY §3.5 DFR family)."""
+    from .score import dfr_inl2_score
+
+    return _sim_entry(spark, sf_dir, dfr_inl2_score)
+
+
+_SQL_SIM_SCAFFOLD = f"""{_SQL_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                  avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       WHERE term = 'dup' GROUP BY doc_id),
+dfv AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf)"""
+
+SQL_DFR_INL2 = f"""
+WITH {_SQL_SIM_SCAFFOLD},
+tfn AS (SELECT tf.doc_id, tf.tf * log2(1.0 + cstats.avgdl / dl.dl) AS v
+        FROM tf, dl, cstats WHERE dl.doc_id = tf.doc_id),
+s AS (
+  SELECT tfn.doc_id,
+         (1.0 / (tfn.v + 1.0)) * tfn.v
+           * log2((cstats.n + 1.0) / (dfv.df + 0.5)) AS score
+  FROM tfn, cstats, dfv
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_ib_ll(spark, sf_dir):
+    """IBSimilarity LL/DF/H2 (SURVEY §3.5 IB family)."""
+    from .score import ib_ll_score
+
+    return _sim_entry(spark, sf_dir, ib_ll_score)
+
+
+SQL_IB_LL = f"""
+WITH {_SQL_SIM_SCAFFOLD},
+s AS (
+  SELECT tf.doc_id,
+         ln((tf.tf * log2(1.0 + cstats.avgdl / dl.dl)
+              + (dfv.df + 1.0) / (cstats.n + 1.0))
+            / ((dfv.df + 1.0) / (cstats.n + 1.0))) AS score
+  FROM tf, dl, cstats, dfv WHERE dl.doc_id = tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_axiomatic_f2exp(spark, sf_dir):
+    """AxiomaticF2EXP (SURVEY §3.5 Axiomatic family; Fang & Zhai 2005)."""
+    from .score import axiomatic_f2exp_score
+
+    return _sim_entry(spark, sf_dir, axiomatic_f2exp_score)
+
+
+SQL_AXIOMATIC_F2EXP = f"""
+WITH {_SQL_SIM_SCAFFOLD},
+s AS (
+  SELECT tf.doc_id,
+         pow(cstats.n / dfv.df, 0.35) * tf.tf
+           / (tf.tf + 0.5 + 0.5 * dl.dl / cstats.avgdl) AS score
+  FROM tf, dl, cstats, dfv WHERE dl.doc_id = tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 REGISTRY_SPANS: dict[str, tuple] = {
     "span_near_ordered": (q_span_near_ordered, SQL_SPAN_NEAR_ORDERED),
     "span_near_unordered": (q_span_near_unordered, SQL_SPAN_NEAR_UNORDERED),
     "span_first": (q_span_first, SQL_SPAN_FIRST),
+    "span_or": (q_span_or, SQL_SPAN_OR),
+    "span_not": (q_span_not, SQL_SPAN_NOT),
     "sloppy_phrase_freq": (q_sloppy_phrase, SQL_SLOPPY_PHRASE),
     "lm_dirichlet_topk": (q_lm_dirichlet, SQL_LM_DIRICHLET),
     "classic_tfidf_topk": (q_classic_tfidf, SQL_CLASSIC_TFIDF),
+    "dfr_inl2_topk": (q_dfr_inl2, SQL_DFR_INL2),
+    "ib_ll_topk": (q_ib_ll, SQL_IB_LL),
+    "axiomatic_f2exp_topk": (q_axiomatic_f2exp, SQL_AXIOMATIC_F2EXP),
 }

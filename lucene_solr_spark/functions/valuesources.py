@@ -100,6 +100,39 @@ def geodist_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column
     return F.lit(2 * r) * F.asin(F.sqrt(a))
 
 
+def geo_box(
+    lat: Column, lon: Column,
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+) -> Column:
+    """LatLonPoint.newBoxQuery (lucene/core/.../document/LatLonPoint.java
+    ≈L180): bounding-box containment — pure range predicates, so parquet
+    min-max pruning (the BKD analog) applies at the scan."""
+    return (
+        (lat >= F.lit(min_lat)) & (lat <= F.lit(max_lat))
+        & (lon >= F.lit(min_lon)) & (lon <= F.lit(max_lon))
+    )
+
+
+def point_in_polygon(
+    lat: Column, lon: Column, polygon: list[tuple[float, float]]
+) -> Column:
+    """LatLonPoint.newPolygonQuery (Polygon2D ray casting ≈L120): odd
+    edge-crossing parity for a literal polygon [(lat, lon), ...]. Unrolled
+    into a pure Column expression (one CASE per edge — codegen'd, no UDF);
+    the identical arithmetic is restated in the SQL oracle."""
+    n = len(polygon)
+    crossings = F.lit(0)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge can't cross a horizontal ray test
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at = F.lit(x1) + (lat - F.lit(y1)) * F.lit((x2 - x1) / (y2 - y1))
+        crossings = crossings + F.when(straddles & (lon < x_at), 1).otherwise(0)
+    return crossings % 2 == 1
+
+
 def strdist_levenshtein_sim(a: Column, b: Column) -> Column:
     """strdist(a,b,edit) — Solr returns a SIMILARITY in [0,1]:
     1 - dist/max(len) (StrDistanceFunction with LevensteinDistance)."""

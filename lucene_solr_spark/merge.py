@@ -106,8 +106,17 @@ def merge_segments(
     paths = [os.path.join(out_dir, s) for s in seg_names]
     new_dir = os.path.join(out_dir, new_seg)
 
+    # tombstone reclamation (SegmentMerger skips deleted docs): merged
+    # output physically drops deleted rows; stats are recomputed from the
+    # surviving data rather than summed from the (pre-delete) manifest
+    from .deletes import read_deletes
+
+    deletes = read_deletes(spark, out_dir)
+
     # ---- postings: k-way merge == union + term-partitioned rewrite --------
     postings = _union_read(spark, [os.path.join(p, "postings") for p in paths])
+    if deletes is not None:
+        postings = postings.join(deletes, "doc_id", "left_anti")
     postings.repartition(num_buckets, "bucket").sortWithinPartitions(
         "term", "doc_id"
     ).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -116,18 +125,27 @@ def merge_segments(
 
     # ---- docmeta: plain union, doc ids are stable ------------------------
     docmeta = _union_read(spark, [os.path.join(p, "docmeta") for p in paths])
+    if deletes is not None:
+        docmeta = docmeta.join(deletes, "doc_id", "left_anti")
     docmeta.repartitionByRange(
         max(spark.sparkContext.defaultParallelism, 1), "doc_id"
     ).write.mode("overwrite").parquet(os.path.join(new_dir, "docmeta"))
 
-    # ---- term_stats: additive across doc-partitioned segments ------------
-    ts = _union_read(spark, [os.path.join(p, "term_stats") for p in paths])
-    merged_ts = (
-        ts.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+    # ---- term_stats: additive when no deletes; recomputed from surviving
+    # postings when tombstones were reclaimed (df/ttf genuinely change)
+    if deletes is None:
+        ts = _union_read(spark, [os.path.join(p, "term_stats") for p in paths])
+        merged_ts = ts.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
         )
+    else:
+        merged_ts = (
+            spark.read.parquet(os.path.join(new_dir, "postings"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+        )
+    merged_ts = merged_ts.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
     merged_ts.repartition(num_buckets, "bucket").write.mode(
         "overwrite"
@@ -145,8 +163,16 @@ def merge_segments(
         )
 
     # ---- stats json ------------------------------------------------------
-    n_docs = sum(r["n_docs"] for r in recs.values())
-    sum_ttf = sum(r["sum_ttf"] for r in recs.values())
+    if deletes is None:
+        n_docs = sum(r["n_docs"] for r in recs.values())
+        sum_ttf = sum(r["sum_ttf"] for r in recs.values())
+    else:
+        agg = (
+            spark.read.parquet(os.path.join(new_dir, "docmeta"))
+            .agg(F.count("*").alias("n"), F.sum("field_len").alias("s"))
+            .collect()[0]
+        )
+        n_docs, sum_ttf = int(agg["n"]), int(agg["s"] or 0)
     stats = {
         "doc_count": n_docs,
         "sum_total_term_freq": sum_ttf,
@@ -181,10 +207,22 @@ def merge_segments(
         for k, v in man["segments"].items()
         if v["seg"] not in set(seg_names)
     }
-    man["segments"][f"m{min(units)}"] = new_rec
+    # atomic-update segments carry no unit ids — key the merged record by
+    # the new segment name in that case
+    key = f"m{min(units)}" if units else f"m_{new_seg}"
+    man["segments"][key] = new_rec
     write_manifest(out_dir, man)
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
+    # full compaction consumed every tombstone (ids are never recycled, so
+    # leftover tombstones for already-dropped ids would be harmless — but a
+    # full merge is the natural point to retire them, Lucene expungeDeletes)
+    if deletes is not None and not (
+        {r["seg"] for r in live_segments(man)} - {new_seg}
+    ):
+        from .deletes import deletes_path
+
+        shutil.rmtree(deletes_path(out_dir), ignore_errors=True)
     return new_rec
 
 

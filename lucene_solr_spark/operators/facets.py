@@ -198,3 +198,90 @@ def timeseries(
         )
         .orderBy("bucket_ts")
     )
+
+
+def heatmap_facet(
+    df: DataFrame, lat_col, lon_col, grid_deg: float
+) -> DataFrame:
+    """facet.heatmap (solr/core/.../request/SpatialHeatmapFacets.java ≈L60):
+    geo grid-cell counts. The reference rasterizes via the spatial index's
+    prefix-tree levels; ours is the equivalent fixed-resolution grid —
+    floor-snap both axes, ONE groupBy keyed by the cell (shuffle bounded by
+    the number of occupied cells, never by rows)."""
+    cell_lat = F.floor(lat_col / F.lit(grid_deg)).cast("int")
+    cell_lon = F.floor(lon_col / F.lit(grid_deg)).cast("int")
+    return (
+        df.groupBy(cell_lat.alias("cell_lat"), cell_lon.alias("cell_lon"))
+        .agg(F.count("*").alias("count"))
+        .orderBy("cell_lat", "cell_lon")
+    )
+
+
+def sampled_facet_counts(
+    df: DataFrame, field: str, key_col: str, fraction_denom: int, seed: int = 42
+) -> DataFrame:
+    """Sampling collector (Lucene facet/.../RandomSamplingFacetsCollector
+    ≈L60): facet counts over a deterministic hash sample of the docs —
+    the 10^12-scale answer when exact counts aren't needed. Sample
+    predicate = pmod(xxhash-style md5 of the key, denom) == 0, identically
+    expressible in ANSI SQL; scale counts back up by the denominator."""
+    h = F.conv(F.substring(F.md5(F.concat(F.col(key_col).cast("string"),
+                                          F.lit(f"#{seed}"))), 1, 8), 16, 10)
+    sampled = df.filter(h.cast("long") % fraction_denom == 0)
+    return (
+        sampled.groupBy(field)
+        .agg(
+            F.count("*").alias("sample_count"),
+            (F.count("*") * fraction_denom).alias("estimated_count"),
+        )
+        .orderBy(field)
+    )
+
+
+def unique_block(
+    children: DataFrame, child_field: str, parent_key: str
+) -> DataFrame:
+    """uniqueBlock(_root_) (solr/core/.../facet/UniqueBlockAgg.java ≈L40):
+    per child-field bucket, the number of DISTINCT parent blocks containing
+    at least one such child — the block-join faceting count."""
+    return (
+        children.groupBy(child_field)
+        .agg(F.count_distinct(parent_key).alias("unique_blocks"))
+        .orderBy(child_field)
+    )
+
+
+def relatedness_agg(
+    df: DataFrame, bucket_field: str, fg_pred, bg_pred
+) -> DataFrame:
+    """relatedness(fg, bg) (solr/core/.../facet/RelatednessAgg.java ≈L200)
+    — semantic-knowledge-graph bucket scoring: per bucket, how much more
+    prevalent the bucket is in the foreground set than the background set.
+
+    Formula (popularity-differential form of the SKG paper, Grainger et al.
+    2016: normalized fg_pop vs bg_pop; the reference's exact float
+    sequencing is unverifiable here — /root/reference is empty — so the
+    formula below IS the contract and the SQL oracle restates it):
+      fg_pop = fg_bucket / fg_size,  bg_pop = bg_bucket / bg_size
+      relatedness = (fg_pop - bg_pop) / greatest(fg_pop, bg_pop)  in [-1,1]
+      (0 when both empty)
+    """
+    fg = F.sum(F.when(fg_pred, 1).otherwise(0))
+    bg = F.sum(F.when(bg_pred, 1).otherwise(0))
+    tot_fg = df.filter(fg_pred).count()
+    tot_bg = df.filter(bg_pred).count()
+    g = df.groupBy(bucket_field).agg(
+        fg.alias("fg_count"), bg.alias("bg_count")
+    )
+    fg_pop = F.col("fg_count") / F.lit(float(max(tot_fg, 1)))
+    bg_pop = F.col("bg_count") / F.lit(float(max(tot_bg, 1)))
+    rel = F.when(
+        F.greatest(fg_pop, bg_pop) > 0,
+        (fg_pop - bg_pop) / F.greatest(fg_pop, bg_pop),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        bucket_field,
+        "fg_count",
+        "bg_count",
+        F.round(rel, 4).alias("relatedness"),
+    ).orderBy(F.desc("relatedness"), bucket_field)

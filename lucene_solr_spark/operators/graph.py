@@ -37,6 +37,40 @@ def gather_nodes(
     return frontier.distinct()
 
 
+def score_nodes(
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    start: DataFrame,
+    hops: int = 1,
+) -> DataFrame:
+    """scoreNodes() (solr/solrj/.../io/stream/ScoreNodesStream.java ≈L60):
+    tf-idf rank the nodes gatherNodes reached — nodes arrived at often from
+    the frontier (tf = arrival count) but globally rare (df = in-degree in
+    the full edge set) score highest:
+        score = count * log(n_edges / df)
+    One frontier join per hop + one broadcast join against the (tiny,
+    node-keyed) df table."""
+    frontier = start.select(F.col(from_col).alias("node"))
+    for _ in range(hops):
+        nxt = edges.join(
+            F.broadcast(frontier.withColumnRenamed("node", from_col)),
+            from_col,
+            "inner",
+        ).select(F.col(to_col).alias("node"))
+        frontier = nxt  # keep duplicates: arrival count is the node tf
+    counts = frontier.groupBy("node").agg(F.count("*").alias("count"))
+    n_edges = edges.count()
+    df_tbl = edges.groupBy(F.col(to_col).alias("node")).agg(
+        F.count("*").alias("df")
+    )
+    j = counts.join(df_tbl, "node")
+    score = F.col("count") * F.log(F.lit(float(n_edges)) / F.col("df"))
+    return j.select(
+        "node", "count", F.round(score, 4).alias("score")
+    ).orderBy(F.desc("score"), F.asc("node"))
+
+
 def shortest_path(
     edges: DataFrame,
     from_col: str,

@@ -35,38 +35,40 @@ def more_like_this(
     tok: DataFrame, dl: DataFrame, doc_id: int, n_docs: int, avgdl: float,
     max_terms: int = 5, k: int = 10, k1: float = 1.2, b: float = 0.75,
 ) -> DataFrame:
-    """Full MLT: top terms of `doc_id` -> BM25 OR query -> top-k other docs."""
-    import math
+    """Full MLT: top terms of `doc_id` -> BM25 OR query -> top-k other docs.
 
-    terms = [r["term"] for r in top_tfidf_terms(tok, doc_id, n_docs, max_terms).collect()]
-    df_rows = (
-        tok.filter(F.col("term").isin(terms))
+    ONE Spark plan, zero driver collects: the selected-terms frame (at most
+    `max_terms` rows, carrying its own df for the idf expression) is
+    broadcast-joined into the corpus tf aggregation — the term selection
+    never round-trips through the driver (round-1 version ran two collects
+    per query)."""
+    df_tbl = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf_src = (
+        tok.filter(F.col("doc_id") == doc_id)
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .collect()
-    )
-    dfs = {r["term"]: int(r["df"]) for r in df_rows}
-    tf = (
-        tok.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    idf_map = F.create_map(
-        *[
-            x
-            for t in terms
-            for x in (
-                F.lit(t),
-                F.lit(math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))),
-            )
-        ]
+    mlt = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    top_terms = (
+        tf_src.join(df_tbl, "term")
+        .select("term", "df", F.round(mlt, 4).alias("mlt_score"))
+        .orderBy(F.desc("mlt_score"), F.asc("term"))
+        .limit(max_terms)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = (
+        tok.join(F.broadcast(top_terms.select("term", "df")), "term")
+        .groupBy("doc_id", "term", "df")
+        .agg(F.count("*").alias("tf"))
     )
     scored = (
         tf.join(dl, "doc_id")
-        .withColumn("_idf", idf_map[F.col("term")])
         .withColumn(
             "_s",
-            F.col("_idf")
+            idf
             * F.col("tf")
             / (
                 F.col("tf")

@@ -66,6 +66,37 @@ def span_first(tokens: DataFrame, term: str, end: int) -> DataFrame:
     )
 
 
+def span_or(tokens: DataFrame, terms: list[str]) -> DataFrame:
+    """SpanOrQuery (SpanOrQuery.java ≈L40): union of sub-spans — here the
+    merged position stream of several terms; returns per-doc span count
+    (distinct matching positions)."""
+    return (
+        tokens.filter(F.col("term").isin(list(terms)))
+        .select("doc_id", "pos")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+def span_not(
+    tokens: DataFrame, include: str, exclude: str, dist: int = 0
+) -> DataFrame:
+    """SpanNotQuery (SpanNotQuery.java ≈L40): spans of `include` that do
+    NOT overlap (within `dist` positions) any span of `exclude`. Single-term
+    spans: an include position survives unless an exclude position lies in
+    [pos-dist, pos+dist]. Anti-join on the proximity predicate."""
+    inc = _positions(tokens, include, "pa")
+    exc = _positions(tokens, exclude, "pb")
+    survivors = inc.join(
+        exc,
+        (inc["doc_id"] == exc["doc_id"])
+        & (F.abs(F.col("pb") - F.col("pa")) <= dist),
+        "left_anti",
+    )
+    return survivors.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+
+
 def sloppy_phrase_freq(
     tokens: DataFrame, term_a: str, term_b: str, slop: int
 ) -> DataFrame:

@@ -50,6 +50,36 @@ def unique_stream(df: DataFrame, over: list[str], sort_cols: list) -> DataFrame:
     )
 
 
+def random_stream(df: DataFrame, key_col: str, n: int, seed: int = 42) -> DataFrame:
+    """random(collection, rows=n) — pseudorandom sample (RandomStream.java
+    ≈L40). Deterministic twin of ORDER BY random(): order by a seeded hash
+    of the key, so the sample is reproducible across engines and runs (the
+    oracle computes the identical md5 ordering). At scale this is a
+    TakeOrderedAndProject (per-partition top-n + merge), not a full sort."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h")
+        .limit(n)
+        .drop("_h")
+    )
+
+
+def reduce_stream(df: DataFrame, by: list[str], collect_col: str) -> DataFrame:
+    """reduce(by, group(...)) — one tuple per key holding the group's
+    collected sub-tuples (ReduceStream.java ≈L40 with GroupOperation).
+    Spark: groupBy + sort_array(collect_list) — the sorted-stream group
+    walk becomes a hash agg; per-group order restored by the array sort."""
+    return (
+        df.groupBy(*by)
+        .agg(
+            F.sort_array(F.collect_list(collect_col)).alias("group"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(*by)
+    )
+
+
 def select_eval(df: DataFrame, exprs: dict[str, F.Column]) -> DataFrame:
     """select(expr, as...) — projection/rename + per-tuple evaluators
     (SelectStream.java ≈L50; eval registry Lang.java)."""

@@ -24,6 +24,7 @@ from .query import (
     Fuzzy,
     LangFilter,
     MatchAll,
+    MultiPhrase,
     Phrase,
     Prefix,
     Query,
@@ -115,6 +116,35 @@ class OracleIndex:
             for d in docs:
                 starts = set(pls[0][d])
                 for i, pl in enumerate(pls[1:], 1):
+                    starts &= {p - i for p in pl[d]}
+                if starts:
+                    out[d] = (
+                        self._bm25(len(starts), d, idf, q.boost) if scored else 0.0
+                    )
+            return out
+        if isinstance(q, MultiPhrase):
+            slot_pls = []
+            for slot in q.slots:
+                merged: dict[int, set] = {}
+                for t in slot:
+                    for d, ps in self.postings.get(t, {}).items():
+                        merged.setdefault(d, set()).update(ps)
+                if not merged:
+                    return {}
+                slot_pls.append(merged)
+            idf = sum(
+                self._idf(len(self.postings[t]))
+                for slot in q.slots
+                for t in slot
+                if t in self.postings
+            )
+            docs = set(slot_pls[0])
+            for pl in slot_pls[1:]:
+                docs &= set(pl)
+            out = {}
+            for d in docs:
+                starts = set(slot_pls[0][d])
+                for i, pl in enumerate(slot_pls[1:], 1):
                     starts &= {p - i for p in pl[d]}
                 if starts:
                     out[d] = (

@@ -123,6 +123,48 @@ def ivf_probe_topk(
     )
 
 
+def hyperplane_planes(n_planes: int, dim: int, seed: int = 7):
+    """Deterministic coarse-quantizer hyperplanes (shared by engine and
+    oracle — the plane literals are embedded in both plans)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def ivf_hyperplane_topk(
+    emb: DataFrame, query_vec: list[float], n_planes: int = 3,
+    seed: int = 7, k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe with a DETERMINISTIC coarse quantizer: sign pattern of
+    fixed random hyperplanes partitions the corpus into 2^n_planes cells;
+    the query probes its own cell plus every single-bit-flip neighbor
+    (multiprobe), then brute-forces cosine within the probed cells only.
+
+    Same physical shape as centroid IVF (partition prune -> scan nprobe
+    partitions; at scale: write partitionBy(bucket)), but the quantizer is
+    closed-form, so an ANSI-SQL oracle can restate the identical pruning —
+    the entry checks the probe MECHANICS exactly, while KMeans-IVF recall
+    is covered by tests (clustered-data recall, ivf_train/ivf_probe_topk)."""
+    import numpy as np
+
+    planes = hyperplane_planes(n_planes, len(query_vec), seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = sum((1 << i) for i in range(n_planes) if float(planes[i] @ q) > 0)
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+
+    v = as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    cand = emb.withColumn("_bucket", bucket).filter(
+        F.col("_bucket").isin(probes)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_hyperplane_buckets(
     emb: DataFrame, n_planes: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",

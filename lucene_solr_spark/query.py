@@ -37,6 +37,17 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhrase(Query):
+    """MultiPhraseQuery (MultiPhraseQuery.java ≈L60): each slot holds a SET
+    of alternative terms — the shape synonym/WDGF token stacks produce.
+    slots: tuple of tuples of terms; a start position p matches if for
+    every slot i SOME slot term occurs at p+i."""
+
+    slots: tuple  # tuple[tuple[str, ...], ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Prefix(Query):
     prefix: str
     boost: float = 1.0

@@ -87,6 +87,78 @@ def lm_jelinek_mercer_score(
     return F.lit(boost) * F.greatest(raw, F.lit(0.0))
 
 
+def _tfn_h2(tf: Column, dl: Column, avgdl: float, c: float = 1.0) -> Column:
+    """NormalizationH2 (Amati & van Rijsbergen DFR framework):
+    tfn = tf * log2(1 + c * avgdl / dl)."""
+    return tf * F.log2(1.0 + F.lit(c) * F.lit(float(avgdl)) / dl)
+
+
+def dfr_inl2_score(
+    tf: Column,
+    dl: Column,
+    df_col: Column,
+    n_docs: int,
+    avgdl: float,
+    c: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """DFR I(n)L2 (DFRSimilarity with BasicModelIn + AfterEffectL +
+    NormalizationH2; formulas per the published DFR framework — Amati &
+    van Rijsbergen 2002, the same ones the similarities package
+    documents):
+      tfn   = tf * log2(1 + c*avgdl/dl)
+      In    = tfn * log2((N + 1) / (df + 0.5))
+      L     = 1 / (tfn + 1)
+      score = boost * L * In
+    """
+    tfn = _tfn_h2(tf, dl, avgdl, c)
+    basic = tfn * F.log2((F.lit(float(n_docs)) + 1.0) / (df_col + 0.5))
+    after = 1.0 / (tfn + 1.0)
+    return F.lit(boost) * after * basic
+
+
+def ib_ll_score(
+    tf: Column,
+    dl: Column,
+    df_col: Column,
+    n_docs: int,
+    avgdl: float,
+    c: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """IB LL/DF/H2 (IBSimilarity with DistributionLL + LambdaDF +
+    NormalizationH2; information-based model of Clinchant & Gaussier 2010):
+      tfn    = tf * log2(1 + c*avgdl/dl)
+      lambda = (df + 1) / (N + 1)
+      score  = boost * log((tfn + lambda) / lambda)
+    """
+    tfn = _tfn_h2(tf, dl, avgdl, c)
+    lam = (df_col + 1.0) / (F.lit(float(n_docs)) + 1.0)
+    return F.lit(boost) * F.log((tfn + lam) / lam)
+
+
+def axiomatic_f2exp_score(
+    tf: Column,
+    dl: Column,
+    df_col: Column,
+    n_docs: int,
+    avgdl: float,
+    s: float = 0.5,
+    k: float = 0.35,
+    boost: float = 1.0,
+) -> Column:
+    """Axiomatic F2EXP (Fang & Zhai 2005; AxiomaticF2EXP):
+      score = boost * (N / df)^k * tf / (tf + s + s * dl / avgdl)
+    """
+    idf = F.pow(F.lit(float(n_docs)) / df_col, F.lit(k))
+    return (
+        F.lit(boost)
+        * idf
+        * tf
+        / (tf + F.lit(s) + F.lit(s) * dl / F.lit(float(avgdl)))
+    )
+
+
 SIMILARITIES = {
     "bm25": bm25_score,
     "classic": classic_score,

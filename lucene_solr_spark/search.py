@@ -35,6 +35,7 @@ from .query import (
     Fuzzy,
     LangFilter,
     MatchAll,
+    MultiPhrase,
     Phrase,
     Prefix,
     Query,
@@ -53,6 +54,9 @@ def _collect_terms(q: Query, out: set) -> None:
         out.add(q.term)
     elif isinstance(q, (Phrase, Synonym, TermInSet)):
         out.update(q.terms)
+    elif isinstance(q, MultiPhrase):
+        for slot in q.slots:
+            out.update(slot)
     elif isinstance(q, Boolean):
         for c in q.must + q.should + q.must_not + q.filter:
             _collect_terms(c, out)
@@ -157,6 +161,9 @@ class Searcher:
         if isinstance(q, Phrase):
             return self._compile_phrase(q, stats, scored)
 
+        if isinstance(q, MultiPhrase):
+            return self._compile_multi_phrase(q, stats, scored)
+
         if isinstance(q, (Prefix, Wildcard, Regexp, Fuzzy, TermRange, TermInSet)):
             return self._compile_multiterm(q, scored)
 
@@ -254,6 +261,77 @@ class Searcher:
             * F.lit(idf_sum)
             * F.col("_ptf")
             / (F.col("_ptf") + norm)
+        )
+        return out.select("doc_id", score.alias("score"))
+
+    def _compile_multi_phrase(
+        self, q: MultiPhrase, stats: dict, scored: bool
+    ) -> DataFrame:
+        """MultiPhraseQuery (MultiPhraseQuery.java ≈L60, UnionPostingsEnum):
+        per slot, the positions of ALL slot terms merge into one sorted
+        union iterator; matching then proceeds exactly like ExactPhrase.
+        Ours: per slot, union the slot terms' postings and aggregate a
+        distinct-merged positions array per doc (one groupBy per slot,
+        bucket-pruned scan), then the same shifted array_intersect chain as
+        _compile_phrase. idf = sum over every constituent term (Lucene
+        passes all termStatistics to the similarity)."""
+        slots = [list(s) for s in q.slots]
+        # a slot with NO indexed term can never match (UnionPostingsEnum
+        # over an empty set is exhausted)
+        present: list[list[str]] = []
+        for s in slots:
+            have = [t for t in s if t in stats]
+            if not have:
+                return self._empty()
+            present.append(have)
+
+        def slot_positions(terms: list[str], keep_dlq: bool):
+            p = self.postings
+            if "bucket" in p.columns:
+                p = p.filter(F.col("bucket").isin(self._buckets(terms)))
+            p = p.filter(F.col("term").isin(terms))
+            aggs = [
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("positions")))
+                ).alias("_pos")
+            ]
+            if keep_dlq:
+                aggs.append(F.first("dlq").alias("dlq"))
+            return p.groupBy("doc_id").agg(*aggs)
+
+        base = slot_positions(present[0], keep_dlq=True).select(
+            "doc_id", "dlq", F.col("_pos").alias("_p0")
+        )
+        joined = base
+        for i, terms in enumerate(present[1:], start=1):
+            nxt = slot_positions(terms, keep_dlq=False).select(
+                "doc_id", F.col("_pos").alias(f"_p{i}")
+            )
+            joined = joined.join(nxt, "doc_id")
+
+        def _shift_by(offset):
+            return lambda x: x - F.lit(offset)
+
+        starts = F.col("_p0")
+        for i in range(1, len(present)):
+            starts = F.array_intersect(
+                starts, F.transform(F.col(f"_p{i}"), _shift_by(i))
+            )
+        tf = F.size(starts)
+        out = joined.select("doc_id", "dlq", tf.alias("_ptf")).filter(
+            F.col("_ptf") > 0
+        )
+        if not scored:
+            return out.select("doc_id", F.lit(0.0).alias("score"))
+        idf_sum = sum(
+            self._idf(stats[t]["df"]) for s in present for t in s
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dlq") / F.lit(float(self.avgdl))
+        )
+        score = (
+            F.lit(q.boost) * F.lit(idf_sum) * F.col("_ptf") / (F.col("_ptf") + norm)
         )
         return out.select("doc_id", score.alias("score"))
 

@@ -180,6 +180,17 @@ def read_segmented(spark: SparkSession, out_dir: str) -> dict:
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
     )
+    # liveDocs: tombstones anti-join the row-level tables. Collection stats
+    # (doc_count/avgdl) and term_stats df/ttf intentionally keep counting
+    # deleted docs until a merge reclaims them — exactly Lucene's semantics
+    # (CollectionStatistics uses maxDoc-level counts; IDF drifts until
+    # expungeDeletes).
+    from .deletes import read_deletes
+
+    deletes = read_deletes(spark, out_dir)
+    if deletes is not None:
+        docmeta = docmeta.join(deletes, "doc_id", "left_anti")
+        postings = postings.join(deletes, "doc_id", "left_anti")
     n_docs = sum(r["n_docs"] for r in segs)
     sum_ttf = sum(r["sum_ttf"] for r in segs)
     out = {
@@ -196,6 +207,8 @@ def read_segmented(spark: SparkSession, out_dir: str) -> dict:
         "manifest": man,
         "dir": out_dir,
     }
+    if deletes is not None:
+        out["deletes"] = deletes
     packed_paths = [
         os.path.join(p, "packed")
         for p in paths

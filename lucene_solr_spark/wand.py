@@ -59,12 +59,24 @@ class WandSearcher:
             raise ValueError("index has no packed postings (build with packed=True)")
         self.packed: DataFrame = index["packed"]
         self.term_stats: DataFrame = index["term_stats"]
+        # liveDocs mask (segments with uncompacted delete-by-query
+        # tombstones): packed blocks still contain deleted docs, so the
+        # kernel emits ALL block hits (no per-blk truncation) and the mask
+        # anti-joins before every top-k cut — deleted docs can neither rank
+        # nor displace live docs
+        self.deletes: DataFrame | None = index.get("deletes")
         self.n_docs: int = index["stats"]["doc_count"]
         self.avgdl: float = float(index["stats"]["avgdl"])
         self.num_buckets: int = int(index["stats"].get("num_buckets", 16))
         # below this many candidate blocks, θ-probing costs more than it
         # saves (an extra Spark round trip) — decode everything instead
         self.probe_threshold: int = 64
+
+    def _mask(self, hits: DataFrame) -> DataFrame:
+        """liveDocs filter on kernel output (no-op without tombstones)."""
+        if self.deletes is None:
+            return hits
+        return hits.join(self.deletes, "doc_id", "left_anti")
 
     def _pruned(self, df: DataFrame, terms: list[str]) -> DataFrame:
         if "bucket" in df.columns:
@@ -125,7 +137,9 @@ class WandSearcher:
 
     def _kernel(self, blocks: DataFrame, idfs: dict[str, float], k: int,
                 mode: str, n_terms: int, weights: dict[str, int] | None = None):
-        """applyInPandas per blk: decode, accumulate, per-blk top-k."""
+        """applyInPandas per blk: decode, accumulate, per-blk top-k (the
+        truncation is skipped when a deletes mask must filter first)."""
+        truncate = self.deletes is None
         import pandas as pd
 
         from .codec import unpack_postings_block, varint_decode
@@ -160,7 +174,7 @@ class WandSearcher:
                     {"doc_id": "int64", "score": "float64"}
                 )
             hs = scores[hit]
-            if hit.size > k:
+            if truncate and hit.size > k:
                 # deterministic boundary: (score desc, doc_id asc), matching
                 # the global tie-break so k-th ties are never cut arbitrarily
                 order = np.lexsort((hit, -hs))[:k]
@@ -218,7 +232,7 @@ class WandSearcher:
             )
             probe = meta.join(F.broadcast(probe_blks), "blk")
             top = (
-                self._kernel(probe, idfs, k, mode, n_terms, weights)
+                self._mask(self._kernel(probe, idfs, k, mode, n_terms, weights))
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .collect()
@@ -233,7 +247,7 @@ class WandSearcher:
         survivors = blk_ub.filter(F.col("sum_ub") >= F.lit(theta)).select("blk")
         cand = meta.join(survivors, "blk", "left_semi")
         out = (
-            self._kernel(cand, idfs, k, mode, n_terms, weights)
+            self._mask(self._kernel(cand, idfs, k, mode, n_terms, weights))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
