@@ -26,6 +26,8 @@ def _engine(spark, sf_dir):
     (url := zero-padded doc_id so dense ids are monotone in doc_id)."""
     if sf_dir in _ENGINE:
         return _ENGINE[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     from .indexer import build_index, read_index
@@ -38,6 +40,7 @@ def _engine(spark, sf_dir):
         "lang",
     )
     out = tempfile.mkdtemp(prefix="lss_wand_idx_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     build_index(
         spark, d, out, profile="simple", num_buckets=8, quantize=False
     )

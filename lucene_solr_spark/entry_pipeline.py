@@ -575,6 +575,8 @@ def _engine_searcher(spark, sf_dir):
     treated as pages (url := doc_id as string)."""
     if sf_dir in _ENGINE_IDX:
         return _ENGINE_IDX[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     from .indexer import build_index, read_index
@@ -586,6 +588,7 @@ def _engine_searcher(spark, sf_dir):
         "lang",
     )
     out = tempfile.mkdtemp(prefix="lss_entry_idx_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     build_index(spark, d, out, profile="en", num_buckets=8)
     s = Searcher(read_index(spark, out))
     _ENGINE_IDX[sf_dir] = s

@@ -228,6 +228,58 @@ GROUP BY pa.doc_id ORDER BY pa.doc_id
 """
 
 
+def q_intervals_ordered(spark, sf_dir):
+    """Intervals.maxgaps(5, Intervals.ordered(big, order)) — MINIMAL
+    ordered intervals per doc (Clarke & Cormack semantics: first b after
+    each a, dropped when an inner a exists)."""
+    from .operators.intervals import interval_counts, minimal_ordered
+
+    iv = minimal_ordered(_tok(spark, sf_dir), "big", "order", max_gaps=5)
+    return interval_counts(iv).orderBy("doc_id")
+
+
+SQL_INTERVALS_ORDERED = f"""
+WITH {_SQL_POS},
+pa AS (SELECT doc_id, pos AS lo FROM tok WHERE term = 'big'),
+pb AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'order'),
+firstb AS (SELECT pa.doc_id, pa.lo, min(pb.p) AS hi
+           FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pb.p > pa.lo
+           GROUP BY pa.doc_id, pa.lo),
+m AS (SELECT doc_id, lo, hi,
+             lead(lo) OVER (PARTITION BY doc_id ORDER BY lo) AS nxt
+      FROM firstb)
+SELECT doc_id, count(*) AS n_intervals FROM m
+WHERE (nxt IS NULL OR nxt >= hi) AND hi - lo - 1 <= 5
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_intervals_unordered(spark, sf_dir):
+    """Intervals.maxgaps(3, Intervals.unordered(big, small)) — minimal
+    unordered windows (strict-containment filter)."""
+    from .operators.intervals import interval_counts, minimal_unordered
+
+    iv = minimal_unordered(_tok(spark, sf_dir), "big", "small", max_gaps=3)
+    return interval_counts(iv).orderBy("doc_id")
+
+
+SQL_INTERVALS_UNORDERED = f"""
+WITH {_SQL_POS},
+pa AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'big'),
+pb AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'small'),
+cand AS (SELECT DISTINCT pa.doc_id, least(pa.p, pb.p) AS lo,
+                greatest(pa.p, pb.p) AS hi
+         FROM pa JOIN pb ON pb.doc_id = pa.doc_id AND pa.p != pb.p),
+m AS (SELECT c.doc_id, c.lo, c.hi FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM cand i
+                        WHERE i.doc_id = c.doc_id
+                          AND i.lo >= c.lo AND i.hi <= c.hi
+                          AND (i.lo != c.lo OR i.hi != c.hi)))
+SELECT doc_id, count(*) AS n_intervals FROM m
+WHERE hi - lo - 1 <= 3 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _sim_entry(spark, sf_dir, score_fn, term="dup"):
     """Shared scaffold: tf/dl/df/N/avgdl for one term, scored by a
     similarity-family Column factory (raw lengths, SQL-expressible)."""
@@ -334,6 +386,8 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "span_first": (q_span_first, SQL_SPAN_FIRST),
     "span_or": (q_span_or, SQL_SPAN_OR),
     "span_not": (q_span_not, SQL_SPAN_NOT),
+    "intervals_ordered": (q_intervals_ordered, SQL_INTERVALS_ORDERED),
+    "intervals_unordered": (q_intervals_unordered, SQL_INTERVALS_UNORDERED),
     "sloppy_phrase_freq": (q_sloppy_phrase, SQL_SLOPPY_PHRASE),
     "lm_dirichlet_topk": (q_lm_dirichlet, SQL_LM_DIRICHLET),
     "classic_tfidf_topk": (q_classic_tfidf, SQL_CLASSIC_TFIDF),
