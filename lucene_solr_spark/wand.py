@@ -244,8 +244,17 @@ class WandSearcher:
         # block metadata. No broadcast hint — post-θ survivors are usually
         # tiny (AQE picks broadcast then) but can be wide for low-θ queries,
         # and a forced broadcast of 1e8 blk rows would OOM the driver.
-        survivors = blk_ub.filter(F.col("sum_ub") >= F.lit(theta)).select("blk")
-        cand = meta.join(survivors, "blk", "left_semi")
+        # θ=-inf (no probe, or probe under-filled) prunes nothing — skip
+        # the join entirely rather than pay a no-op shuffle.
+        if math.isinf(theta):
+            cand = meta if mode != "and" else meta.join(
+                blk_ub.select("blk"), "blk", "left_semi"
+            )
+        else:
+            survivors = blk_ub.filter(
+                F.col("sum_ub") >= F.lit(theta)
+            ).select("blk")
+            cand = meta.join(survivors, "blk", "left_semi")
         out = (
             self._mask(self._kernel(cand, idfs, k, mode, n_terms, weights))
             .orderBy(F.desc("score"), F.asc("doc_id"))
