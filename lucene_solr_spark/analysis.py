@@ -100,11 +100,37 @@ def analyze_simple(text: str) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(SIMPLE_TOKEN_RE.findall(text.lower()))]
 
 
+def analyze_wdgf(text: str) -> list[tuple[str, int]]:
+    """'wdgf' profile: Whitespace -> WordDelimiterGraph(catenate_all) ->
+    LowerCase -> Stop. WHITESPACE tokenization, not Standard — the
+    standard tokenizer already strips intra-word delimiters ('Wi-Fi' ->
+    'Wi','Fi'), destroying what WDGF needs to see; Solr schemas pair WDGF
+    with WhitespaceTokenizer for exactly this reason. Graph stacking means
+    several (term, pos) pairs share a position — 'Wi-Fi' indexes as wi@p,
+    wifi@p, fi@p+1, so Term queries match any variant and MultiPhrase
+    consumes the stack."""
+    out = []
+    pos = -1
+    for tok in text.split():
+        for sub, inc in word_delimiter_graph(tok, catenate_all=True):
+            pos += inc
+            t = sub.lower()
+            if t and t not in ENGLISH_STOP_WORDS:
+                out.append((t, pos))
+    return out
+
+
+# graph-emitting profiles can't ride the 1:1 vectorized chain (_chain_one
+# maps one surface token to one term); analyze_flat falls back to the
+# per-row path for them
+GRAPH_PROFILES = {"wdgf"}
+
 ANALYZERS = {
     "en": analyze_en,
     "english": analyze_en,
     "standard": analyze_standard,
     "simple": analyze_simple,
+    "wdgf": analyze_wdgf,
 }
 
 
@@ -159,6 +185,24 @@ def analyze_flat(texts, profile: str = "en"):
     import itertools
 
     s = pd.Series(texts, dtype=object).fillna("")
+    if profile in GRAPH_PROFILES:
+        # graph profiles emit 1->N stacked tokens — run the per-row chain
+        # (documented slow path; the 1:1 memoized fast path can't stack)
+        row_idx_l, terms_l, pos_l, field_len = [], [], [], np.zeros(len(s), np.int64)
+        fn = ANALYZERS[profile]
+        for i, txt in enumerate(s):
+            tps = fn(txt)
+            field_len[i] = len(tps)
+            for t, p in tps:
+                row_idx_l.append(i)
+                terms_l.append(t)
+                pos_l.append(p)
+        return (
+            np.asarray(row_idx_l, dtype=np.int64),
+            np.asarray(terms_l, dtype=object),
+            np.asarray(pos_l, dtype=np.int64),
+            field_len,
+        )
     if profile == "simple":
         found = s.str.lower().str.findall(SIMPLE_TOKEN_RE)
     else:

@@ -91,13 +91,25 @@ def expire_ttl(
     return _commit_tombstones(spark, out_dir, age_df.select("doc_id"), "ttl")
 
 
+class VersionConflict(Exception):
+    """Optimistic-concurrency failure (Solr: version conflict 409)."""
+
+
 def atomic_update(
-    spark: SparkSession, out_dir: str, updates: DataFrame
+    spark: SparkSession, out_dir: str, updates: DataFrame,
+    expected_version: int | None = None,
 ) -> dict:
     """Solr atomic-update MERGE: for each incoming (url, lang, text) row,
     tombstone the currently-live doc with that url (if any) and index the
     new version as a fresh segment with a fresh id range (ids are never
-    recycled — the _version_ analog is the manifest generation).
+    recycled).
+
+    `_version_` optimistic concurrency (Solr DistributedUpdateProcessor
+    version gate ≈L1200): the manifest generation is the index's version;
+    pass `expected_version` (a generation previously read via
+    read_manifest) and the update is REJECTED with VersionConflict if
+    another writer committed in between — read-check-write at snapshot
+    granularity, the same contract Solr enforces per doc.
 
     One tombstone commit + one segment build + one manifest commit; a crash
     between them resumes safely (the tombstone is idempotent, the segment
@@ -106,6 +118,11 @@ def atomic_update(
     from .segments import UNIT_CAPACITY
 
     man = read_manifest(out_dir)
+    if expected_version is not None and man.get("generation", 0) != expected_version:
+        raise VersionConflict(
+            f"expected generation {expected_version}, "
+            f"index is at {man.get('generation', 0)}"
+        )
     old = read_segmented(spark, out_dir)["docmeta"].select("doc_id", "url")
     stale = old.join(
         F.broadcast(updates.select("url").distinct()), "url", "left_semi"

@@ -285,12 +285,14 @@ def build_index(
       1. `_pages_ids` staging: one range exchange assigns stable dense
          doc ids; written as splittable parquet so every later pass is a
          plain parallel columnar scan.
-      2. perdoc pass: analyzer (map-side inversion, no token shuffle) ->
-         5-column slim stream -> bucket exchange -> sorted postings write.
-      3. docmeta pass: analyzer again over `_pages_ids`, emitting one row
-         per doc (re-running the vectorized analyzer is cheaper than
-         materializing a wide union stream: measured 2x on the write).
-      4. packed blocks + term_stats derive from the WRITTEN postings
+      2. ONE fused analyzer pass: analyzer (map-side inversion, no token
+         shuffle) -> 5-column slim stream -> bucket exchange -> sorted
+         postings write. The written postings ARE the analyzer output's
+         durable form (no intermediate staging table — dropping it saved a
+         full write + read of the flat 40M-row stream per build).
+      3. docmeta derives from the written postings: field_len = sum(tf)
+         per doc, a 2-column columnar scan + map-side partial agg.
+      4. packed blocks + term_stats also derive from the WRITTEN postings
          (columnar scan prunes to 4 narrow columns; no positions move).
     """
     import shutil
@@ -298,15 +300,17 @@ def build_index(
     ids_path = os.path.join(out_dir, "_pages_ids")
     with_ids = write_pages_with_ids(spark, pages, ids_path, doc_base)
 
-    # ---- ONE analyzer pass -> slim perdoc staging parquet -----------------
-    # narrow pipeline: parquet scan -> analyzer -> disk; 5 columns only —
-    # row width is what the parquet writer pays for, so docmeta fields are
-    # NOT padded onto the 40M perdoc rows (measured 2x on the write)
-    staging = os.path.join(out_dir, "_staging")
-    with_ids.mapInArrow(
+    # ---- ONE analyzer pass, fused straight into the postings exchange -----
+    # narrow pipeline: parquet scan -> analyzer (map-side DWPT inversion,
+    # 5 slim columns) -> bucket exchange -> sorted postings write. No
+    # intermediate staging table: the WRITTEN postings are the durable form
+    # of the analyzer output, and the one other consumer (docmeta's
+    # field_len = sum(tf) per doc) reads them back as a 2-column columnar
+    # scan — round 1 staged this to parquet first, paying one extra full
+    # write + read of the 40M-row flat table per build.
+    perdoc = with_ids.mapInArrow(
         _analyzer_gen(profile, quantize, "perdoc"), PERDOC_SCHEMA
-    ).write.mode("overwrite").parquet(staging)
-    st = spark.read.parquet(staging)
+    )
 
     # ---- flat postings ----------------------------------------------------
     # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
@@ -317,7 +321,6 @@ def build_index(
     # head terms); salting splits each bucket's stream by doc-range —
     # block-aligned, so packed (term, blk) groups stay whole (SURVEY.md
     # §5.3 item 6). salt=0 auto-sizes to keep every core busy.
-    perdoc = st
     par = max(spark.sparkContext.defaultParallelism, 1)
     if salt == 0:
         salt = max(1, (2 * par) // max(num_buckets, 1))
@@ -341,15 +344,19 @@ def build_index(
         os.path.join(out_dir, "postings")
     )
 
+    # ---- derived tables: read back the WRITTEN postings (columnar-pruned)
+    postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
+
     # ---- docmeta WITHOUT a second analysis: the BM25 norm length is the
-    # emitted-token count, which is exactly sum(tf) over the doc's perdoc
-    # rows (PerField#invert / discountOverlaps). Map-side partial agg
-    # shrinks the exchange to ~one row per doc; zero-token docs come back
-    # via the left join on _pages_ids; SmallFloat quantization re-applied
-    # on the 1-row-per-doc frame (norms.py bit-exact kernels).
+    # emitted-token count, which is exactly sum(tf) over the doc's posting
+    # rows (PerField#invert / discountOverlaps) — a 2-column scan of the
+    # just-written postings. Map-side partial agg shrinks the exchange to
+    # ~one row per doc; zero-token docs come back via the left join on
+    # _pages_ids; SmallFloat quantization re-applied on the 1-row-per-doc
+    # frame (norms.py bit-exact kernels).
     from .udfs import norm_byte_udf, quantized_len_udf
 
-    fl = st.groupBy("doc_id").agg(F.sum("tf").alias("field_len"))
+    fl = postings_w.groupBy("doc_id").agg(F.sum("tf").alias("field_len"))
     docmeta = (
         with_ids.select("doc_id", "url", "lang")
         .join(fl, "doc_id", "left")
@@ -363,8 +370,6 @@ def build_index(
     docmeta.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
     docmeta_w = spark.read.parquet(os.path.join(out_dir, "docmeta"))
 
-    # ---- derived tables: read back the written postings (columnar-pruned)
-    postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
     if packed:
         write_packed_postings(
             postings_w.select("term", "doc_id", "tf", "dlq", "bucket"),
@@ -406,7 +411,6 @@ def build_index(
         os.path.join(out_dir, "stats")
     )
     shutil.rmtree(ids_path, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
     return stats
 
 

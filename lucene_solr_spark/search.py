@@ -67,10 +67,55 @@ def _collect_terms(q: Query, out: set) -> None:
             _collect_terms(c, out)
 
 
-class Searcher:
-    """Bind an index (read_index() dict) + similarity; compile & run queries."""
+class QueryCache:
+    """LRUQueryCache analog (lucene/core/.../search/LRUQueryCache.java
+    ≈L60): Lucene caches per-segment bitsets of frequently-reused FILTER
+    clauses; ours memoizes the filter clause's doc-id DataFrame as a
+    persisted (in-memory columnar) table with LRU eviction — the second
+    use of a cached filter is a memory scan, not a postings scan.
 
-    def __init__(self, index: dict, similarity: str = "bm25"):
+    Only non-scoring clauses are cacheable (same rule as Lucene: scores
+    depend on stats, matches don't)."""
+
+    def __init__(self, max_entries: int = 32):
+        from collections import OrderedDict
+
+        self._entries: "OrderedDict[str, DataFrame]" = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key: str, compute) -> DataFrame:
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return self._entries[key]
+        self.misses += 1
+        df = compute().persist()
+        self._entries[key] = df
+        if len(self._entries) > self.max_entries:
+            _old_key, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()
+
+
+class Searcher:
+    """Bind an index (read_index() dict) + similarity; compile & run queries.
+
+    `query_cache` (optional QueryCache) caches filter-clause doc-id sets
+    across queries (LRUQueryCache semantics — see QueryCache)."""
+
+    def __init__(
+        self,
+        index: dict,
+        similarity: str = "bm25",
+        query_cache: "QueryCache | None" = None,
+    ):
         self.index = index
         self.postings = index["postings"]
         self.docmeta = index["docmeta"]
@@ -79,6 +124,7 @@ class Searcher:
         self.avgdl = index["stats"]["avgdl"]
         self.num_buckets = index["stats"].get("num_buckets", 16)
         self.similarity = similarity
+        self.query_cache = query_cache
 
     # ---- stats bind (Weight creation) ------------------------------------
     def _buckets(self, terms) -> list[int]:
@@ -383,8 +429,19 @@ class Searcher:
                 .withColumn("_cid", F.lit(i))
             )
         for i, c in enumerate(q.filter):
+            # filter clauses are non-scoring -> cacheable (LRUQueryCache
+            # caches exactly these: reused fq bitsets)
+            if self.query_cache is not None:
+                matched = self.query_cache.get_or_compute(
+                    repr(c),
+                    lambda c=c: self._compile(c, stats, scored=False)
+                    .select("doc_id")
+                    .dropDuplicates(["doc_id"]),
+                ).withColumn("score", F.lit(0.0))
+            else:
+                matched = self._compile(c, stats, scored=False)
             parts.append(
-                self._compile(c, stats, scored=False)
+                matched
                 .withColumn("_must", F.lit(1))
                 .withColumn("_cid", F.lit(1000 + i))
             )

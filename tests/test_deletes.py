@@ -117,3 +117,22 @@ def test_merge_reclaims_tombstones(spark, seg_index):
     assert post["term_stats"].filter(F.col("term") == "search").count() == 0
     # and search still works on the compacted index
     assert _hits(spark, seg_index, "w000001", k=10)
+
+
+def test_atomic_update_version_conflict(spark, seg_index):
+    from lucene_solr_spark.deletes import VersionConflict, atomic_update
+    from lucene_solr_spark.segments import read_manifest
+
+    gen = read_manifest(seg_index)["generation"]
+    updates = spark.createDataFrame(
+        [("doc-x", "en", "conflict test text")],
+        "url string, lang string, text string",
+    )
+    # correct expected version succeeds (and bumps the generation twice:
+    # tombstone commit + segment commit)
+    atomic_update(spark, seg_index, updates, expected_version=gen)
+    stale = read_manifest(seg_index)["generation"]
+    assert stale > gen
+    # a second writer with the OLD generation is rejected
+    with pytest.raises(VersionConflict):
+        atomic_update(spark, seg_index, updates, expected_version=gen)

@@ -130,3 +130,61 @@ def test_multi_phrase_engine_equals_oracle(spark, index_small, pages_small, slot
         for r in s.search(q, 10).select("url", "score").collect()
     ]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# composition: WDGF index-time stacking consumed by Term / MultiPhrase
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wdgf_index(spark, tmp_path_factory):
+    from lucene_solr_spark.indexer import build_index, read_index
+
+    docs = [
+        ("u1", "en", "my Wi-Fi router works"),
+        ("u2", "en", "plain wifi router setup"),
+        ("u3", "en", "WiFi PowerShot SD500 camera"),
+        ("u4", "en", "wired ethernet router only"),
+    ]
+    pages = spark.createDataFrame(docs, "url string, lang string, text string")
+    out = str(tmp_path_factory.mktemp("wdgfidx") / "idx")
+    build_index(spark, pages, out, profile="wdgf", num_buckets=4)
+    return read_index(spark, out), docs
+
+
+def test_wdgf_index_matches_all_variants(spark, wdgf_index):
+    """catenate_all stacking: Term('wifi') matches 'Wi-Fi', 'wifi' AND
+    'WiFi' docs — the practical schema the filter exists for."""
+    from lucene_solr_spark.query import Term
+    from lucene_solr_spark.search import Searcher
+
+    idx, _docs = wdgf_index
+    s = Searcher(idx)
+    urls = {r["url"] for r in s.search(Term("wifi"), 10).collect()}
+    assert urls == {"u1", "u2", "u3"}
+    # split parts are positioned tokens too
+    assert {r["url"] for r in s.search(Term("sd"), 10).collect()} == {"u3"}
+
+
+def test_wdgf_index_equals_oracle(spark, wdgf_index):
+    """Engine == pure-Python oracle on the wdgf profile (stacked postings
+    flow through build_index's slow-path analyzer identically)."""
+    from lucene_solr_spark.oracle import OracleIndex
+    from lucene_solr_spark.query import Boolean, MultiPhrase, Term
+    from lucene_solr_spark.search import Searcher
+
+    idx, docs = wdgf_index
+    oracle = OracleIndex([(u, t, l) for u, l, t in docs], profile="wdgf")
+    s = Searcher(idx)
+    for q in (
+        Term("wifi"),
+        Term("router"),
+        Boolean(should=[Term("wifi"), Term("ethernet")]),
+        MultiPhrase(slots=(("wifi", "wired"), ("router", "ethernet"))),
+    ):
+        expect = [(u, round(sc, 8)) for _d, u, sc in oracle.search(q, 10)]
+        got = [
+            (r["url"], round(r["score"], 8))
+            for r in s.search(q, 10).select("url", "score").collect()
+        ]
+        assert got == expect, q

@@ -149,3 +149,33 @@ def test_classic_similarity_runs(index_small, oracle):
     assert len(rows) > 0
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_lru_query_cache(spark, index_small):
+    """LRUQueryCache analog: repeated filter clauses hit the cache and
+    return identical results; eviction unpersists."""
+    from lucene_solr_spark.query import Boolean, Term, TermRange
+    from lucene_solr_spark.search import QueryCache, Searcher
+
+    cache = QueryCache(max_entries=2)
+    s = Searcher(index_small, query_cache=cache)
+    q = Boolean(must=[Term("search")], filter=[TermRange("w000000", "w000099")])
+    first = [(r["doc_id"], round(r["score"], 8))
+             for r in s.search(q, 10, with_fields=False).collect()]
+    assert cache.misses == 1 and cache.hits == 0
+    second = [(r["doc_id"], round(r["score"], 8))
+              for r in s.search(q, 10, with_fields=False).collect()]
+    assert second == first
+    assert cache.hits == 1
+    # uncached searcher agrees (cache changes cost, never results)
+    plain = Searcher(index_small)
+    third = [(r["doc_id"], round(r["score"], 8))
+             for r in plain.search(q, 10, with_fields=False).collect()]
+    assert third == first
+    # LRU eviction: two more distinct filters evict the first
+    for hi in ("w000199", "w000299"):
+        s.search(Boolean(must=[Term("search")],
+                         filter=[TermRange("w000100", hi)]), 5,
+                 with_fields=False).collect()
+    assert len(cache._entries) == 2
+    cache.clear()
