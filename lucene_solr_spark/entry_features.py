@@ -59,6 +59,53 @@ FROM w ORDER BY doc_id LIMIT 20
 """
 
 
+def q_highlight_passage(spark, sf_dir):
+    """Passage-scored highlighter (PassageScorer): best BM25-weighted
+    16-token passage per matching doc."""
+    from .operators.search_features import highlight_best_passage
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    out = highlight_best_passage(
+        d, "doc_id", "text", ["dup", "vector"], n_docs, window=16
+    )
+    return out.orderBy("doc_id").limit(15)
+
+
+SQL_HIGHLIGHT_PASSAGE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+        WHERE tok IN ('dup', 'vector') GROUP BY tok),
+ptf AS (SELECT doc_id, pos // 16 AS win, tok, count(*) AS tf
+        FROM tok WHERE tok IN ('dup', 'vector') GROUP BY 1, 2, 3),
+scored AS (
+  SELECT ptf.doc_id, ptf.win,
+         sum(ln(1 + (nd.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ptf.tf / (ptf.tf + 1.2)) AS pscore
+  FROM ptf, dfs, nd WHERE dfs.tok = ptf.tok GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, win, pscore,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY pscore DESC, win) AS rn
+  FROM scored),
+out AS (
+  SELECT d.doc_id, b.pscore,
+         list_slice(string_split(d.text, ' '), b.win * 16 + 1,
+                    b.win * 16 + 16) AS parr
+  FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1)
+SELECT doc_id, ROUND(pscore, 4) AS pscore,
+       array_to_string(
+         list_transform(parr, x -> CASE WHEN x IN ('dup', 'vector')
+                                   THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS passage
+FROM out ORDER BY doc_id LIMIT 15
+"""
+
+
 def q_suggest_prefix(spark, sf_dir):
     """Terms-dict prefix suggester: top-10 terms by df under 'st'."""
     from .operators.search_features import suggest_prefix
@@ -145,6 +192,7 @@ FROM (SELECT * FROM s ORDER BY ltr_score DESC, doc_id LIMIT 10) t
 
 REGISTRY_FEATURES: dict[str, tuple] = {
     "highlight_snippets": (q_highlight, SQL_HIGHLIGHT),
+    "highlight_passage": (q_highlight_passage, SQL_HIGHLIGHT_PASSAGE),
     "suggest_prefix": (q_suggest_prefix, SQL_SUGGEST_PREFIX),
     "spellcheck_fuzzy": (q_spellcheck, SQL_SPELLCHECK),
     "realtime_get": (q_realtime_get, SQL_REALTIME_GET),

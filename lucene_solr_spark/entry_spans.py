@@ -360,6 +360,54 @@ FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_dfi_chi2(spark, sf_dir):
+    """DFISimilarity (chi-squared independence measure, SURVEY §3.5)."""
+    from .entry_queries import _dl
+    from .score import dfi_chi2_score
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    sum_ttf = int(dl.agg(F.sum("dl")).first()[0])
+    tf = tok.filter(F.col("term") == "dup").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    ttf = tok.filter(F.col("term") == "dup").count()
+    j = tf.join(dl, "doc_id")
+    scored = j.select(
+        "doc_id",
+        dfi_chi2_score(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.lit(float(ttf)),
+            sum_ttf,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_DFI_CHI2 = f"""
+WITH {_SQL_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf FROM tok
+       WHERE term = 'dup' GROUP BY doc_id),
+ttfv AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM tok WHERE term = 'dup'),
+s AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf > dl.dl * ttfv.ttf / sums.sum_ttf
+              THEN log2((tf.tf - dl.dl * ttfv.ttf / sums.sum_ttf)
+                        * (tf.tf - dl.dl * ttfv.ttf / sums.sum_ttf)
+                        / (dl.dl * ttfv.ttf / sums.sum_ttf) + 1.0)
+              ELSE 0.0 END AS score
+  FROM tf, dl, sums, ttfv WHERE dl.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_axiomatic_f2exp(spark, sf_dir):
     """AxiomaticF2EXP (SURVEY §3.5 Axiomatic family; Fang & Zhai 2005)."""
     from .score import axiomatic_f2exp_score
@@ -393,5 +441,6 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "classic_tfidf_topk": (q_classic_tfidf, SQL_CLASSIC_TFIDF),
     "dfr_inl2_topk": (q_dfr_inl2, SQL_DFR_INL2),
     "ib_ll_topk": (q_ib_ll, SQL_IB_LL),
+    "dfi_chi2_topk": (q_dfi_chi2, SQL_DFI_CHI2),
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp, SQL_AXIOMATIC_F2EXP),
 }

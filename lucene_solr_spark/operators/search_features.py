@@ -64,6 +64,88 @@ def highlight_first_window(
     return df.withColumn("snippet", snippet)
 
 
+def highlight_best_passage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    n_docs: int,
+    window: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """UnifiedHighlighter passage tier (uhighlight/PassageScorer.java ≈L40):
+    split the doc into fixed `window`-token passages, score each passage
+    with a BM25-shaped sum over the query terms (idf × tf-saturation; the
+    passage length IS the window so the length norm is constant), return
+    each matching doc's best passage with hits wrapped.
+
+    One posexplode + one groupBy(doc, passage) + a rank-1 window — all
+    JVM-side; idf binds as literals from one tiny df lookup (the stats-bind
+    pattern, TermStates.build)."""
+    import math
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    dfs = {
+        r["tok"]: r["df"]
+        for r in toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count_distinct(id_col).alias("df"))
+        .collect()
+    }
+    if not dfs:
+        return df.select(id_col).limit(0).withColumn("passage", F.lit(""))
+    idf_map = F.create_map(
+        *[
+            x
+            for t, d in dfs.items()
+            for x in (
+                F.lit(t),
+                F.lit(math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))),
+            )
+        ]
+    )
+    matched = toks.filter(F.col("tok").isin(list(dfs))).withColumn(
+        "win", F.expr(f"pos DIV {window}")
+    )
+    ptf = matched.groupBy(id_col, "win", "tok").agg(F.count("*").alias("tf"))
+    norm = F.lit(k1)  # passage len == window == "avg": (1-b+b*1) = 1
+    contrib = idf_map[F.col("tok")] * F.col("tf") / (F.col("tf") + norm)
+    pscore = ptf.groupBy(id_col, "win").agg(
+        F.sum(contrib).alias("pscore")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("pscore"), F.asc("win")
+    )
+    best = (
+        pscore.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    joined = df.join(best, id_col)
+    arr = F.split(F.col(text_col), " ")
+    passage_arr = F.slice(arr, F.col("win") * window + 1, window)
+    term_arr = F.array(*[F.lit(t) for t in dfs])
+    wrapped = F.transform(
+        passage_arr,
+        lambda t: F.when(
+            F.array_contains(term_arr, t), F.concat(F.lit(pre), t, F.lit(post))
+        ).otherwise(t),
+    )
+    return joined.select(
+        id_col,
+        F.round("pscore", 4).alias("pscore"),
+        F.array_join(wrapped, " ").alias("passage"),
+    )
+
+
 def suggest_prefix(
     tokens: DataFrame, prefix: str, k: int = 10
 ) -> DataFrame:

@@ -159,6 +159,24 @@ def axiomatic_f2exp_score(
     )
 
 
+def dfi_chi2_score(
+    tf: Column,
+    dl: Column,
+    ttf: Column,
+    sum_ttf: int,
+    boost: float = 1.0,
+) -> Column:
+    """DFI with the chi-squared independence measure (DFISimilarity +
+    IndependenceChiSquared; Kocabas/Dincer/Karaoglan 2011 "divergence from
+    independence"): expected freq under independence e = dl * ttf/sumTTF;
+    measure = (tf - e)^2 / e; score = boost * log2(measure + 1), and terms
+    at-or-below their expected frequency contribute nothing."""
+    e = dl * ttf / F.lit(float(sum_ttf))
+    measure = (tf - e) * (tf - e) / e
+    raw = F.log2(measure + 1.0)
+    return F.lit(boost) * F.when(tf > e, raw).otherwise(F.lit(0.0))
+
+
 SIMILARITIES = {
     "bm25": bm25_score,
     "classic": classic_score,
