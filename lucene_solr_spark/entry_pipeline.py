@@ -291,6 +291,61 @@ ORDER BY a, b
 SQL_SIMHASH_HAMMING = _sql_simhash_hamming()
 
 
+def q_embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.45; the fixture's
+    near-uniform vectors peak at 0.51). Gate runs the exact all-pairs
+    form the oracle states; the production path is the LSH-bucketed
+    variant (recall-tested in tests/test_pipeline_scale.py)."""
+    return SIM.embedding_cosine_near_dups(
+        _emb(spark, sf_dir), threshold=0.45, exact=True
+    )
+
+
+SQL_EMBEDDING_COSINE_DUPS = """
+WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+dots AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                sum(a.x * b.x) AS dot, sum(a.x * a.x) AS a2, sum(b.x * b.x) AS b2
+         FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY 1, 2)
+SELECT a, b, ROUND(dot / (sqrt(a2) * sqrt(b2)), 4) AS cosine
+FROM dots WHERE ROUND(dot / (sqrt(a2) * sqrt(b2)), 4) >= 0.45
+ORDER BY a, b
+"""
+
+
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint sharing vs doc 0: k=3-gram hashes,
+    w=4 window minima."""
+    return D.winnowing_shared_with(_docs(spark, sf_dir), ref_doc=0, k=3, w=4)
+
+
+SQL_WINNOWING = """
+WITH g AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         ('0x' || substr(md5(
+            array_to_string(list_slice(string_split(text, ' '),
+                            generate_subscripts(string_split(text,' '),1),
+                            generate_subscripts(string_split(text,' '),1) + 2), ' ')
+          ), 1, 15))::BIGINT AS h,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+valid AS (SELECT * FROM g WHERE pos <= n - 3),
+mins AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, n,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM valid) t
+  WHERE pos <= n - 3 - 3),
+ref AS (SELECT fp FROM mins WHERE doc_id = 0)
+SELECT doc_id, count(*) AS shared
+FROM mins WHERE doc_id != 0 AND fp IN (SELECT fp FROM ref)
+GROUP BY doc_id ORDER BY shared DESC, doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     fp = TQ.fingerprint(_docs(spark, sf_dir))
     return fp.agg(
@@ -624,6 +679,8 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "dedup_lsh_clusters": (q_lsh_clusters, SQL_LSH_CLUSTERS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_winnowing": (q_winnowing, SQL_WINNOWING),
+    "dedup_embedding_cosine": (q_embedding_cosine_dups, SQL_EMBEDDING_COSINE_DUPS),
     "ann_cosine_topk": (q_ann_cosine, SQL_ANN_COSINE),
     "ann_ivf_topk": (q_ann_ivf, SQL_ANN_IVF),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, None),

@@ -300,6 +300,42 @@ WHERE rn = 1 ORDER BY l_orderkey, l_linenumber LIMIT 20
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-timeout sessionization (30 min) over the events stream — the
+    batch twin of the applyInPandasWithState stateful operator
+    (streaming/sessions.py; stream == batch asserted in
+    tests/test_streaming_sessions.py)."""
+    from .streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "n_events",
+    ).orderBy("user_id", "start_epoch")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 10),
+l AS (SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+SELECT user_id,
+       CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_epoch,
+       CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS end_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, start_epoch
+"""
+
+
 def q_random_stream(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return S.random_stream(
@@ -1163,6 +1199,7 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "unique_stream": (q_unique_stream, SQL_UNIQUE_STREAM),
     "random_stream": (q_random_stream, SQL_RANDOM_STREAM),
     "reduce_stream": (q_reduce_stream, SQL_REDUCE_STREAM),
+    "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
     "select_eval": (q_select_eval, SQL_SELECT_EVAL),
     "merge_stream": (q_merge_stream, SQL_MERGE_STREAM),
     "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),

@@ -92,9 +92,13 @@ def shingle_grams(
     JVM-side array transform over split(text) — a narrow O(tokens) map, no
     join, no shuffle (replaces the old positional 3-way self-join, which
     cost two exchanges per extra gram word)."""
+    # NB: sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than n tokens must produce an empty array explicitly
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        f" ELSE array() END"
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
@@ -266,6 +270,71 @@ def lsh_dedup_clusters(
     pairs = lsh_candidate_pairs(sig, bands, rows_per_band)
     verified = verify_jaccard(shingles, pairs, threshold)
     return connected_components(verified.select("a", "b"))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): hash every k-gram, slide a w-gram window, keep
+    each window's MINIMUM hash; the distinct selected minima are the doc's
+    fingerprint set. Guarantees: any shared substring of length >= k+w-1
+    yields at least one shared fingerprint (the winnowing theorem), while
+    storing ~2/(w+1) of all k-gram hashes.
+
+    Pure window functions over the positional k-gram stream: one
+    min-over-following-rows window + distinct — the same expression is
+    restated in the SQL oracle. Hash = first 60 bits of md5 (portable
+    across engines). Returns (doc_id, fp)."""
+    from pyspark.sql import Window
+
+    grams = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+        f" ELSE array() END"
+    )
+    g = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # the window min is only a VALID window at starts 0..m-w; later starts
+    # see a truncated window — drop them via the max start position
+    counts = g.groupBy("doc_id").agg(F.max("pos").alias("_maxpos"))
+    mins = (
+        g.withColumn("fp", F.min("h").over(win))
+        .join(counts, "doc_id")
+        .filter(F.col("pos") <= F.col("_maxpos") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return mins
+
+
+def winnowing_shared_with(
+    docs: DataFrame, ref_doc: int, k: int = 3, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs sharing winnowing fingerprints with a reference doc ->
+    (doc_id, shared) — the MOSS plagiarism/near-dup detector shape.
+    At corpus scale the pair generation is a fingerprint equi-join
+    (bucketable), never all-pairs."""
+    fps = winnowing_fingerprints(docs, k, w, text_col, id_col)
+    ref = fps.filter(F.col("doc_id") == ref_doc).select("fp")
+    return (
+        fps.filter(F.col("doc_id") != ref_doc)
+        .join(F.broadcast(ref), "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+        .orderBy(F.desc("shared"), F.asc("doc_id"))
+    )
 
 
 def simhash64(tok: DataFrame) -> DataFrame:

@@ -187,6 +187,67 @@ def lsh_hyperplane_buckets(
     return emb.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def embedding_cosine_near_dups(
+    emb: DataFrame, threshold: float, exact: bool = False,
+    n_planes: int = 3, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    cosine >= threshold, a < b.
+
+    exact=True runs the all-pairs join (oracle/gate scale only).
+    Default: hyperplane-LSH bucket both copies with single-bit multiprobe
+    and verify within buckets — the 10^12 shape (bucket equi-join, never
+    n^2); recall vs exact is asserted in tests."""
+    import numpy as np
+
+    l = emb.select(F.col(id_col).alias("a"), as_double(F.col(vec_col)).alias("va"))
+    r = emb.select(F.col(id_col).alias("b"), as_double(F.col(vec_col)).alias("vb"))
+    if exact:
+        cand = l.join(r, F.col("a") < F.col("b"))
+    else:
+        rng = np.random.default_rng(seed)
+        dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+        planes = rng.standard_normal((n_planes, dim))
+
+        def bucket_col(v):
+            bcol = F.lit(0)
+            for i in range(n_planes):
+                p = F.array(*[F.lit(float(x)) for x in planes[i]])
+                bcol = bcol + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                )
+            return bcol
+
+        lb = l.withColumn("bucket", bucket_col(F.col("va")))
+        rb = r.withColumn("bucket", bucket_col(F.col("vb")))
+        probes = lb.select(
+            "a", "va",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        cand = (
+            probes.join(rb, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.select("a", "b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
 def embedding_norms(emb: DataFrame, id_col="vec_id", vec_col="embedding") -> DataFrame:
     v = as_double(F.col(vec_col))
     return emb.select(F.col(id_col), F.round(_norm(v), 4).alias("l2_norm"))
