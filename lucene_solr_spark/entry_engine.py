@@ -201,6 +201,47 @@ FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_engine_query_parser(spark, sf_dir):
+    """Classic query-parser syntax end-to-end: parse_classic
+    ('+dup (vector OR window) -"merge join"') -> AST -> the real engine
+    (QueryParser.jj grammar + QueryParserBase#addClause occur assembly);
+    the oracle restates the full boolean semantics in SQL: required dup
+    score + optional vector/window scores, docs with the adjacent phrase
+    "merge join" excluded."""
+    from .query_parser import parse_classic
+
+    eng = _engine(spark, sf_dir)
+    q = parse_classic('+dup (vector OR window) -"merge join"', profile="simple")
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_QUERY_PARSER = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+{_sql_scores(3, "window")},
+ph AS (SELECT DISTINCT a.doc_id
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'merge' AND b.term = 'join'),
+g AS (SELECT s1.doc_id,
+             s1.score + coalesce(s2.score, 0) + coalesce(s3.score, 0) AS score
+      FROM s1
+      LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+      LEFT JOIN s3 ON s1.doc_id = s3.doc_id
+      WHERE s1.doc_id NOT IN (SELECT doc_id FROM ph))
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window agg (streaming/incremental.py) run on the
     batch events table — Spark's unified batch/stream semantics make the
@@ -238,4 +279,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_wand_and_sql": (q_engine_wand_and, SQL_ENGINE_WAND_AND),
     "engine_searcher_bool_sql": (q_engine_searcher_bool, SQL_ENGINE_SEARCHER_BOOL),
     "engine_multi_phrase_sql": (q_engine_multi_phrase, SQL_ENGINE_MULTI_PHRASE),
+    "engine_query_parser_sql": (q_engine_query_parser, SQL_ENGINE_QUERY_PARSER),
 }

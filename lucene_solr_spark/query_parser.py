@@ -1,0 +1,301 @@
+"""Classic Lucene query-parser syntax -> Query AST.
+
+Reference parity: lucene/queryparser/src/java/org/apache/lucene/
+queryparser/classic/QueryParser.jj (grammar, ≈L1-400) and
+QueryParserBase#addClause (the famous left-to-right AND/OR promotion —
+classic Lucene has NO boolean precedence; `a AND b OR c` promotes only
+the AND's neighbors). From-scratch recursive-descent implementation.
+
+Supported syntax (the documented classic subset):
+
+  term            analyzed with the index profile's chain
+  "a phrase"~2    phrase with slop
+  te?m  te*m  t*  wildcards (trailing-star-only becomes Prefix)
+  term~  term~1   fuzzy (default max_edits 2)
+  term^4  (...)^2 boosts
+  [a TO b] {a TO b}  term ranges (inclusive / exclusive, mixable)
+  +req -prohib NOT x  occur modifiers
+  a AND b  a OR b  a && b  a || b
+  ( grouping )
+  lang:en         metadata field -> constant-score filter clause (Solr fq
+                  semantics; the engine scores one text field)
+  text:foo        explicit default field
+  \\-escaped specials inside terms
+
+Analysis parity with Lucene: full-analyzed terms go through the profile
+chain (query analyzer == index analyzer); MULTITERM queries (wildcard,
+prefix, fuzzy, range) are only lowercased, matching Lucene's
+``normalizeMultiTerm`` (no stemming of ``runn*``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .query import (
+    Boolean,
+    Boost,
+    ConstantScore,
+    Fuzzy,
+    LangFilter,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Query,
+    Term,
+    TermRange,
+    Wildcard,
+    rewrite,
+)
+
+_WS = re.compile(r"\s+")
+_QUOTED = re.compile(r'"((?:[^"\\]|\\.)*)"(~(?P<slop>\d+))?(\^(?P<boost>\d+(?:\.\d+)?))?')
+_RANGE = re.compile(
+    r"(?P<lb>[\[\{])\s*(?P<lo>[^\s\]\}]+)\s+TO\s+(?P<hi>[^\s\]\}]+)\s*"
+    r"(?P<rb>[\]\}])(\^(?P<boost>\d+(?:\.\d+)?))?"
+)
+_WORD = re.compile(r"(?:[^\s()\"\\^~]|\\.)+")
+_FIELD = re.compile(r"(?:[A-Za-z_][\w]*):")
+
+_CONJ_NONE, _CONJ_AND, _CONJ_OR = 0, 1, 2
+_MOD_NONE, _MOD_REQ, _MOD_NOT = 0, 1, 2
+
+KNOWN_FIELDS = ("text", "lang")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class _Scanner:
+    """Cursor over the query string; the parser pulls structured pieces."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def skip_ws(self) -> None:
+        m = _WS.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+
+    def eof(self) -> bool:
+        self.skip_ws()
+        return self.pos >= len(self.text)
+
+    def peek(self) -> str:
+        self.skip_ws()
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def take(self, rx: re.Pattern):
+        self.skip_ws()
+        m = rx.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
+        return m
+
+    def take_char(self, ch: str) -> bool:
+        self.skip_ws()
+        if self.pos < len(self.text) and self.text[self.pos] == ch:
+            self.pos += 1
+            return True
+        return False
+
+
+def _suffixes(sc: _Scanner):
+    """Optional `~N` fuzzy/slop then `^f` boost glued to the last token."""
+    fuzzy = None
+    boost = None
+    if sc.pos < len(sc.text) and sc.text[sc.pos] == "~":
+        sc.pos += 1
+        m = re.match(r"\d+(\.\d+)?", sc.text[sc.pos:])
+        if m:
+            sc.pos += m.end()
+            fuzzy = float(m.group(0))
+        else:
+            fuzzy = -1.0  # bare ~ (default edits)
+    if sc.pos < len(sc.text) and sc.text[sc.pos] == "^":
+        sc.pos += 1
+        m = re.match(r"\d+(\.\d+)?", sc.text[sc.pos:])
+        if not m:
+            raise QueryParseError("expected number after ^")
+        sc.pos += m.end()
+        boost = float(m.group(0))
+    return fuzzy, boost
+
+
+def _boost(q: Query, b) -> Query:
+    return Boost(q, float(b)) if b is not None and float(b) != 1.0 else q
+
+
+class _Parser:
+    def __init__(self, profile: str, default_field: str = "text"):
+        self.profile = profile
+        self.default_field = default_field
+
+    # -- analysis ----------------------------------------------------------
+    def _analyze(self, raw: str):
+        from .analysis import analyze_query_terms
+
+        return analyze_query_terms(_unescape(raw), self.profile)
+
+    # -- grammar -----------------------------------------------------------
+    def parse(self, text: str) -> Query:
+        sc = _Scanner(text)
+        q = self._query(sc, self.default_field)
+        if not sc.eof():
+            raise QueryParseError(
+                f"unparsed input at {sc.pos}: {text[sc.pos:]!r}"
+            )
+        return rewrite(q) if q is not None else MatchAll()
+
+    def _query(self, sc: _Scanner, field: str):
+        """clause* with QueryParserBase#addClause occur assembly."""
+        clauses: list[list] = []  # [occur, query] pairs; occur mutable
+        while not sc.eof() and sc.peek() != ")":
+            conj = self._conj(sc)
+            mods = self._mods(sc)
+            item = self._clause(sc, field)
+            if item is None:  # analyzed away (stopword-only)
+                continue
+            q, is_filter = item
+            # addClause(QueryParserBase ≈L480): AND promotes the PREVIOUS
+            # clause to MUST unless it is prohibited
+            if clauses and conj == _CONJ_AND and clauses[-1][0] != "must_not":
+                clauses[-1][0] = "must"
+            if mods == _MOD_NOT:
+                occur = "must_not"
+            elif mods == _MOD_REQ or conj == _CONJ_AND:
+                occur = "must"
+            elif is_filter:
+                occur = "filter"  # metadata fields are non-scoring (fq)
+            else:
+                occur = "should"
+            clauses.append([occur, q])
+        if not clauses:
+            return None
+        b = Boolean()
+        for occur, q in clauses:
+            getattr(b, occur).append(q)
+        return b
+
+    def _conj(self, sc: _Scanner) -> int:
+        save = sc.pos
+        m = sc.take(_WORD)
+        if m:
+            w = m.group(0)
+            if w in ("AND", "&&"):
+                return _CONJ_AND
+            if w in ("OR", "||"):
+                return _CONJ_OR
+        sc.pos = save
+        return _CONJ_NONE
+
+    def _mods(self, sc: _Scanner) -> int:
+        save = sc.pos
+        m = sc.take(_WORD)
+        if m and m.group(0) in ("NOT", "!"):
+            return _MOD_NOT
+        sc.pos = save
+        if sc.take_char("+"):
+            return _MOD_REQ
+        if sc.take_char("-"):
+            return _MOD_NOT
+        return _MOD_NONE
+
+    def _clause(self, sc: _Scanner, field: str):
+        """Returns (query, is_metadata_filter) or None if analyzed away."""
+        sc.skip_ws()
+        # optional field: prefix
+        m = _FIELD.match(sc.text, sc.pos)
+        if m:
+            fname = m.group(0)[:-1]
+            if fname not in KNOWN_FIELDS:
+                raise QueryParseError(f"unknown field {fname!r}")
+            sc.pos = m.end()
+            field = fname
+
+        ch = sc.peek()
+        if ch == "(":
+            sc.take_char("(")
+            inner = self._query(sc, field)
+            if not sc.take_char(")"):
+                raise QueryParseError("expected )")
+            _, boost = _suffixes(sc)
+            if inner is None:
+                return None
+            return _boost(inner, boost), False
+        if ch == '"':
+            m = sc.take(_QUOTED)
+            if not m:
+                raise QueryParseError("unterminated phrase")
+            terms = self._analyze(m.group(1))
+            if not terms:
+                return None
+            slop = int(m.group("slop") or 0)
+            q: Query = (
+                Phrase(tuple(terms), slop=slop)
+                if len(terms) > 1
+                else Term(terms[0])
+            )
+            return _boost(q, m.group("boost")), False
+        if ch in "[{":
+            m = sc.take(_RANGE)
+            if not m:
+                raise QueryParseError("malformed range (expected [a TO b])")
+            lo = None if m.group("lo") == "*" else _unescape(m.group("lo")).lower()
+            hi = None if m.group("hi") == "*" else _unescape(m.group("hi")).lower()
+            q = TermRange(
+                lo,
+                hi,
+                include_lower=m.group("lb") == "[",
+                include_upper=m.group("rb") == "]",
+            )
+            return _boost(q, m.group("boost")), False
+
+        m = sc.take(_WORD)
+        if not m:
+            raise QueryParseError(f"unexpected character {ch!r}")
+        raw = m.group(0)
+        fuzzy, boost = _suffixes(sc)
+
+        if field == "lang":
+            q = ConstantScore(LangFilter(MatchAll(), _unescape(raw).lower()))
+            return _boost(q, boost), True
+
+        has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
+        if has_wild:
+            # multiterm normalization: lowercase only (no stemming)
+            pat = _unescape(raw).lower()
+            if (
+                pat.endswith("*")
+                and "*" not in pat[:-1]
+                and "?" not in pat
+                and len(pat) > 1
+            ):
+                q = Prefix(pat[:-1])
+            else:
+                q = Wildcard(pat)
+            return _boost(q, boost), False
+        if fuzzy is not None:
+            edits = 2 if fuzzy < 0 else (int(fuzzy) if fuzzy >= 1 else 2)
+            q = Fuzzy(_unescape(raw).lower(), max_edits=min(edits, 2))
+            return _boost(q, boost), False
+
+        terms = self._analyze(raw)
+        if not terms:
+            return None
+        q = Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+        return _boost(q, boost), False
+
+
+def parse_classic(
+    text: str, profile: str = "en", default_field: str = "text"
+) -> Query:
+    """Parse a classic-syntax query string into the Query AST (then
+    BooleanQuery-rewrite). Raises QueryParseError on malformed input."""
+    return _Parser(profile, default_field).parse(text)

@@ -398,8 +398,17 @@ class Searcher:
         elif isinstance(q, Fuzzy):
             cond = F.levenshtein(t, F.lit(q.term)) <= q.max_edits
         elif isinstance(q, TermRange):
-            lo = t >= q.lower if q.include_lower else t > q.lower
-            hi = t <= q.upper if q.include_upper else t < q.upper
+            # None bound = open-ended ([a TO *] / [* TO b] parser syntax)
+            lo = (
+                F.lit(True)
+                if q.lower is None
+                else (t >= q.lower if q.include_lower else t > q.lower)
+            )
+            hi = (
+                F.lit(True)
+                if q.upper is None
+                else (t <= q.upper if q.include_upper else t < q.upper)
+            )
             cond = lo & hi
         elif isinstance(q, TermInSet):
             cond = t.isin(list(q.terms))

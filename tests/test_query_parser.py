@@ -1,0 +1,181 @@
+"""Classic query-parser syntax -> AST (QueryParser.jj subset).
+
+AST-level golden tests (no Spark) + one end-to-end parity check: the
+parsed query must produce the same top-k as the hand-built AST.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.query import (
+    Boolean,
+    Boost,
+    ConstantScore,
+    Fuzzy,
+    LangFilter,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from lucene_solr_spark.query_parser import QueryParseError, parse_classic
+
+
+def p(s, profile="simple"):
+    return parse_classic(s, profile=profile)
+
+
+def test_single_term_unwraps():
+    assert p("hello") == Term("hello")
+
+
+def test_default_or():
+    q = p("alpha beta")
+    assert isinstance(q, Boolean)
+    assert q.should == [Term("alpha"), Term("beta")]
+    assert not q.must
+
+
+def test_and_promotes_both_sides():
+    q = p("alpha AND beta")
+    assert q.must == [Term("alpha"), Term("beta")]
+    assert not q.should
+
+
+def test_classic_no_precedence():
+    # famous classic behavior: AND promotes only its neighbors
+    q = p("alpha AND beta OR gamma")
+    assert q.must == [Term("alpha"), Term("beta")]
+    assert q.should == [Term("gamma")]
+
+
+def test_plus_minus_not():
+    q = p("+alpha -beta NOT gamma delta")
+    assert q.must == [Term("alpha")]
+    assert q.must_not == [Term("beta"), Term("gamma")]
+    assert q.should == [Term("delta")]
+
+
+def test_and_does_not_unprohibit():
+    # `a AND NOT b`: previous stays must, b prohibited
+    q = p("alpha AND NOT beta")
+    assert q.must == [Term("alpha")]
+    assert q.must_not == [Term("beta")]
+
+
+def test_phrase_with_slop_and_boost():
+    q = p('"alpha beta"~2')
+    assert q == Phrase(("alpha", "beta"), slop=2)
+    q = p('"alpha beta"^3')
+    assert q == Boost(Phrase(("alpha", "beta")), 3.0)
+
+
+def test_grouping_with_boost():
+    q = p("(alpha OR beta)^2 gamma")
+    grp = q.should[0]
+    assert isinstance(grp, Boost) and grp.boost == 2.0
+    assert grp.child.should == [Term("alpha"), Term("beta")]
+    assert q.should[1] == Term("gamma")
+
+
+def test_wildcards_prefix_fuzzy():
+    assert p("alph*") == Prefix("alph")
+    assert p("al?ha") == Wildcard("al?ha")
+    assert p("a*b*") == Wildcard("a*b*")
+    assert p("alpha~") == Fuzzy("alpha", max_edits=2)
+    assert p("alpha~1") == Fuzzy("alpha", max_edits=1)
+
+
+def test_multiterm_not_stemmed():
+    # english profile stems, but wildcard/fuzzy must NOT be stemmed
+    assert p("Runn*", profile="en") == Prefix("runn")
+    assert p("Running~1", profile="en") == Fuzzy("running", max_edits=1)
+
+
+def test_ranges():
+    assert p("[alpha TO beta]") == TermRange("alpha", "beta", True, True)
+    assert p("{alpha TO beta}") == TermRange("alpha", "beta", False, False)
+    assert p("[alpha TO beta}") == TermRange("alpha", "beta", True, False)
+    assert p("[alpha TO *]") == TermRange("alpha", None, True, True)
+
+
+def test_term_boost():
+    q = p("alpha^2 beta")
+    assert q.should == [Boost(Term("alpha"), 2.0), Term("beta")]
+
+
+def test_lang_field_is_filter():
+    q = p("alpha lang:en")
+    assert q.must == [] and q.should == [Term("alpha")]
+    assert q.filter == [ConstantScore(LangFilter(MatchAll(), "en"))]
+
+
+def test_text_field_explicit():
+    assert p("text:alpha") == Term("alpha")
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(QueryParseError):
+        p("title:alpha")
+
+
+def test_unbalanced_paren_rejected():
+    with pytest.raises(QueryParseError):
+        p("(alpha OR beta")
+
+
+def test_escaped_specials():
+    # escaping defeats the FIELD production; the analyzer then tokenizes
+    # "alpha:beta" into two terms (same as Lucene: escape affects the
+    # parser, not the analysis chain) -> a single positional clause
+    assert p(r"alpha\:beta") == Phrase(("alpha", "beta"))
+
+
+def test_stopword_only_clause_dropped():
+    # english chain drops stopwords; the whole clause vanishes
+    q = parse_classic("the alpha", profile="en")
+    assert q == Term("alpha")
+
+
+def test_empty_query_matches_all():
+    assert p("") == MatchAll()
+
+
+def test_end_to_end_matches_hand_ast(spark):
+    import pandas as pd
+
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.search import Searcher
+
+    import tempfile
+
+    docs = [
+        ("u0", "alpha beta gamma", "en"),
+        ("u1", "alpha beta", "en"),
+        ("u2", "gamma delta", "en"),
+        ("u3", "alpha gamma delta", "fr"),
+        ("u4", "beta beta alpha", "en"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["url", "text", "lang"])
+    )
+    out = tempfile.mkdtemp(prefix="qp_idx_")
+    build_index(spark, df, out, profile="simple", num_buckets=2,
+                quantize=False)
+    s = Searcher(read_index(spark, out))
+
+    parsed = parse_classic('+alpha (beta OR delta) -"gamma delta"',
+                           profile="simple")
+    hand = Boolean(
+        must=[Term("alpha")],
+        should=[Boolean(should=[Term("beta"), Term("delta")])],
+        must_not=[Phrase(("gamma", "delta"))],
+    )
+    got = [(r.doc_id, round(r.score, 6))
+           for r in s.search(parsed, 10).collect()]
+    want = [(r.doc_id, round(r.score, 6))
+            for r in s.search(hand, 10).collect()]
+    assert got == want and len(got) > 0
