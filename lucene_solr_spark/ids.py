@@ -7,9 +7,16 @@ BaseCompositeReader#readerBase). We instead mint STABLE dense ids
 
 Scalable pattern (no global window, no zipWithIndex/RDD): range-partition by
 the key, count rows per partition, broadcast the per-partition offsets, add a
-partition-local row_number. Cost: one range exchange + one tiny count job —
-this is how you assign dense ids to 10^12 rows without funnelling them
-through one task.
+partition-local row_number.
+
+CORRECTNESS NOTE — the counting pass and the main pass MUST observe the
+same physical partitioning. repartitionByRange samples its child to pick
+boundaries, and re-executing the exchange can sample slightly different
+boundaries, silently shifting a few rows across partitions — offsets from
+pass 1 then disagree with row_numbers from pass 2 and the ids come out
+non-dense. `persist_exchange=True` (the index build's setting) pins ONE
+materialization of the exchange that both passes share; the caller
+unpersists via `cache_registry` once downstream work is materialized.
 """
 
 from __future__ import annotations
@@ -27,7 +34,8 @@ def assign_dense_ids(
     cache_registry: list | None = None,
 ) -> DataFrame:
     """`persist_exchange=True` caches the range-partitioned input so the
-    counting pass and the main pass share one exchange — use it when `df`
+    counting pass and the main pass share one exchange — REQUIRED for
+    guaranteed-dense ids (see module note) and the right call when `df`
     carries a wide payload (the index build passes text through here).
     The persisted handle is appended to `cache_registry` (if given) so the
     caller can unpersist when done."""
@@ -43,7 +51,8 @@ def assign_dense_ids(
             cache_registry.append(ranged)
     counts = (
         ranged.groupBy("_pid").count().orderBy("_pid").collect()
-    )  # <= `partitions` rows — driver-side by design, O(p) not O(rows)
+    )  # <= `partitions` rows — driver-side by design, O(p) not O(rows);
+    # with persist_exchange this also materializes the shared exchange
     offsets, acc = {}, 0
     for row in counts:
         offsets[row["_pid"]] = acc

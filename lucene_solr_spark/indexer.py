@@ -75,14 +75,21 @@ def write_pages_with_ids(
     written parquet replaces any in-memory persist so every later pass is
     a plain parallel columnar scan)."""
     p = partitions or max(pages.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    reg: list = []
     with_ids = assign_dense_ids(
-        pages.select("url", "lang", "text"), "url", partitions=p
+        pages.select("url", "lang", "text"),
+        "url",
+        partitions=p,
+        persist_exchange=True,
+        cache_registry=reg,
     )
     if doc_base:
         with_ids = with_ids.withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
         )
     with_ids.write.mode("overwrite").parquet(out_path)
+    for h in reg:  # the written parquet is the durable form; drop the cache
+        h.unpersist()
     return spark.read.parquet(out_path)
 
 
@@ -296,9 +303,20 @@ def build_index(
          (columnar scan prunes to 4 narrow columns; no positions move).
     """
     import shutil
+    import time
+
+    phase_s: dict[str, float] = {}
+    _t0 = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        phase_s[name] = round(now - _t0, 3)
+        _t0 = now
 
     ids_path = os.path.join(out_dir, "_pages_ids")
     with_ids = write_pages_with_ids(spark, pages, ids_path, doc_base)
+    _phase("ids")
 
     # ---- ONE analyzer pass, fused straight into the postings exchange -----
     # narrow pipeline: parquet scan -> analyzer (map-side DWPT inversion,
@@ -343,6 +361,7 @@ def build_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "postings")
     )
+    _phase("analyze_postings")
 
     # ---- derived tables: read back the WRITTEN postings (columnar-pruned)
     postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
@@ -369,6 +388,7 @@ def build_index(
     )
     docmeta.write.mode("overwrite").parquet(os.path.join(out_dir, "docmeta"))
     docmeta_w = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+    _phase("docmeta")
 
     if packed:
         write_packed_postings(
@@ -377,6 +397,7 @@ def build_index(
             num_buckets,
             salt=salt,
         )
+        _phase("packed")
 
     # df/ttf are additive over packed blocks (n, sum_tf) — aggregating the
     # ~/4096x-smaller block metadata instead of the 40M posting rows
@@ -395,6 +416,7 @@ def build_index(
     term_stats.repartition(num_buckets, "bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(out_dir, "term_stats"))
+    _phase("term_stats")
 
     agg = docmeta_w.agg(
         F.count("*").alias("N"), F.sum("field_len").alias("sum_ttf")
@@ -407,10 +429,24 @@ def build_index(
         "profile": profile,
         "num_buckets": num_buckets,
     }
-    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
-        os.path.join(out_dir, "stats")
-    )
+    # stats is ONE row: write it driver-side in the same part-file layout
+    # read_index globs (a single-row createDataFrame().write.json() costs a
+    # full Spark job — measured ~5s of pure scheduling/committer overhead)
+    import json as _json
+
+    stats_dir = os.path.join(out_dir, "stats")
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(os.path.join(stats_dir, "part-00000.json"), "w") as f:
+        f.write(_json.dumps(stats) + "\n")
     shutil.rmtree(ids_path, ignore_errors=True)
+    _phase("stats")
+    # per-phase wall seconds: build metrics for lineage/observability,
+    # written driver-side next to the stats table (not part of the stats
+    # contract read_index consumers rely on)
+    with open(os.path.join(out_dir, "build_metrics.json"), "w") as f:
+        _json.dump({"phase_s": phase_s}, f)
+    stats["phase_s"] = phase_s
     return stats
 
 

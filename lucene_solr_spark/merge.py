@@ -180,9 +180,17 @@ def merge_segments(
         "profile": man["profile"],
         "num_buckets": num_buckets,
     }
-    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").json(
-        os.path.join(new_dir, "stats")
-    )
+    # driver-side single-row write in the part-file layout read_index
+    # globs (a one-row Spark json job costs ~5s of scheduler/committer
+    # overhead; same change as indexer.build_index)
+    import json as _json
+    import shutil as _shutil
+
+    stats_dir = os.path.join(new_dir, "stats")
+    _shutil.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir, exist_ok=True)
+    with open(os.path.join(stats_dir, "part-00000.json"), "w") as f:
+        f.write(_json.dumps(stats) + "\n")
 
     # ---- atomic commit: swap manifest entries, then delete old dirs ------
     units = sorted(u for r in recs.values() for u in r["units"])
