@@ -416,3 +416,58 @@ def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
     index time — Lucene's query parser analyzes query text with the
     field's query analyzer)."""
     return [t for t, _ in analyze(query_text, profile)]
+
+
+# ---------------------------------------------------------------------------
+# Phonetic filters (SURVEY §3.2 long tail; Solr PhoneticFilterFactory) —
+# classic American Soundex + commons-codec RefinedSoundex, both from the
+# published algorithm specs (lucene/analysis/phonetic wraps commons-codec).
+# ---------------------------------------------------------------------------
+
+_SOUNDEX_CODES = {}
+for _grp, _d in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                 ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _c in _grp:
+        _SOUNDEX_CODES[_c] = _d
+
+# RefinedSoundex US English mapping for A..Z (commons-codec
+# RefinedSoundex.US_ENGLISH_MAPPING_STRING)
+_REFINED_MAP = "01360240043788015936020505"
+
+
+def soundex(term: str) -> str:
+    """American Soundex, 4 chars (letter + 3 digits, zero-padded).
+
+    Rules implemented exactly: drop AEIOUY/H/W; adjacent identical codes
+    collapse; H/W do NOT break a run of identical codes; vowels DO."""
+    letters = [c for c in term.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    out = letters[0]
+    prev = _SOUNDEX_CODES.get(letters[0], "")
+    for c in letters[1:]:
+        if c in "HW":
+            continue  # transparent: the previous code survives across H/W
+        d = _SOUNDEX_CODES.get(c, "")
+        if d and d != prev:
+            out += d
+            if len(out) == 4:
+                return out
+        prev = d  # vowels set prev='' -> same code after a vowel re-emits
+    return (out + "000")[:4]
+
+
+def refined_soundex(term: str) -> str:
+    """RefinedSoundex (commons-codec): first letter + per-letter codes
+    with adjacent duplicates collapsed, no length cap, vowels coded 0."""
+    letters = [c for c in term.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    out = [letters[0]]
+    last = None
+    for c in letters:
+        d = _REFINED_MAP[ord(c) - 65]
+        if d != last:
+            out.append(d)
+        last = d
+    return "".join(out)

@@ -343,3 +343,145 @@ REGISTRY_FEATURES.update(
         "edge_ngrams": (q_edge_ngrams, SQL_EDGE_NGRAMS),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# search-UX round 2: term vectors, query elevation, spellcheck collation,
+# cursorMark deep paging, phonetic matching
+# ---------------------------------------------------------------------------
+
+def _tok_pos(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+def q_term_vectors(spark, sf_dir):
+    """TermVectorsComponent: term vectors for docs 5 and 7 (positions
+    surfaced as a joined string for deterministic hashing)."""
+    from .operators.search_features import term_vectors
+
+    tv = term_vectors(_tok_pos(spark, sf_dir), [5, 7])
+    return tv.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.array_join("positions", ",").alias("positions"),
+    ).orderBy("doc_id", "term")
+
+
+SQL_TERM_VECTORS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id IN (5, 7))
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM tok GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+
+
+def q_query_elevation(spark, sf_dir):
+    """QueryElevationComponent: organic ranking = tf('dup') desc, with
+    docs 7 and 3 pinned (in that editorial order) and doc 1 excluded."""
+    from .operators.search_features import elevate
+
+    tok = _tok(spark, sf_dir)
+    scored = (
+        tok.filter(F.col("term") == "dup")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("score"))
+    )
+    out = elevate(scored, [7, 3], k=10, exclude_ids=[1])
+    return out.select("doc_id", F.round("score", 4).alias("score"), "elevated")
+
+
+SQL_QUERY_ELEVATION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+  FROM tok WHERE term = 'dup' AND doc_id <> 1 GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         CASE WHEN doc_id = 7 THEN 1 WHEN doc_id = 3 THEN 2
+              ELSE 2147483647 END AS elev
+  FROM scored)
+SELECT doc_id, ROUND(score, 4) AS score, elev <> 2147483647 AS elevated
+FROM (SELECT * FROM ranked ORDER BY elev, score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_spellcheck_collation(spark, sf_dir):
+    """SpellCheckCollator: best per-word corrections for 'vectr dup' plus
+    the collation's conjunctive hit count."""
+    from .operators.search_features import spellcheck_collate
+
+    out = spellcheck_collate(_tok(spark, sf_dir), ["vectr", "dup"], 2)
+    return out.select("collation", F.col("hits").cast("long").alias("hits"))
+
+
+SQL_SPELLCHECK_COLLATION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+terms AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+words(widx, word) AS (VALUES (0, 'vectr'), (1, 'dup')),
+cand AS (
+  SELECT w.widx, t.term, t.df, levenshtein(t.term, w.word) AS distance
+  FROM terms t CROSS JOIN words w
+  WHERE levenshtein(t.term, w.word) <= 2),
+best AS (
+  SELECT widx, term AS corrected FROM (
+    SELECT widx, term,
+           row_number() OVER (PARTITION BY widx
+                              ORDER BY distance, df DESC, term) AS rn
+    FROM cand) x WHERE rn = 1),
+coll AS (SELECT string_agg(corrected, ' ' ORDER BY widx) AS collation FROM best),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits FROM (
+    SELECT doc_id FROM tok
+    WHERE term IN (SELECT corrected FROM best)
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 2) h)
+SELECT coll.collation, hits.hits FROM coll, hits
+"""
+
+
+def q_cursor_page(spark, sf_dir):
+    """cursorMark deep paging: page 2 (rows 21-30) of documents ordered by
+    (n_chars desc, doc_id)."""
+    from .operators.search_features import cursor_page
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = cursor_page(
+        d, page=2, page_size=10,
+        order_cols=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return out.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+
+
+SQL_CURSOR_PAGE = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 20
+"""
+
+
+def q_phonetic_terms(spark, sf_dir):
+    """PhoneticFilter matching: vocabulary terms sounding like 'vector'
+    (American Soundex; rows-only — soundex is not ANSI-SQL-expressible
+    without backreference regex, which DuckDB's RE2 lacks)."""
+    from .operators.search_features import phonetic_terms
+
+    return phonetic_terms(_tok(spark, sf_dir), "vector", 10)
+
+
+REGISTRY_FEATURES.update(
+    {
+        "term_vectors": (q_term_vectors, SQL_TERM_VECTORS),
+        "query_elevation": (q_query_elevation, SQL_QUERY_ELEVATION),
+        "spellcheck_collation": (q_spellcheck_collation, SQL_SPELLCHECK_COLLATION),
+        "cursor_page": (q_cursor_page, SQL_CURSOR_PAGE),
+        "phonetic_terms": (q_phonetic_terms, None),
+    }
+)

@@ -178,6 +178,149 @@ def spellcheck(
     ).limit(k).select("term", "distance", "df")
 
 
+def term_vectors(
+    tokens: DataFrame, doc_ids: list[int], with_positions: bool = True
+) -> DataFrame:
+    """TermVectorsComponent (solr/handler/component/TermVectorComponent.java):
+    per-doc term vector — (doc_id, term, tf[, positions]) for the requested
+    docs. One filter (partition-prunable on a doc-partitioned token table)
+    + one agg; positions sorted for determinism."""
+    tv = (
+        tokens.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    if not with_positions:
+        tv = tv.drop("positions")
+    return tv
+
+
+def elevate(
+    results: DataFrame,
+    elevated_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """QueryElevationComponent (solr/handler/component/
+    QueryElevationComponent.java): pin the configured ids above organic
+    results IN EDITORIAL ORDER, drop excluded ids, fill the rest by score.
+    Pure column arithmetic over the scored candidate set — the elevation
+    map is a tiny literal array, never a join."""
+    if exclude_ids:
+        results = results.filter(
+            ~F.col(id_col).isin([int(d) for d in exclude_ids])
+        )
+    pos = F.array_position(
+        F.array(*[F.lit(int(d)) for d in elevated_ids]), F.col(id_col)
+    )
+    return (
+        results.withColumn(
+            "_elev", F.when(pos > 0, pos).otherwise(F.lit(2_147_483_647))
+        )
+        .orderBy(F.asc("_elev"), F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("elevated", F.col("_elev") != 2_147_483_647)
+        .drop("_elev")
+    )
+
+
+def spellcheck_collate(
+    tokens: DataFrame, words: list[str], max_edits: int = 2
+) -> DataFrame:
+    """SpellCheckCollator (solr/spelling/SpellCheckCollator.java): best
+    correction per query word (the word itself when it exists in the
+    index, else the top spellcheck candidate), the collated query string,
+    and the conjunctive hit count of the collation.
+
+    Shape: term-dict agg -> broadcast the tiny word list -> per-word
+    top-1 via window -> conjunctive count via groupBy(doc) HAVING all
+    words matched. No driver round-trips."""
+    from pyspark.sql import Window
+
+    spark = tokens.sparkSession
+    words_df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "widx int, word string"
+    )
+    terms = tokens.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    cand = (
+        terms.join(F.broadcast(words_df))
+        .withColumn("distance", F.levenshtein("term", "word"))
+        .filter(F.col("distance") <= max_edits)
+    )
+    w = Window.partitionBy("widx").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("widx", F.col("term").alias("corrected"))
+    )
+    collation = best.orderBy("widx").agg(
+        F.concat_ws(" ", F.collect_list("corrected")).alias("collation")
+    )
+    hits = (
+        tokens.join(
+            F.broadcast(best.select("corrected")),
+            tokens["term"] == F.col("corrected"),
+            "inner",
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corrected").alias("nw"))
+        .filter(F.col("nw") == len(words))
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return collation.crossJoin(hits)
+
+
+def cursor_page(
+    results: DataFrame,
+    page: int,
+    page_size: int,
+    order_cols: list,
+) -> DataFrame:
+    """cursorMark deep paging (solr CursorMarkParams): page N of a totally
+    ordered result. Expressed as a rank-window filter rather than
+    OFFSET/LIMIT so AQE can prune; at extreme depth a real cursor (filter
+    on the last sort key of the previous page — Searcher.search_after)
+    beats rank paging, and both are provided."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    lo, hi = page * page_size, (page + 1) * page_size
+    return (
+        results.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") > lo) & (F.col("_rk") <= hi))
+        .drop("_rk")
+    )
+
+
+def phonetic_terms(tokens: DataFrame, word: str, k: int = 10) -> DataFrame:
+    """PhoneticFilter-style matching (lucene/analysis/phonetic wrapping
+    commons-codec Soundex): index-vocabulary terms whose American-Soundex
+    code equals soundex(word), ranked by df. The soundex UDF runs over the
+    (small) distinct vocabulary, never the token stream."""
+    from ..analysis import soundex
+    from ..udfs import soundex_udf
+
+    code = soundex(word)
+    vocab = tokens.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        vocab.withColumn("code", soundex_udf("term"))
+        .filter(F.col("code") == code)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "code", "df")
+    )
+
+
 def realtime_get(df: DataFrame, key_col: str, key) -> DataFrame:
     """Point lookup by uniqueKey (RealTimeGetComponent). On a doc_id- or
     url-partitioned table this prunes to one partition/file via min-max."""

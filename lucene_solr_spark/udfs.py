@@ -62,6 +62,24 @@ def quantized_len_udf(field_len: pd.Series) -> pd.Series:
     return pd.Series(quantized_length(field_len.to_numpy()))
 
 
+@pandas_udf(T.StringType())
+def soundex_udf(term: pd.Series) -> pd.Series:
+    """American Soundex code per term (phonetic matching); memoized over
+    the batch's unique terms (vocab is Zipf — few unique per batch)."""
+    from .analysis import soundex
+
+    cache: dict = {}
+
+    def enc(t):
+        c = cache.get(t)
+        if c is None:
+            c = soundex(t if isinstance(t, str) else "")
+            cache[t] = c
+        return c
+
+    return term.map(enc)
+
+
 def simple_tokens_col(text_col):
     """JVM-only tokenization for the `simple` profile — stays inside
     whole-stage codegen (no Python at all). Equivalent to
