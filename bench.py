@@ -199,8 +199,16 @@ def run_scaling(sf_dir: str) -> None:
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_PAGES_SF=scaling_sf,
             )
+            # Pin CPU AFFINITY, not just Spark task slots: local[N] caps
+            # concurrent tasks at N but JVM GC/shuffle/compression threads
+            # and Python workers still spread over every physical core,
+            # inflating the small-N baseline. A real N-executor cluster
+            # has N cores TOTAL — taskset models that.
+            cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
+                cmd,
                 env=env,
                 capture_output=True,
                 text=True,

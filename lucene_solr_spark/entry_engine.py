@@ -242,6 +242,50 @@ FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_engine_edismax(spark, sf_dir):
+    """eDisMax user-query parsing end-to-end: parse_edismax('dup vector',
+    pf boost 2, slop 0) -> SHOULD terms + boosted exact-phrase sibling ->
+    the real engine. Oracle: sum of the two term BM25 scores plus 2 x the
+    phrase BM25 (phrase tf = adjacent 'dup vector' count, idf = summed
+    constituent idfs)."""
+    from .query_parser import parse_edismax
+
+    eng = _engine(spark, sf_dir)
+    q = parse_edismax("dup vector", profile="simple", phrase_boost=2.0)
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_EDISMAX = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+p1 AS (SELECT doc_id, pos FROM tokp WHERE term = 'dup'),
+p2 AS (SELECT doc_id, pos FROM tokp WHERE term = 'vector'),
+ptf AS (SELECT p1.doc_id, count(*) AS tf
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        GROUP BY p1.doc_id),
+pidf AS (SELECT ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5))
+              + ln(1 + (cstats.n - d2.df + 0.5) / (d2.df + 0.5)) AS s
+         FROM cstats, d1, d2),
+ps AS (SELECT ptf.doc_id,
+              2.0 * pidf.s * ptf.tf
+                / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+       FROM ptf, dl, cstats, pidf WHERE dl.doc_id = ptf.doc_id),
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2
+      UNION ALL SELECT doc_id, score FROM ps),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window agg (streaming/incremental.py) run on the
     batch events table — Spark's unified batch/stream semantics make the
@@ -280,4 +324,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_searcher_bool_sql": (q_engine_searcher_bool, SQL_ENGINE_SEARCHER_BOOL),
     "engine_multi_phrase_sql": (q_engine_multi_phrase, SQL_ENGINE_MULTI_PHRASE),
     "engine_query_parser_sql": (q_engine_query_parser, SQL_ENGINE_QUERY_PARSER),
+    "engine_edismax_sql": (q_engine_edismax, SQL_ENGINE_EDISMAX),
 }

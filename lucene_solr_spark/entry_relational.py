@@ -614,6 +614,30 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+def q_json_facet_block_domain(spark, sf_dir):
+    """JSON facet with domain blockChildren: parents = high-value open
+    orders, domain switched to their lineitem children, faceted by
+    l_returnflag."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    out = FA.block_children_domain_facet(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        li,
+        "l_orderkey",
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000),
+        "l_returnflag",
+    )
+    return out
+
+
+SQL_JSON_FACET_BLOCK_DOMAIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderstatus = 'O' AND o_totalprice > 200000)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_graph_2hop(spark, sf_dir):
     """gatherNodes 2-hop: nation -> customers -> orders."""
     from .operators.graph import gather_nodes
@@ -1191,6 +1215,10 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "stats_percentiles": (q_percentiles, SQL_PERCENTILES),
     "unique_agg": (q_unique_agg, SQL_UNIQUE_AGG),
     "json_facet_nested": (q_json_facet_nested, SQL_JSON_FACET_NESTED),
+    "json_facet_block_domain": (
+        q_json_facet_block_domain,
+        SQL_JSON_FACET_BLOCK_DOMAIN,
+    ),
     "timeseries_day": (q_timeseries, SQL_TIMESERIES),
     "search_export": (q_search_export, SQL_SEARCH_EXPORT),
     "rollup_stream": (q_rollup_stream, SQL_ROLLUP_STREAM),

@@ -251,6 +251,28 @@ def unique_block(
     )
 
 
+def block_children_domain_facet(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    parent_filter,
+    child_field: str,
+) -> DataFrame:
+    """JSON-facet `domain: {blockChildren: ...}` (solr/core/.../facet/
+    FacetRequest.java domain handling ≈L300): switch the facet domain from
+    matching PARENTS to their CHILDREN, then facet the children by
+    `child_field`. Spark shape: filter parents -> left_semi join children
+    on the block key (broadcastable when the parent filter is selective)
+    -> groupBy child field."""
+    keys = parents.filter(parent_filter).select(parent_key)
+    return (
+        children.join(F.broadcast(keys), parent_key, "left_semi")
+        .groupBy(child_field)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(child_field)
+    )
+
+
 def relatedness_agg(
     df: DataFrame, bucket_field: str, fg_pred, bg_pred
 ) -> DataFrame:

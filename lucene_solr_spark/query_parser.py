@@ -299,3 +299,63 @@ def parse_classic(
     """Parse a classic-syntax query string into the Query AST (then
     BooleanQuery-rewrite). Raises QueryParseError on malformed input."""
     return _Parser(profile, default_field).parse(text)
+
+
+def parse_edismax(
+    text: str,
+    profile: str = "en",
+    mm: int = 0,
+    tie: float = 0.0,
+    phrase_boost: float = 0.0,
+    phrase_slop: int = 0,
+) -> Query:
+    """eDisMax-style user-query parsing (solr/search/ExtendedDismaxQParser
+    ≈L200): forgiving end-user syntax — bare words become SHOULD clauses
+    governed by `mm` (minimum-should-match), +/- survive, all other
+    classic specials are treated as literal text (the escape-everything
+    step), and when `phrase_boost` > 0 the whole query is re-added as a
+    sloppy phrase SHOULD clause (the `pf`/`ps` params), rewarding docs
+    where the terms appear together.
+
+    The engine scores ONE text field, so the per-field dismax of `qf`
+    degenerates to that field; `tie` is accepted for API parity and used
+    only when a caller composes multiple fields into an explicit DisMax.
+    """
+    del tie  # single scored field: qf-dismax degenerates (documented)
+    from .analysis import analyze_query_terms
+
+    b = Boolean(min_should_match=mm)
+    all_terms: list[str] = []
+    for m in re.finditer(r"(?P<mod>[+\-]?)(?:\"(?P<ph>[^\"]*)\"|(?P<w>\S+))", text):
+        mod, ph, w = m.group("mod"), m.group("ph"), m.group("w")
+        if ph is not None:
+            terms = analyze_query_terms(ph, profile)
+            if not terms:
+                continue
+            q: Query = Phrase(tuple(terms)) if len(terms) > 1 else Term(terms[0])
+        else:
+            terms = analyze_query_terms(w, profile)
+            if not terms:
+                continue
+            q = Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+        if mod != "-":
+            all_terms.extend(terms)
+        if mod == "+":
+            b.must.append(q)
+        elif mod == "-":
+            b.must_not.append(q)
+        else:
+            b.should.append(q)
+    if phrase_boost > 0 and len(all_terms) > 1:
+        # pf sits OUTSIDE the mm-governed boolean (ExtendedDismaxQParser
+        # adds the phrase query as a sibling optional clause of the main
+        # query, so mm never counts it)
+        return rewrite(
+            Boolean(
+                must=[rewrite(b)],
+                should=[
+                    Boost(Phrase(tuple(all_terms), slop=phrase_slop), phrase_boost)
+                ],
+            )
+        )
+    return rewrite(b)

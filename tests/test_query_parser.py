@@ -144,6 +144,44 @@ def test_empty_query_matches_all():
     assert p("") == MatchAll()
 
 
+def test_edismax_basic():
+    from lucene_solr_spark.query_parser import parse_edismax
+
+    q = parse_edismax("alpha beta -gamma", profile="simple", mm=2)
+    assert q.should == [Term("alpha"), Term("beta")]
+    assert q.must_not == [Term("gamma")]
+    assert q.min_should_match == 2
+
+
+def test_edismax_specials_are_literal():
+    from lucene_solr_spark.query_parser import parse_edismax
+
+    # end-user syntax: AND/parens/colons are content, not operators
+    # (the simple profile strips non-alnum, like the escape-everything step)
+    q = parse_edismax("alpha (beta", profile="simple")
+    assert q.should == [Term("alpha"), Term("beta")]
+
+
+def test_edismax_phrase_boost_outside_mm():
+    from lucene_solr_spark.query_parser import parse_edismax
+
+    q = parse_edismax("alpha beta", profile="simple", mm=2,
+                      phrase_boost=5.0, phrase_slop=1)
+    # outer: must=[mm-governed boolean], should=[boosted sloppy phrase]
+    inner = q.must[0]
+    assert inner.should == [Term("alpha"), Term("beta")]
+    assert inner.min_should_match == 2
+    assert q.should == [Boost(Phrase(("alpha", "beta"), slop=1), 5.0)]
+
+
+def test_edismax_quoted_phrase_kept():
+    from lucene_solr_spark.query_parser import parse_edismax
+
+    q = parse_edismax('+"alpha beta" gamma', profile="simple")
+    assert q.must == [Phrase(("alpha", "beta"))]
+    assert q.should == [Term("gamma")]
+
+
 def test_end_to_end_matches_hand_ast(spark):
     import pandas as pd
 
