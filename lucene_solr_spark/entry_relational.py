@@ -35,6 +35,42 @@ GROUP BY lang ORDER BY count DESC, facet_value LIMIT 5
 """
 
 
+def q_facet_field_params(spark, sf_dir):
+    """facet.field with the full SimpleFacets param set, two variants
+    unioned: (a) prefix='M' in index order, (b) offset=1 paging in count
+    order — over customer.c_mktsegment."""
+    return FA.facet_field(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        limit=2,
+        sort="index",
+        prefix="M",
+        offset=0,
+    ).unionByName(
+        FA.facet_field(
+            _t(spark, sf_dir, "customer"),
+            "c_mktsegment",
+            limit=2,
+            sort="count",
+            offset=1,
+        )
+    )
+
+
+SQL_FACET_FIELD_PARAMS = """
+SELECT * FROM (
+  SELECT c_mktsegment AS facet_value, CAST(count(*) AS BIGINT) AS count
+  FROM customer WHERE c_mktsegment LIKE 'M%'
+  GROUP BY 1 ORDER BY facet_value LIMIT 2)
+UNION ALL
+SELECT facet_value, count FROM (
+  SELECT c_mktsegment AS facet_value, CAST(count(*) AS BIGINT) AS count,
+         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) AS rk
+  FROM customer GROUP BY c_mktsegment) t
+WHERE rk > 1 AND rk <= 3 ORDER BY count DESC, facet_value
+"""
+
+
 def q_facet_field_index(spark, sf_dir):
     return FA.facet_field(
         _t(spark, sf_dir, "documents"), "source", limit=10, sort="index"
@@ -1205,6 +1241,7 @@ ORDER BY dist_km, n_nationkey LIMIT 10
 
 REGISTRY_RELATIONAL: dict[str, tuple] = {
     "facet_field_counts": (q_facet_field, SQL_FACET_FIELD),
+    "facet_field_params": (q_facet_field_params, SQL_FACET_FIELD_PARAMS),
     "facet_field_index_sort": (q_facet_field_index, SQL_FACET_FIELD_INDEX),
     "facet_range_histogram": (q_facet_range, SQL_FACET_RANGE),
     "facet_query_counts": (q_facet_query, SQL_FACET_QUERY),

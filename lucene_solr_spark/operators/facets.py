@@ -26,19 +26,45 @@ def facet_field(
     limit: int = 10,
     mincount: int = 1,
     sort: str = "count",
+    prefix: str | None = None,
+    offset: int = 0,
+    missing: bool = False,
 ) -> DataFrame:
-    """facet.field — group-count with limit/mincount/sort=count|index
-    (solr/core/src/java/org/apache/solr/request/SimpleFacets.java ≈L120)."""
-    g = df.groupBy(F.col(field).alias("facet_value")).agg(
-        F.count("*").alias("count")
-    )
+    """facet.field — group-count with the full SimpleFacets param set:
+    limit/offset/mincount/prefix/missing/sort=count|index
+    (solr/core/src/java/org/apache/solr/request/SimpleFacets.java ≈L120).
+    `missing=True` appends the null-value bucket LAST (Solr renders it
+    after the value buckets); `offset` pages within the sorted buckets
+    (rank window, not a Spark offset — keeps the plan AQE-prunable)."""
+    src = df
+    if prefix is not None:
+        src = src.filter(F.col(field).startswith(prefix))
+    g = src.filter(F.col(field).isNotNull()).groupBy(
+        F.col(field).alias("facet_value")
+    ).agg(F.count("*").alias("count"))
     if mincount > 0:
         g = g.filter(F.col("count") >= mincount)
     if sort == "count":
-        g = g.orderBy(F.desc("count"), F.asc("facet_value"))
+        order = [F.desc("count"), F.asc("facet_value")]
     else:  # index order
-        g = g.orderBy(F.asc("facet_value"))
-    return g.limit(limit)
+        order = [F.asc("facet_value")]
+    if offset > 0:
+        rk = F.row_number().over(Window.orderBy(*order))
+        g = (
+            g.withColumn("_rk", rk)
+            .filter((F.col("_rk") > offset) & (F.col("_rk") <= offset + limit))
+            .drop("_rk")
+            .orderBy(*order)
+        )
+    else:
+        g = g.orderBy(*order).limit(limit)
+    if missing:
+        miss = df.filter(F.col(field).isNull()).agg(
+            F.lit(None).cast(df.schema[field].dataType).alias("facet_value"),
+            F.count("*").alias("count"),
+        )
+        g = g.unionByName(miss)
+    return g
 
 
 def facet_range(
