@@ -833,6 +833,26 @@ SELECT doc_id, ROUND(score, 4) AS score FROM (
 """
 
 
+def q_mlt_interesting_terms(spark, sf_dir):
+    """mlt.interestingTerms=details (MoreLikeThisComponent): the selected
+    top tf-idf terms of the source doc with their MLT weights."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return M.top_tfidf_terms(tok, doc_id=0, n_docs=d.count(), max_terms=5)
+
+
+SQL_MLT_INTERESTING_TERMS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+src AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term,
+       ROUND(src.tf * ln(n.n / CAST(dfs.df AS DOUBLE)), 4) AS mlt_score
+FROM src JOIN dfs USING (term), n
+ORDER BY mlt_score DESC, term LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # parallel SQL (§3.10) + scalar functions (§3.11)
 # --------------------------------------------------------------------------
@@ -1284,6 +1304,7 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "rerank_topn": (q_rerank, SQL_RERANK),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
     "more_like_this": (q_mlt, SQL_MLT),
+    "mlt_interesting_terms": (q_mlt_interesting_terms, SQL_MLT_INTERESTING_TERMS),
     "sql_handler": (q_sql_handler, SQL_SQL_HANDLER),
     "function_recip_freshness": (q_function_recip, SQL_FUNCTION_RECIP),
     "function_scale": (q_scale_function, SQL_SCALE_FUNCTION),
