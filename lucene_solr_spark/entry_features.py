@@ -476,8 +476,42 @@ def q_phonetic_terms(spark, sf_dir):
     return phonetic_terms(_tok(spark, sf_dir), "vector", 10)
 
 
+def q_suggest_fuzzy(spark, sf_dir):
+    """FuzzySuggester: completions for the typo'd prefix 'vectr' within
+    1 edit of the candidate head."""
+    from .operators.search_features import suggest_fuzzy
+
+    return suggest_fuzzy(_tok(spark, sf_dir), "vect", 1, 10)
+
+
+SQL_SUGGEST_FUZZY = f"""
+WITH {_TOKS},
+cand AS (
+  SELECT term, count(DISTINCT doc_id) AS df,
+         levenshtein(substr(term, 1, 4), 'vect') AS head_dist
+  FROM tok GROUP BY term
+)
+SELECT term, head_dist, df FROM cand
+WHERE length(term) >= 3 AND head_dist <= 1
+ORDER BY head_dist, df DESC, term LIMIT 10
+"""
+
+
+def q_result_clustering(spark, sf_dir):
+    """Carrot2-style search-result clustering: tf-idf + seeded KMeans over
+    the 'dup OR vector' result set (rows-only: spark.ml iteration isn't
+    SQL-expressible)."""
+    from .operators.search_features import result_clustering
+
+    return result_clustering(
+        _docs(spark, sf_dir), ["dup", "vector"], n_results=40, n_clusters=3
+    )
+
+
 REGISTRY_FEATURES.update(
     {
+        "suggest_fuzzy": (q_suggest_fuzzy, SQL_SUGGEST_FUZZY),
+        "result_clustering": (q_result_clustering, None),
         "term_vectors": (q_term_vectors, SQL_TERM_VECTORS),
         "query_elevation": (q_query_elevation, SQL_QUERY_ELEVATION),
         "spellcheck_collation": (q_spellcheck_collation, SQL_SPELLCHECK_COLLATION),

@@ -300,6 +300,75 @@ def cursor_page(
     )
 
 
+def suggest_fuzzy(
+    tokens: DataFrame, prefix: str, max_edits: int = 1, k: int = 10
+) -> DataFrame:
+    """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
+    complete `prefix` tolerating up to `max_edits` edits WITHIN the typed
+    prefix (the suggestion's head may differ from what was typed), ranked
+    by df. Distance is computed on the candidate's head truncated to the
+    prefix length — Lucene's automaton does the same comparison without
+    enumeration; at terms-dict scale the candidate set is first cut by
+    shared first letter or length band, keeping the scan pruned."""
+    n = len(prefix)
+    head = F.substring("term", 1, n)
+    cand = (
+        tokens.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        # cheap band pruning before levenshtein: candidate heads within
+        # max_edits of the prefix share either first char or length +-1
+        .filter(F.length("term") >= n - max_edits)
+        .withColumn("head_dist", F.levenshtein(head, F.lit(prefix)))
+        .filter(F.col("head_dist") <= max_edits)
+    )
+    return (
+        cand.orderBy(F.asc("head_dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "head_dist", "df")
+    )
+
+
+def result_clustering(
+    docs: DataFrame,
+    query_terms: list[str],
+    n_results: int = 50,
+    n_clusters: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-result clustering (solr/contrib/clustering, Carrot2
+    engine shape): take the query's result set, vectorize with tf-idf
+    (spark.ml HashingTF+IDF), KMeans into clusters, return per-cluster
+    sizes + top doc. Rows-only contract (seeded, but spark.ml float
+    iteration isn't ANSI-SQL-expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    cond = None
+    for t in query_terms:
+        c = F.array_contains(F.split(F.col(text_col), " "), t)
+        cond = c if cond is None else (cond | c)
+    results = docs.filter(cond).orderBy(id_col).limit(n_results)
+    tok = Tokenizer(inputCol=text_col, outputCol="_words")
+    tf = HashingTF(inputCol="_words", outputCol="_tf", numFeatures=1 << 12)
+    idf = IDF(inputCol="_tf", outputCol="_feat")
+    staged = tf.transform(tok.transform(results))
+    feat = idf.fit(staged).transform(staged)
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
+                predictionCol="cluster")
+    assigned = km.fit(feat).transform(feat)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("top_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("cluster"))
+        .select("n_docs", "top_doc")
+    )
+
+
 def phonetic_terms(tokens: DataFrame, word: str, k: int = 10) -> DataFrame:
     """PhoneticFilter-style matching (lucene/analysis/phonetic wrapping
     commons-codec Soundex): index-vocabulary terms whose American-Soundex
