@@ -428,6 +428,77 @@ FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_intervals_ordered_n3(spark, sf_dir):
+    """N-ary Intervals.ordered(hash, merge, join): 3-slot greedy chain,
+    minimal by last-start-per-end; per-doc interval counts."""
+    from .operators.intervals import interval_counts, minimal_ordered_n
+
+    iv = minimal_ordered_n(
+        _tok(spark, sf_dir), ["hash", "merge", "join"], max_gaps=None
+    )
+    return interval_counts(iv).orderBy("doc_id")
+
+
+SQL_INTERVALS_ORDERED_N3 = f"""
+WITH {_SQL_POS},
+a AS (SELECT doc_id, pos AS lo FROM tok WHERE term = 'hash'),
+c2 AS (SELECT a.doc_id, a.lo, min(b.pos) AS p2
+       FROM a JOIN tok b ON b.doc_id = a.doc_id AND b.term = 'merge'
+                        AND b.pos > a.lo
+       GROUP BY a.doc_id, a.lo),
+c3 AS (SELECT c2.doc_id, c2.lo, min(c.pos) AS hi
+       FROM c2 JOIN tok c ON c.doc_id = c2.doc_id AND c.term = 'join'
+                         AND c.pos > c2.p2
+       GROUP BY c2.doc_id, c2.lo),
+m AS (SELECT doc_id, lo, hi,
+             lead(hi) OVER (PARTITION BY doc_id ORDER BY lo) AS nh
+      FROM c3)
+SELECT doc_id, count(*) AS n_intervals FROM m
+WHERE nh IS NULL OR nh > hi
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_intervals_unordered_n3(spark, sf_dir):
+    """N-ary Intervals.unordered({dup, vector, window}) via the
+    plane-sweep (running per-term max, lo strictly increasing keeps
+    minimal); per-doc counts with maxgaps=20."""
+    from .operators.intervals import interval_counts, minimal_unordered_n
+
+    iv = minimal_unordered_n(
+        _tok(spark, sf_dir), ["dup", "vector", "window"], max_gaps=20
+    )
+    return interval_counts(iv).orderBy("doc_id")
+
+
+SQL_INTERVALS_UNORDERED_N3 = f"""
+WITH {_SQL_POS},
+src AS (SELECT doc_id, pos, term FROM tok
+        WHERE term IN ('dup', 'vector', 'window')),
+sweep AS (
+  SELECT doc_id, pos AS hi,
+         max(CASE WHEN term = 'dup' THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS l1,
+         max(CASE WHEN term = 'vector' THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS l2,
+         max(CASE WHEN term = 'window' THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS l3
+  FROM src),
+cand AS (SELECT doc_id, least(l1, l2, l3) AS lo, hi
+         FROM sweep
+         WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL),
+m AS (SELECT doc_id, lo, hi,
+             lag(lo) OVER (PARTITION BY doc_id ORDER BY hi) AS pl
+      FROM cand)
+SELECT doc_id, count(*) AS n_intervals FROM m
+WHERE (pl IS NULL OR pl < lo) AND hi - lo + 1 - 3 <= 20
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY_SPANS: dict[str, tuple] = {
     "span_near_ordered": (q_span_near_ordered, SQL_SPAN_NEAR_ORDERED),
     "span_near_unordered": (q_span_near_unordered, SQL_SPAN_NEAR_UNORDERED),
@@ -435,6 +506,11 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "span_or": (q_span_or, SQL_SPAN_OR),
     "span_not": (q_span_not, SQL_SPAN_NOT),
     "intervals_ordered": (q_intervals_ordered, SQL_INTERVALS_ORDERED),
+    "intervals_ordered_n3": (q_intervals_ordered_n3, SQL_INTERVALS_ORDERED_N3),
+    "intervals_unordered_n3": (
+        q_intervals_unordered_n3,
+        SQL_INTERVALS_UNORDERED_N3,
+    ),
     "intervals_unordered": (q_intervals_unordered, SQL_INTERVALS_UNORDERED),
     "sloppy_phrase_freq": (q_sloppy_phrase, SQL_SLOPPY_PHRASE),
     "lm_dirichlet_topk": (q_lm_dirichlet, SQL_LM_DIRICHLET),

@@ -67,3 +67,49 @@ def test_containing_and_not(tok):
     assert with_x == {(4, 0, 4)}
     without_x = _set(not_containing(iv, tok, "x"))
     assert without_x == {(1, 2, 3), (2, 0, 1), (2, 2, 3)}
+
+
+@pytest.fixture(scope="module")
+def tok3(spark):
+    # one doc: a@0, b@3, c@5, a@10, b@12, c@13
+    rows = [
+        (1, "a", 0), (1, "b", 3), (1, "c", 5),
+        (1, "a", 10), (1, "b", 12), (1, "c", 13),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, term string, pos int")
+
+
+def test_minimal_ordered_n3(tok3):
+    from lucene_solr_spark.operators.intervals import minimal_ordered_n
+
+    got = _set(minimal_ordered_n(tok3, ["a", "b", "c"]))
+    # chain from a@0 -> b@3 -> c@5 = [0,5]; from a@10 -> [10,13]
+    assert got == {(1, 0, 5), (1, 10, 13)}
+
+
+def test_minimal_unordered_n3(tok3):
+    from lucene_solr_spark.operators.intervals import minimal_unordered_n
+
+    got = _set(minimal_unordered_n(tok3, ["a", "b", "c"]))
+    # sweep candidates: [0,5] [3,10] [5,12] [10,13] — lo strictly
+    # increasing, none contains another -> all minimal
+    assert got == {(1, 0, 5), (1, 3, 10), (1, 5, 12), (1, 10, 13)}
+
+
+def test_minimal_unordered_n3_maxgaps(tok3):
+    from lucene_solr_spark.operators.intervals import minimal_unordered_n
+
+    got = _set(minimal_unordered_n(tok3, ["a", "b", "c"], max_gaps=3))
+    # widths: 6,8,8,4 -> gaps = width-3 = 3,5,5,1 -> keep gaps<=3
+    assert got == {(1, 0, 5), (1, 10, 13)}
+
+
+def test_ordered_n2_matches_binary(tok):
+    from lucene_solr_spark.operators.intervals import (
+        minimal_ordered,
+        minimal_ordered_n,
+    )
+
+    assert _set(minimal_ordered_n(tok, ["a", "b"])) == _set(
+        minimal_ordered(tok, "a", "b")
+    )
