@@ -286,6 +286,33 @@ FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_engine_explain(spark, sf_dir):
+    """IndexSearcher#explain parity: per-term BM25 score breakdown (tf,
+    df, idf, dl, tf_norm, contrib) for doc 8 on {dup, vector}, through
+    the real engine (internal ids == original ids here because urls are
+    zero-padded doc ids and ids are url-rank)."""
+    eng = _engine(spark, sf_dir)
+    return eng["searcher"].explain(["dup", "vector"], 8)
+
+
+SQL_ENGINE_EXPLAIN = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN ('dup', 'vector') GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT tf.term, CAST(tf.tf AS INT) AS tf, dfs.df,
+       ROUND(ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5)), 4) AS idf,
+       CAST(dl.dl AS INT) AS dl,
+       ROUND(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)), 4)
+         AS tf_norm,
+       ROUND(ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)), 4)
+         AS contrib
+FROM tf JOIN dfs USING (term) JOIN dl ON dl.doc_id = tf.doc_id, cstats
+WHERE tf.doc_id = 8 ORDER BY term
+"""
+
+
 def q_streaming_window_counts(spark, sf_dir):
     """Watermarked tumbling-window agg (streaming/incremental.py) run on the
     batch events table — Spark's unified batch/stream semantics make the
@@ -325,4 +352,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_multi_phrase_sql": (q_engine_multi_phrase, SQL_ENGINE_MULTI_PHRASE),
     "engine_query_parser_sql": (q_engine_query_parser, SQL_ENGINE_QUERY_PARSER),
     "engine_edismax_sql": (q_engine_edismax, SQL_ENGINE_EDISMAX),
+    "engine_explain_sql": (q_engine_explain, SQL_ENGINE_EXPLAIN),
 }

@@ -518,6 +518,46 @@ class Searcher:
         """TotalHitCountCollector analog."""
         return self.score_all(q).count()
 
+    def explain(self, terms: list[str], doc_id: int) -> DataFrame:
+        """IndexSearcher#explain (Explanation tree, BM25Similarity
+        #explain): per-term score breakdown for ONE document — (term, tf,
+        df, idf, dl, tf_norm, contrib), contrib = idf * tf_norm, summed
+        over rows = the doc's score for the OR query of `terms`.
+
+        One bucket-pruned postings scan filtered to (terms, doc_id) +
+        a broadcast stats join — the same partition pruning as a search,
+        never a full scan."""
+        stats = self._stats_for(sorted(set(terms)))
+        p = self.postings
+        if "bucket" in p.columns:
+            p = p.filter(F.col("bucket").isin(self._buckets(list(stats))))
+        rows = p.filter(
+            F.col("term").isin(list(stats)) & (F.col("doc_id") == doc_id)
+        ).select("term", "tf", "dlq")
+        spark = self.postings.sparkSession
+        sdf = spark.createDataFrame(
+            [(t, s["df"], self._idf(s["df"])) for t, s in stats.items()],
+            "term string, df long, idf double",
+        )
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dlq") / F.lit(self.avgdl)
+        )
+        tf_norm = F.col("tf") / (F.col("tf") + norm)
+        return (
+            rows.join(F.broadcast(sdf), "term")
+            .select(
+                "term",
+                "tf",
+                "df",
+                F.round("idf", 4).alias("idf"),
+                F.col("dlq").alias("dl"),
+                F.round(tf_norm, 4).alias("tf_norm"),
+                F.round(F.col("idf") * tf_norm, 4).alias("contrib"),
+            )
+            .orderBy("term")
+        )
+
     def search_after(
         self, q, after_score: float, after_doc: int, k: int = 10
     ) -> DataFrame:
