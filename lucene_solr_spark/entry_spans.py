@@ -194,6 +194,72 @@ FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_lm_jm(spark, sf_dir):
+    """LMJelinekMercerSimilarity (lambda=0.1) top-10 for 'dup' — raw
+    lengths (score.py lm_jelinek_mercer_score)."""
+    from .entry_queries import _dl
+    from .score import lm_jelinek_mercer_score
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    sum_ttf = int(dl.agg(F.sum("dl")).first()[0])
+    tf = tok.filter(F.col("term") == "dup").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    ttf = tok.filter(F.col("term") == "dup").count()
+    scored = tf.join(dl, "doc_id").select(
+        "doc_id",
+        lm_jelinek_mercer_score(
+            F.col("tf"), F.col("dl"), F.lit(float(ttf)), sum_ttf, 0.1
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_LM_JM = f"""
+WITH {_SQL_POS},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+sums AS (SELECT CAST(sum(dl) AS DOUBLE) AS sum_ttf FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+ttfv AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM tok WHERE term = 'dup'),
+s AS (
+  SELECT tf.doc_id,
+         greatest(
+           ln(1 + (0.9 * tf.tf / dl.dl) / (0.1 * (ttfv.ttf / sums.sum_ttf))),
+           0.0) AS score
+  FROM tf, dl, sums, ttfv WHERE dl.doc_id = tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_boolean_sim(spark, sf_dir):
+    """BooleanSimilarity: score == query boost for every matching doc
+    (ordered by doc_id; boost 2.5 on 'dup' AND-composed with constant
+    semantics — counts prove the match set, score proves the constant)."""
+    tok = _tok(spark, sf_dir)
+    from .score import boolean_score
+
+    m = tok.filter(F.col("term") == "dup").select("doc_id").distinct()
+    return (
+        m.withColumn("score", F.round(boolean_score(2.5), 4))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+SQL_BOOLEAN_SIM = f"""
+WITH {_SQL_POS}
+SELECT doc_id, 2.5 AS score FROM (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'dup') t
+ORDER BY doc_id LIMIT 20
+"""
+
+
 def q_span_or(spark, sf_dir):
     """SpanOrQuery: union of the 'big'/'small' position streams."""
     from .operators.spans import span_or
@@ -514,6 +580,8 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "intervals_unordered": (q_intervals_unordered, SQL_INTERVALS_UNORDERED),
     "sloppy_phrase_freq": (q_sloppy_phrase, SQL_SLOPPY_PHRASE),
     "lm_dirichlet_topk": (q_lm_dirichlet, SQL_LM_DIRICHLET),
+    "lm_jm_topk": (q_lm_jm, SQL_LM_JM),
+    "boolean_sim": (q_boolean_sim, SQL_BOOLEAN_SIM),
     "classic_tfidf_topk": (q_classic_tfidf, SQL_CLASSIC_TFIDF),
     "dfr_inl2_topk": (q_dfr_inl2, SQL_DFR_INL2),
     "ib_ll_topk": (q_ib_ll, SQL_IB_LL),
