@@ -668,6 +668,95 @@ def q_engine_phrase_english(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing over documents: deterministic synthetic PII is
+    spliced into every 7th doc (both sides identically), then the
+    email/phone/IPv4 redaction pass runs; full redacted text is part of
+    the value hash."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or +1 (555) 123-4567 at 10.0.0.1"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = TQ.pii_redact(d)
+    return out.orderBy("doc_id").limit(50)
+
+
+SQL_PII_REDACT = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact bob@example.com or +1 (555) 123-4567 at 10.0.0.1'
+              ELSE text END AS text
+  FROM documents),
+r1 AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INT)
+           AS n_emails,
+         regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS t1
+  FROM d),
+r2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_split_to_array(t1,
+            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}')) - 1 AS INT)
+           AS n_phones,
+         regexp_replace(t1,
+            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+            '<PHONE>', 'g') AS t2
+  FROM r1),
+r3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         CAST(len(regexp_split_to_array(t2,
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS INT) AS n_ips,
+         regexp_replace(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+           AS text
+  FROM r2)
+SELECT doc_id, text, n_emails, n_phones, n_ips
+FROM r3 ORDER BY doc_id LIMIT 50
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: duplicate-token fraction + most-frequent
+    bigram coverage, per doc."""
+    return TQ.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id").limit(40)
+
+
+SQL_REPETITION_STATS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+dup AS (
+  SELECT doc_id,
+         1.0 - CAST(count(DISTINCT term) AS DOUBLE) / count(*) AS dup_frac,
+         count(*) AS n
+  FROM tok GROUP BY doc_id),
+bg AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS gram, count(*) AS c
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM bg GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(d.dup_frac, 4) AS dup_token_frac,
+       ROUND(CASE WHEN d.n >= 2
+                  THEN CAST(coalesce(t.topc, 0) * 2 AS DOUBLE) / d.n
+                  ELSE 0.0 END, 4) AS top_bigram_frac
+FROM dup d LEFT JOIN top t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id LIMIT 40
+"""
+
+
 REGISTRY_PIPELINE: dict[str, tuple] = {
     "dedup_exact_stats": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
@@ -690,6 +779,8 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "text_token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_lang_id": (q_lang_id, SQL_LANG_ID),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "text_pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "text_repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_frame_plan": (q_multimodal_frame_plan, None),
     "engine_bm25_english": (q_engine_bm25_english, None),

@@ -90,3 +90,57 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.md5(F.concat_ws(" ", words)).alias("fingerprint")
     )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): redact email addresses,
+    international-ish phone numbers, and IPv4 addresses with typed
+    placeholders; reports per-doc counts. Pure regexp_replace /
+    regexp_count Column expressions (RE2-safe syntax, no backreferences)
+    so the whole pass stays inside whole-stage codegen — at 100 TB this
+    is a narrow map with zero shuffle."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
+    ipv4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    t = F.col(text_col)
+    n_email = F.size(F.split(t, email)) - 1
+    redacted = F.regexp_replace(t, email, "<EMAIL>")
+    n_phone = F.size(F.split(redacted, phone)) - 1
+    redacted2 = F.regexp_replace(redacted, phone, "<PHONE>")
+    n_ip = F.size(F.split(redacted2, ipv4)) - 1
+    return df.select(
+        "doc_id",
+        F.regexp_replace(redacted2, ipv4, "<IP>").alias("text"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 'repetition'
+    family, restated over whitespace tokens): fraction of duplicate
+    tokens (1 - distinct/total) and the fraction of all tokens covered by
+    the single most frequent 2-gram. Narrow per-doc array expressions —
+    no explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    # most frequent 2-gram count: aggregate(max over distinct grams of
+    # that gram's occurrence count) — all inside one SQL expression
+    grams_sql = (
+        f"CASE WHEN size(split({text_col}, ' ')) >= 2 THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
+        f" ELSE array() END"
+    )
+    top2 = F.expr(
+        f"aggregate(array_distinct({grams_sql}), 0, "
+        f"(acc, g) -> greatest(acc, size(filter({grams_sql}, x -> x = g))))"
+    )
+    top2_frac = F.when(n >= 2, (top2 * 2) / n).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.round(dup_frac, 4).alias("dup_token_frac"),
+        F.round(top2_frac, 4).alias("top_bigram_frac"),
+    )
