@@ -261,8 +261,16 @@ def spellcheck_collate(
         .filter(F.col("rn") == 1)
         .select("widx", F.col("term").alias("corrected"))
     )
-    collation = best.orderBy("widx").agg(
-        F.concat_ws(" ", F.collect_list("corrected")).alias("collation")
+    # collect_list gives NO ordering guarantee (orderBy before an agg is
+    # not preserved) — carry widx in a struct, sort the array, then join
+    collation = best.agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "corrected"))),
+                lambda s: s["corrected"],
+            ),
+        ).alias("collation")
     )
     hits = (
         tokens.join(
