@@ -708,18 +708,18 @@ r1 AS (
 r2 AS (
   SELECT doc_id, n_emails,
          CAST(len(regexp_split_to_array(t1,
-            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}')) - 1 AS INT)
-           AS n_phones,
-         regexp_replace(t1,
-            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
-            '<PHONE>', 'g') AS t2
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS INT) AS n_ips,
+         regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+           AS t2
   FROM r1),
 r3 AS (
-  SELECT doc_id, n_emails, n_phones,
+  SELECT doc_id, n_emails, n_ips,
          CAST(len(regexp_split_to_array(t2,
-            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) - 1 AS INT) AS n_ips,
-         regexp_replace(t2, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
-           AS text
+            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}')) - 1 AS INT)
+           AS n_phones,
+         regexp_replace(t2,
+            '\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+            '<PHONE>', 'g') AS text
   FROM r2)
 SELECT doc_id, text, n_emails, n_phones, n_ips
 FROM r3 ORDER BY doc_id LIMIT 50
@@ -750,7 +750,7 @@ top AS (SELECT doc_id, max(c) AS topc FROM bg GROUP BY doc_id)
 SELECT d.doc_id,
        ROUND(d.dup_frac, 4) AS dup_token_frac,
        ROUND(CASE WHEN d.n >= 2
-                  THEN CAST(coalesce(t.topc, 0) * 2 AS DOUBLE) / d.n
+                  THEN LEAST(1.0, CAST(coalesce(t.topc, 0) * 2 AS DOUBLE) / d.n)
                   ELSE 0.0 END, 4) AS top_bigram_frac
 FROM dup d LEFT JOIN top t ON t.doc_id = d.doc_id
 ORDER BY d.doc_id LIMIT 40

@@ -59,11 +59,17 @@ def facet_field(
     else:
         g = g.orderBy(*order).limit(limit)
     if missing:
+        # The null bucket must sort LAST (Solr renders it after the value
+        # buckets). Union row order is not a Spark contract (AQE may
+        # repartition), so re-sort with an explicit is-null-last key
+        # instead of relying on unionByName output order.
         miss = df.filter(F.col(field).isNull()).agg(
             F.lit(None).cast(df.schema[field].dataType).alias("facet_value"),
             F.count("*").alias("count"),
         )
-        g = g.unionByName(miss)
+        g = g.unionByName(miss).orderBy(
+            F.col("facet_value").isNull().asc(), *order
+        )
     return g
 
 

@@ -151,15 +151,56 @@ def minhash_over(keys: DataFrame, num_hashes: int, key_col: str = "gram") -> Dat
     return keys.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int, rows_per_band: int
+def _capped_bucket_pairs(
+    keys: DataFrame, bucket_cols: list[str], max_bucket: int
 ) -> DataFrame:
-    """b×r banding -> distinct candidate (a, b) pairs, a < b.
+    """Within-bucket pair generation with a hot-bucket guard.
 
-    Shuffle shape at 10^12 docs: one explode to (doc, band, band_key) rows
-    (b per doc), one groupBy-free self-join keyed on (band, band_key) — the
-    join only materializes pairs WITHIN buckets (never all-pairs), and the
-    final distinct dedups pairs colliding in several bands."""
+    The naive within-bucket self-join is quadratic in bucket size; real web
+    corpora have degenerate buckets (boilerplate / near-empty pages) where
+    one 10^6-doc bucket would emit 5x10^11 pairs and kill the stage. Buckets
+    with <= max_bucket members get the full all-pairs join; oversized
+    buckets degrade to STAR pairs (every member linked to the bucket's
+    minimum doc_id) — O(n) pairs per bucket, which still preserves
+    connected-component connectivity for true-duplicate buckets while the
+    downstream exact verify rejects coincidental collisions. `keys` must
+    have a doc_id column plus `bucket_cols`."""
+    sz = keys.groupBy(*bucket_cols).agg(
+        F.count("*").alias("_bn"), F.min("doc_id").alias("_bmin")
+    )
+    keyed = keys.join(sz, bucket_cols)
+    small = keyed.filter(F.col("_bn") <= max_bucket).drop("_bn", "_bmin")
+    a, b = small.alias("a"), small.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    all_pairs = a.join(b, cond).select(
+        F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+    )
+    star = (
+        keyed.filter(F.col("_bn") > max_bucket)
+        .filter(F.col("doc_id") != F.col("_bmin"))
+        .select(F.col("_bmin").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return all_pairs.unionByName(star).distinct()
+
+
+def lsh_bucket_stats(
+    sig: DataFrame, bands: int, rows_per_band: int, max_bucket: int = 5000
+) -> DataFrame:
+    """Observability for the hot-bucket guard: one row per OVERSIZED
+    (band, band_key) bucket with its member count — the `dropped_buckets`
+    metric a production dedup job should alert on."""
+    keys = _band_keys(sig, bands, rows_per_band)
+    return (
+        keys.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+        .orderBy(F.desc("n_docs"), "band", "band_key")
+    )
+
+
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -173,18 +214,23 @@ def lsh_candidate_pairs(
     keys = band_rows[0]
     for br in band_rows[1:]:
         keys = keys.unionByName(br)
-    a = keys.alias("a")
-    b = keys.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
+    return keys
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int, max_bucket: int = 5000
+) -> DataFrame:
+    """b×r banding -> distinct candidate (a, b) pairs, a < b.
+
+    Shuffle shape at 10^12 docs: one explode to (doc, band, band_key) rows
+    (b per doc), one self-join keyed on (band, band_key) — the join only
+    materializes pairs WITHIN buckets (never all-pairs), and the final
+    distinct dedups pairs colliding in several bands. Buckets larger than
+    `max_bucket` degrade to star pairs (see _capped_bucket_pairs) instead
+    of a quadratic blowup; `lsh_bucket_stats` surfaces which buckets were
+    capped."""
+    keys = _band_keys(sig, bands, rows_per_band)
+    return _capped_bucket_pairs(keys, ["band", "band_key"], max_bucket)
 
 
 def verify_jaccard(
@@ -214,12 +260,22 @@ def verify_jaccard(
     return j.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 5
+) -> DataFrame:
     """(a, b) edges -> (doc_id, cluster) where cluster = min doc_id in the
     connected component. Iterative min-label propagation (the Pregel shape:
     each round one join + one min-agg, converging in O(log diameter) rounds
     for typical dup chains; `max_iter` bounds pathological paths). The
-    per-round convergence check is a count() — one scalar to the driver."""
+    per-round convergence check is a count() — one scalar to the driver.
+
+    persist/unpersist bounds recompute per round, but the LOGICAL plan still
+    deepens each iteration; at 10^9 edges a 25-round worst case would blow
+    analyzer/optimizer time and executor deserialization. localCheckpoint()
+    every `checkpoint_every` rounds truncates the lineage to the
+    materialized blocks (at true cluster scale use reliable checkpoint() to
+    HDFS, or GraphFrames' connectedComponents which implements the same
+    large-star/small-star contraction with built-in checkpointing)."""
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
@@ -228,7 +284,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         labels = labels.persist()
         prop = (
             sym.join(labels, sym["a"] == labels["doc_id"])
@@ -239,8 +295,11 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster").alias("cluster"))
-            .persist()
         )
+        if (it + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
         changed = (
             new.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
             .filter(F.col("cluster") != F.col("old"))
@@ -362,13 +421,25 @@ def simhash64(tok: DataFrame) -> DataFrame:
 
 
 def simhash_hamming_candidates(
-    sim: DataFrame, max_hamming: int = 3, chunks: int = 4
+    sim: DataFrame, max_hamming: int = 3, chunks: int = 4,
+    max_bucket: int = 5000,
 ) -> DataFrame:
     """Near-dup candidates from 64-bit SimHashes via chunk bucketing: split
     the hash into `chunks` 16-bit pieces; by pigeonhole any pair within
     Hamming distance <= chunks-1 shares at least one exact chunk, so the
     candidate join is keyed on (chunk_idx, chunk_value) — never all-pairs.
-    Returns (a, b, hamming) pairs with hamming <= max_hamming."""
+    Returns (a, b, hamming) pairs with hamming <= max_hamming.
+
+    Chunk extraction is sign-safe: bitwiseAND(mask) rather than `%`, which
+    in Spark keeps the dividend's sign and would give negative chunk-0 keys
+    for negative simhashes, silently splitting mixed-sign pairs into
+    different buckets. Buckets over `max_bucket` degrade to star pairs
+    (still Hamming-filtered) instead of a quadratic self-join.
+
+    Scale note (10^9+ docs): 16-bit chunks give <=65,536 buckets per chunk
+    index, ~15k docs/bucket at 10^9 docs — at that scale use Manku et al.
+    2007's sorted multi-permutation tables (wider effective prefixes);
+    this chunk scheme is exact and bucket-bounded up to ~10^8 docs."""
     width = 64 // chunks
     mask = (1 << width) - 1
     pieces = []
@@ -378,29 +449,19 @@ def simhash_hamming_candidates(
                 "doc_id",
                 "simhash",
                 F.lit(c).alias("chunk"),
-                (F.shiftrightunsigned("simhash", c * width) % F.lit(mask + 1)).alias(
-                    "piece"
-                ),
+                F.shiftrightunsigned("simhash", c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("piece"),
             )
         )
     keys = pieces[0]
     for p in pieces[1:]:
         keys = keys.unionByName(p)
-    a, b = keys.alias("a"), keys.alias("b")
+    hashes = sim.select("doc_id", "simhash")
+    cand = _capped_bucket_pairs(keys, ["chunk", "piece"], max_bucket)
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.piece") == F.col("b.piece"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+        cand.join(hashes.withColumnRenamed("doc_id", "a").withColumnRenamed("simhash", "ha"), "a")
+        .join(hashes.withColumnRenamed("doc_id", "b").withColumnRenamed("simhash", "hb"), "b")
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (

@@ -102,15 +102,18 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ][0-9]{3,4}[-. ][0-9]{3,4}"
     ipv4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    # Pass order matters: IPv4 BEFORE phones — the phone pattern's [-. ]
+    # separators would otherwise swallow dotted IPs with 3-digit octets
+    # (192.168.100.123 fully matches the phone regex) and mis-tag them.
     t = F.col(text_col)
     n_email = F.size(F.split(t, email)) - 1
     redacted = F.regexp_replace(t, email, "<EMAIL>")
-    n_phone = F.size(F.split(redacted, phone)) - 1
-    redacted2 = F.regexp_replace(redacted, phone, "<PHONE>")
-    n_ip = F.size(F.split(redacted2, ipv4)) - 1
+    n_ip = F.size(F.split(redacted, ipv4)) - 1
+    redacted2 = F.regexp_replace(redacted, ipv4, "<IP>")
+    n_phone = F.size(F.split(redacted2, phone)) - 1
     return df.select(
         "doc_id",
-        F.regexp_replace(redacted2, ipv4, "<IP>").alias("text"),
+        F.regexp_replace(redacted2, phone, "<PHONE>").alias("text"),
         n_email.cast("int").alias("n_emails"),
         n_phone.cast("int").alias("n_phones"),
         n_ip.cast("int").alias("n_ips"),
@@ -138,7 +141,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"aggregate(array_distinct({grams_sql}), 0, "
         f"(acc, g) -> greatest(acc, size(filter({grams_sql}, x -> x = g))))"
     )
-    top2_frac = F.when(n >= 2, (top2 * 2) / n).otherwise(F.lit(0.0))
+    # Coverage is capped at 1.0: overlapping occurrences ('a a a' has two
+    # 'a a' bigrams over three tokens) would otherwise double-count shared
+    # tokens and push the fraction outside [0,1] (Gopher defines it as the
+    # fraction of tokens covered, which can never exceed 1).
+    top2_frac = F.when(
+        n >= 2, F.least(F.lit(1.0), (top2 * 2) / n)
+    ).otherwise(F.lit(0.0))
     return df.select(
         "doc_id",
         F.round(dup_frac, 4).alias("dup_token_frac"),

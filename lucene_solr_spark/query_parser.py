@@ -282,8 +282,11 @@ class _Parser:
                 q = Wildcard(pat)
             return _boost(q, boost), False
         if fuzzy is not None:
-            edits = 2 if fuzzy < 0 else (int(fuzzy) if fuzzy >= 1 else 2)
-            q = Fuzzy(_unescape(raw).lower(), max_edits=min(edits, 2))
+            # bare `~` (encoded as fuzzy < 0) = 2 edits, the Lucene default;
+            # explicit `~N` = exactly N edits capped at 2 — in particular
+            # `term~0` means EXACT match (0 edits), not maximal fuzziness.
+            edits = 2 if fuzzy < 0 else min(int(fuzzy), 2)
+            q = Fuzzy(_unescape(raw).lower(), max_edits=edits)
             return _boost(q, boost), False
 
         terms = self._analyze(raw)

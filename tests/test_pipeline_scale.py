@@ -142,6 +142,88 @@ def test_simhash_chunk_bucketing_is_complete(spark, docs):
     assert exact, "fixture must contain simhash near-dups"
 
 
+def test_simhash_mixed_sign_chunk0_pair(spark):
+    """Regression: chunk extraction must be sign-safe. This pair is
+    negative-vs-positive and shares ONLY chunk 0 (low 16 bits); with the
+    old `% 65536` extraction (Spark's % keeps the dividend's sign) the
+    negative hash got a negative chunk-0 key and the pair was never
+    joined, breaking pigeonhole completeness."""
+    from lucene_solr_spark.pipeline.dedup import simhash_hamming_candidates
+
+    ha = -(1 << 63) + (1 << 32) + (1 << 16) + 5   # negative; c1,c2,c3 differ
+    hb = 5                                         # positive; shares only c0
+    sim = spark.createDataFrame(
+        [(1, ha), (2, hb)], "doc_id long, simhash long"
+    )
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_hamming_candidates(sim, max_hamming=3).collect()
+    }
+    assert got == {(1, 2, 3)}
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """One degenerate bucket (2k identical signatures — the boilerplate-
+    page case) must yield O(n) star pairs, not n(n-1)/2 ≈ 2M; the star
+    keeps every member connected to the bucket min so downstream
+    connected components still collapse the cluster. lsh_bucket_stats
+    surfaces the capped bucket."""
+    from lucene_solr_spark.pipeline.dedup import (
+        connected_components,
+        lsh_bucket_stats,
+        lsh_candidate_pairs,
+    )
+
+    n = 2000
+    sig = spark.createDataFrame(
+        [(i, "x", "x") for i in range(n)], "doc_id long, mh_0 string, mh_1 string"
+    )
+    pairs = lsh_candidate_pairs(sig, bands=1, rows_per_band=2, max_bucket=100)
+    rows = pairs.collect()
+    assert len(rows) == n - 1  # star: each non-min doc linked to doc 0
+    assert {r["a"] for r in rows} == {0}
+    cc = connected_components(pairs).collect()
+    assert {r["cluster"] for r in cc} == {0} and len(cc) == n
+    stats = lsh_bucket_stats(sig, 1, 2, max_bucket=100).collect()
+    assert len(stats) == 1 and stats[0]["n_docs"] == n
+
+
+def test_lsh_small_buckets_unaffected_by_cap(spark, docs):
+    """With the default cap, real-fixture pairs are identical to the
+    uncapped all-pairs result (no bucket in the fixture is oversized)."""
+    from lucene_solr_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_over,
+        shingle_grams,
+    )
+
+    sig = minhash_over(shingle_grams(docs, 3), 16)
+    capped = {
+        (r["a"], r["b"]) for r in lsh_candidate_pairs(sig, 8, 2).collect()
+    }
+    uncapped = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(sig, 8, 2, max_bucket=10**9).collect()
+    }
+    assert capped == uncapped
+
+
+def test_connected_components_checkpointed_chain(spark):
+    """A 20-node chain needs 19 propagation rounds — several
+    localCheckpoint() lineage truncations — and must still converge to
+    the min-id component."""
+    from lucene_solr_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 119)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(edges, max_iter=25, checkpoint_every=3).collect()
+    }
+    assert got == {i: 100 for i in range(100, 120)}
+
+
 # ---------------------------------------------------------------------------
 # IVF + bucketed kNN join
 # ---------------------------------------------------------------------------

@@ -87,6 +87,9 @@ def test_wildcards_prefix_fuzzy():
     assert p("a*b*") == Wildcard("a*b*")
     assert p("alpha~") == Fuzzy("alpha", max_edits=2)
     assert p("alpha~1") == Fuzzy("alpha", max_edits=1)
+    # term~0 is EXACT matching (0 edits) in classic Lucene, not the default 2
+    assert p("alpha~0") == Fuzzy("alpha", max_edits=0)
+    assert p("alpha~5") == Fuzzy("alpha", max_edits=2)  # capped at 2
 
 
 def test_multiterm_not_stemmed():
