@@ -68,22 +68,26 @@ GROUP BY pa.doc_id ORDER BY pa.doc_id
 
 
 def q_span_first(spark, sf_dir):
-    """SpanFirstQuery: 'dup' within the first 10 positions (1-based)."""
+    """SpanFirstQuery: 'order' within the first 10 positions (1-based) —
+    ~145 matching docs at sf0.01, so the oracle row is non-vacuous (the
+    round-2 'dup'/end=11 pair matched on 0 rows, which proves nothing)."""
     from .operators.spans import span_first
 
-    return span_first(_tok(spark, sf_dir), "dup", 11).orderBy("doc_id")
+    return span_first(_tok(spark, sf_dir), "order", 11).orderBy("doc_id")
 
 
 SQL_SPAN_FIRST = f"""
 WITH {_SQL_POS}
 SELECT DISTINCT doc_id FROM tok
-WHERE term = 'dup' AND pos < 11 ORDER BY doc_id
+WHERE term = 'order' AND pos < 11 ORDER BY doc_id
 """
 
 
 def q_sloppy_phrase(spark, sf_dir):
-    """Sloppy phrase freq, slop=2, weight 1/(1+matchLength) (see
-    operators/spans.py for the all-pairs simplification note)."""
+    """Lucene-greedy sloppy phrase freq ("big order"~2): the
+    SloppyPhraseScorer.phraseFreq priority-queue walk — each position
+    consumed once, one 1/(1+matchLength) emission per overtake. The
+    oracle simulates the identical state machine with a recursive CTE."""
     from .operators.spans import sloppy_phrase_freq
 
     out = sloppy_phrase_freq(_tok(spark, sf_dir), "big", "order", 2)
@@ -92,17 +96,55 @@ def q_sloppy_phrase(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Recursive-CTE simulation of Lucene's greedy matcher for a 2-term phrase:
+# state = (index + current adjusted position per slot, which pointer is
+# popped, running max `end_`, current matchLength, accumulated freq).
+# One recursion step = one advancePP; ties pop slot a (offset order).
 SQL_SLOPPY_PHRASE = f"""
-WITH {_SQL_POS},
-pa AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'big'),
-pb AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'order'),
-m AS (
-  SELECT pa.doc_id, abs(pb.p - pa.p - 1) AS ml
-  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
-  WHERE pa.p <> pb.p AND abs(pb.p - pa.p - 1) <= 2
+WITH RECURSIVE {_SQL_POS},
+al AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM tok
+       WHERE term = 'big' GROUP BY doc_id),
+bl AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS ps FROM tok
+       WHERE term = 'order' GROUP BY doc_id),
+base AS (SELECT al.doc_id, al.ps AS ap, bl.ps AS bp
+         FROM al JOIN bl USING (doc_id)),
+sim AS (
+  SELECT doc_id, ap, bp, 1 AS ia, 1 AS ib,
+         ap[1] AS pa, bp[1] AS pb,
+         greatest(ap[1], bp[1]) AS end_,
+         CASE WHEN ap[1] <= bp[1] THEN 'a' ELSE 'b' END AS cur,
+         greatest(ap[1], bp[1]) - least(ap[1], bp[1]) AS ml,
+         CAST(0.0 AS DOUBLE) AS freq, FALSE AS done
+  FROM base
+  UNION ALL
+  SELECT doc_id, ap, bp,
+         CASE WHEN NOT exh AND cur = 'a' THEN ia + 1 ELSE ia END,
+         CASE WHEN NOT exh AND cur = 'b' THEN ib + 1 ELSE ib END,
+         CASE WHEN NOT exh AND cur = 'a' THEN np ELSE pa END,
+         CASE WHEN NOT exh AND cur = 'b' THEN np ELSE pb END,
+         CASE WHEN exh THEN end_ ELSE nend END,
+         CASE WHEN exh THEN cur
+              WHEN np > other THEN (CASE cur WHEN 'a' THEN 'b' ELSE 'a' END)
+              ELSE cur END,
+         CASE WHEN exh THEN ml
+              WHEN np > other THEN nend - other
+              ELSE least(ml, nend - np) END,
+         CASE WHEN (exh OR np > other) AND ml <= 2
+              THEN freq + 1.0 / (1.0 + ml) ELSE freq END,
+         exh
+  FROM (
+    SELECT s.*,
+           CASE WHEN cur = 'a' THEN ia + 1 > len(ap)
+                ELSE ib + 1 > len(bp) END AS exh,
+           CASE WHEN cur = 'a' THEN ap[ia + 1] ELSE bp[ib + 1] END AS np,
+           greatest(end_, CASE WHEN cur = 'a' THEN ap[ia + 1]
+                               ELSE bp[ib + 1] END) AS nend,
+           CASE WHEN cur = 'a' THEN pb ELSE pa END AS other
+    FROM sim s WHERE NOT done
+  )
 )
-SELECT doc_id, ROUND(sum(1.0 / (1.0 + ml)), 4) AS sloppy_freq
-FROM m GROUP BY doc_id ORDER BY doc_id
+SELECT doc_id, ROUND(freq, 4) AS sloppy_freq
+FROM sim WHERE done AND freq > 0 ORDER BY doc_id
 """
 
 

@@ -8,11 +8,15 @@ Reference parity:
     positions.
   * Sloppy phrase — SloppyPhraseMatcher.java (≈L50): phrase matches with
     edit distance <= slop; each match contributes sloppyWeight =
-    1/(1 + matchLength) to the phrase freq. NOTE: Lucene's matcher emits
-    non-overlapping greedy matches; we score ALL qualifying position
-    pairs — a documented simplification kept identical in the SQL oracle
-    (the two sides stay comparable; parity with Lucene's exact greedy
-    semantics is out of scope for this operator tier).
+    1/(1 + matchLength) to the phrase freq. `sloppy_phrase_freq`
+    implements Lucene's GREEDY matcher (the SloppyPhraseScorer.phraseFreq
+    priority-queue walk: advance the minimum phrase position, minimizing
+    matchLength, emit a match each time it overtakes the next pointer) —
+    positions are consumed once, so overlapping repeats score differently
+    from the naive all-pairs form, which is retained as
+    `sloppy_phrase_freq_allpairs` (the purely-relational simplification).
+    Repeated terms within the phrase (Lucene's hasRpts path) are out of
+    scope — distinct phrase terms only, asserted.
 
 All operators take a token table (doc_id, term, pos) — the exploded
 positions view of the inverted index — and return DataFrames; everything
@@ -21,6 +25,7 @@ is equi-joins + range predicates (Catalyst: broadcast/SMJ + codegen).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,12 +102,14 @@ def span_not(
     return survivors.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
 
 
-def sloppy_phrase_freq(
+def sloppy_phrase_freq_allpairs(
     tokens: DataFrame, term_a: str, term_b: str, slop: int
 ) -> DataFrame:
-    """Per-doc sloppy phrase frequency: sum of 1/(1+matchLength) over all
-    position pairs with matchLength = max(0, |pb - pa - 1|) <= slop
-    (see module docstring for the all-pairs simplification)."""
+    """All-pairs sloppy phrase frequency: sum of 1/(1+matchLength) over ALL
+    position pairs with matchLength = |pb - pa - 1| <= slop. A purely
+    relational simplification of Lucene's greedy matcher — kept for plans
+    that must stay join-expressible; deviates from Lucene's sloppyFreq on
+    overlapping repeats (use sloppy_phrase_freq for reference parity)."""
     pa_ = _positions(tokens, term_a, "pa")
     pb = _positions(tokens, term_b, "pb")
     j = pa_.join(pb, "doc_id")
@@ -112,3 +119,108 @@ def sloppy_phrase_freq(
         .groupBy("doc_id")
         .agg(F.sum(1.0 / (1.0 + ml)).alias("sloppy_freq"))
     )
+
+
+def greedy_sloppy_freq_lists(pls: list[list[int]], slop: int) -> float:
+    """Lucene SloppyPhraseScorer.phraseFreq over OFFSET-ADJUSTED position
+    lists (pls[i] = sorted positions of phrase slot i minus i). The
+    priority-queue walk: pop the minimum phrase position, advance it while
+    it has not overtaken the next pointer (minimizing matchLength = end -
+    min position); each overtake emits one match worth 1/(1+matchLength).
+    Each position is consumed exactly once — greedy, non-overlapping.
+    Pure-Python kernel shared by the Spark operator and its tests."""
+    import heapq
+
+    iters = [iter(p) for p in pls]
+    first = []
+    for it in iters:
+        v = next(it, None)
+        if v is None:
+            return 0.0  # conjunction: a missing term means freq 0
+        first.append(v)
+    end = max(first)
+    # tie-break (position, offset): Lucene's PhrasePositionsQueue order
+    heap = [(first[off], off) for off in range(len(pls))]
+    heapq.heapify(heap)
+    pos, off = heapq.heappop(heap)
+    match_len = end - pos
+    nxt = heap[0][0]
+    freq = 0.0
+    while True:
+        v = next(iters[off], None)
+        if v is None:
+            break
+        pos = v
+        if pos > end:
+            end = pos
+        if pos > nxt:  # done minimizing the current match length
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heap, (pos, off))
+            pos, off = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_len = end - pos
+        else:
+            ml2 = end - pos
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)
+    return freq
+
+
+def sloppy_phrase_freq_greedy(
+    tokens: DataFrame, terms: list[str], slop: int
+) -> DataFrame:
+    """Per-doc Lucene-greedy sloppy phrase frequency for an n-term phrase
+    of DISTINCT terms (SloppyPhraseMatcher.java without the hasRpts path).
+
+    Spark shape: one filter + one groupBy(doc_id) building per-slot sorted
+    adjusted position arrays (collect_list skips the nulls of non-matching
+    slots), then an Arrow-batched pandas UDF running the per-doc
+    state machine — inherently sequential semantics, so this is the
+    documented custom-operator path; the shuffle is a single doc_id-keyed
+    exchange and the UDF input is k small int arrays per doc."""
+    assert len(set(terms)) == len(terms), "repeated phrase terms unsupported"
+    from pyspark.sql.functions import pandas_udf
+
+    k = len(terms)
+    per_slot = [
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("term") == t, F.col("pos") - F.lit(i))
+            )
+        ).alias(f"_p{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = (
+        tokens.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(*per_slot)
+    )
+    for i in range(k):
+        per_doc = per_doc.filter(F.size(F.col(f"_p{i}")) > 0)
+
+    @pandas_udf("double")
+    def _freq(slots: pd.DataFrame) -> pd.Series:
+        cols = [slots[f"_p{i}"] for i in range(k)]
+        out = []
+        for row in zip(*cols):
+            out.append(greedy_sloppy_freq_lists([list(p) for p in row], slop))
+        return pd.Series(out)
+
+    return (
+        per_doc.withColumn(
+            "sloppy_freq", _freq(F.struct(*[F.col(f"_p{i}") for i in range(k)]))
+        )
+        .filter(F.col("sloppy_freq") > 0.0)
+        .select("doc_id", "sloppy_freq")
+    )
+
+
+def sloppy_phrase_freq(
+    tokens: DataFrame, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """Two-term Lucene-greedy sloppy phrase frequency (see
+    sloppy_phrase_freq_greedy)."""
+    return sloppy_phrase_freq_greedy(tokens, [term_a, term_b], slop)

@@ -87,9 +87,55 @@ def test_span_near_and_sloppy(mini_tok):
         r["doc_id"]: round(r["sloppy_freq"], 4)
         for r in sloppy_phrase_freq(mini_tok, "fox", "dog", 1).collect()
     }
-    # doc3 pairs: (1,3) ml=1 w=0.5 ; (5,3) ml=|3-5-1|=3 >1 excluded... wait
-    # ml = |pb - pa - 1| = |3 - 5 - 1| = 3 -> excluded; so 0.5
+    # greedy walk on doc3 fox(1) dog(3) fox(5): one emission ml=1 (w=0.5),
+    # tail ml=3 > slop — same value the all-pairs form happens to give here
     assert sf == {3: 0.5}
+
+
+def test_sloppy_greedy_vs_allpairs_differential(spark):
+    """Lucene-greedy vs all-pairs on overlapping repeats: doc 'a b a b',
+    query "a b"~2. Greedy consumes each position once -> two exact matches
+    (freq 2.0); all-pairs also scores the two cross pairs at ml=2 ->
+    2 + 2/3. The two semantics MUST disagree here (that disagreement is
+    what SloppyPhraseMatcher's greedy consumption is about), and greedy
+    must match the hand-traced Lucene value."""
+    from lucene_solr_spark.operators.spans import (
+        sloppy_phrase_freq,
+        sloppy_phrase_freq_allpairs,
+    )
+
+    tok = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1), (1, "a", 2), (1, "b", 3)],
+        "doc_id long, term string, pos int",
+    )
+    greedy = {
+        r["doc_id"]: round(r["sloppy_freq"], 4)
+        for r in sloppy_phrase_freq(tok, "a", "b", 2).collect()
+    }
+    allp = {
+        r["doc_id"]: round(r["sloppy_freq"], 4)
+        for r in sloppy_phrase_freq_allpairs(tok, "a", "b", 2).collect()
+    }
+    assert greedy == {1: 2.0}
+    assert allp == {1: 2.6667}
+    assert greedy != allp
+
+
+def test_greedy_sloppy_kernel_cases():
+    """Hand-traced Lucene values for the pure-Python kernel."""
+    from lucene_solr_spark.operators.spans import greedy_sloppy_freq_lists
+
+    # exact adjacency: "a b" -> adjusted [0], [0]
+    assert greedy_sloppy_freq_lists([[0], [0]], 2) == 1.0
+    # transposition "b a": a at 1, b at 0 -> adjusted [1], [-1] -> ml=2
+    assert greedy_sloppy_freq_lists([[1], [-1]], 2) == pytest.approx(1 / 3)
+    assert greedy_sloppy_freq_lists([[1], [-1]], 1) == 0.0
+    # missing term -> conjunction fails
+    assert greedy_sloppy_freq_lists([[0, 5], []], 3) == 0.0
+    # 3-term exact phrase "x y z" at 0,1,2 -> adjusted [0],[0],[0]
+    assert greedy_sloppy_freq_lists([[0], [0], [0]], 0) == 1.0
+    # 3-term with one gap: x(0) y(2) z(3) -> adjusted [0],[1],[1] -> ml=1
+    assert greedy_sloppy_freq_lists([[0], [1], [1]], 2) == 0.5
 
 
 def test_ltr_rescore(spark, mini_tok):
