@@ -156,6 +156,38 @@ def analyze(text: str, profile: str = "en", stem_cache: dict | None = None):
 _LONG_TOKEN_RE = re.compile(r"\w{256}")
 _CHAIN_MEMO: dict[str, dict] = {"en": {}, "english": {}, "standard": {}, "simple": {}}
 
+# ASCII fast path: on pure-ASCII rows (str.isascii, a C check) the CJK
+# alternative and the per-char (?!CJK) lookahead in TOKEN_RE are dead weight
+# — this explicit-class twin is ~3x faster and provably identical on ASCII
+# input (\w == [0-9A-Za-z_], '’' unreachable).
+_ASCII_TOKEN_RE = re.compile(r"[0-9A-Za-z_]+(?:['.][0-9A-Za-z_]+|(?<=\d),\d+)*")
+
+
+def _tokenize_rows(s, profile: str):
+    """Tokenize a pandas Series of strings -> list of per-row token lists.
+    Row-major, positions implicit (list order). Applies the ASCII
+    fast-path per row and the >255-char-token split (detected with ONE
+    regex pass over a NUL-joined megastring instead of per-row scans —
+    NUL never extends a \\w run, so tokens cannot cross the joins)."""
+    if profile == "simple":
+        return [SIMPLE_TOKEN_RE.findall(t) for t in s.str.lower()]
+    vals = s.tolist()
+    asc = [t.isascii() for t in vals]
+    if all(asc):
+        found = [_ASCII_TOKEN_RE.findall(t) for t in vals]
+    else:
+        found = [
+            (_ASCII_TOKEN_RE if a else TOKEN_RE).findall(t)
+            for t, a in zip(vals, asc)
+        ]
+    if _LONG_TOKEN_RE.search("\x00".join(vals)) is not None:
+        # rare: re-run the exact splitting tokenizer on affected rows only
+        found = [
+            tokenize_standard(t) if _LONG_TOKEN_RE.search(t) else f
+            for t, f in zip(vals, found)
+        ]
+    return found
+
 
 def _chain_one(tok: str, profile: str) -> str | None:
     """Full filter chain for one surface token; None = dropped (hole)."""
@@ -203,16 +235,8 @@ def analyze_flat(texts, profile: str = "en"):
             np.asarray(pos_l, dtype=np.int64),
             field_len,
         )
-    if profile == "simple":
-        found = s.str.lower().str.findall(SIMPLE_TOKEN_RE)
-    else:
-        found = s.str.findall(TOKEN_RE)
-        # rare slow path: >255-char tokens must be split (maxTokenLength)
-        long_rows = s.str.contains(_LONG_TOKEN_RE, regex=True)
-        if long_rows.any():
-            found = found.copy()
-            found[long_rows] = s[long_rows].map(tokenize_standard)
-    counts = found.map(len).to_numpy(dtype=np.int64)
+    found = _tokenize_rows(s, profile)
+    counts = np.fromiter(map(len, found), dtype=np.int64, count=len(found))
     n = len(s)
     total = int(counts.sum())
     row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -249,10 +273,18 @@ def analyze_flat(texts, profile: str = "en"):
 
 
 def analyze_flat_grouped(texts, profile: str = "en"):
-    """analyze_flat + map-side per-(row, term) aggregation — the DWPT
+    """Batch analysis + map-side per-(row, term) aggregation — the DWPT
     in-RAM inversion (TermsHashPerField#add): tf and sorted positions are
     computed HERE, before any shuffle, so the index build never shuffles
     token-level rows.
+
+    The whole pipeline after tokenization runs in INTEGER CODE SPACE: one
+    string factorize over the batch's surface tokens, the filter chain
+    memoized per unique surface token, then a single-key stable argsort on
+    row*n_stems+stem_code. Term strings materialize only once per output
+    GROUP — no intermediate 4-million-object term array, no second string
+    factorize, no 3-key lexsort (the round-2 kernel spent >half its time
+    there).
 
     Returns (grp_row, grp_term, grp_tf, pos_values, pos_offsets, field_len):
       grp_row     int64[g]   — row index of each (row, term) group
@@ -263,24 +295,102 @@ def analyze_flat_grouped(texts, profile: str = "en"):
                                (exactly an Arrow ListArray, zero-copy)
       field_len   int64[n]   — emitted-token count per row
     """
-    row_idx, terms, pos, field_len = analyze_flat(texts, profile)
-    if len(row_idx) == 0:
-        empty = np.empty(0, dtype=np.int64)
-        return row_idx, terms, empty, empty, np.zeros(1, np.int64), field_len
+    import itertools
+
     import pandas as pd
 
-    codes, uniq = pd.factorize(terms)
-    # sort by (row, term-code); pos is already ascending within each row
-    order = np.lexsort((pos, codes, row_idx))
-    r, c, p = row_idx[order], codes[order], pos[order]
-    boundary = np.empty(len(r), dtype=bool)
+    if profile in GRAPH_PROFILES:
+        # graph profiles ride the per-row chain; group via the same
+        # combined-key stable sort afterwards
+        row_idx, terms, pos, field_len = analyze_flat(texts, profile)
+        if len(row_idx) == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return row_idx, terms, empty, empty, np.zeros(1, np.int64), field_len
+        codes, uniq = pd.factorize(terms)
+        key = row_idx * np.int64(len(uniq)) + codes
+        order = np.argsort(key, kind="stable")
+        k, r, c, p = key[order], row_idx[order], codes[order], pos[order]
+        boundary = np.empty(len(k), dtype=bool)
+        boundary[0] = True
+        np.not_equal(k[1:], k[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        tf = np.diff(np.append(starts, len(k)))
+        offsets = np.append(starts, len(k))
+        return r[starts], uniq[c[starts]], tf, p, offsets, field_len
+
+    s = pd.Series(texts, dtype=object).fillna("")
+    n = len(s)
+    found = _tokenize_rows(s, profile)
+    counts = np.fromiter(map(len, found), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    empty = np.empty(0, dtype=np.int64)
+    if total == 0:
+        return (
+            empty, np.empty(0, dtype=object), empty, empty,
+            np.zeros(1, np.int64), np.zeros(n, dtype=np.int64),
+        )
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat = np.fromiter(
+        itertools.chain.from_iterable(found), dtype=object, count=total
+    )
+    offsets0 = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets0, counts)
+
+    if profile == "simple":
+        # identity chain: surface tokens ARE the terms
+        inv, stem_uniq = pd.factorize(flat)
+        scode, keep = inv, None
+        ri, sc, ps = row_idx, scode, pos
+        field_len = counts
+    else:
+        inv, uniq = pd.factorize(flat)
+        memo = _CHAIN_MEMO[profile]
+        stems_u = np.fromiter(
+            (
+                memo[t] if t in memo else memo.setdefault(t, _chain_one(t, profile))
+                for t in uniq
+            ),
+            dtype=object,
+            count=len(uniq),
+        )
+        valid = np.not_equal(stems_u, None)
+        stem_inv, stem_uniq = pd.factorize(stems_u[valid])
+        # per-unique-surface-token stem code; -1 = dropped (stop/empty)
+        scode_u = np.full(len(uniq), -1, dtype=np.int64)
+        scode_u[valid] = stem_inv
+        scode = scode_u[inv]
+        keep = scode >= 0
+        ri, sc, ps = row_idx[keep], scode[keep], pos[keep]
+        field_len = np.bincount(ri, minlength=n).astype(np.int64)
+    if len(ri) == 0:
+        return (
+            empty, np.empty(0, dtype=object), empty, empty,
+            np.zeros(1, np.int64), field_len,
+        )
+    n_stems = np.int64(len(stem_uniq))
+    max_pos_p1 = np.int64(int(ps.max()) + 1)
+    if int(n) * int(n_stems) * int(max_pos_p1) < (1 << 62):
+        # pack (row, stem, pos) into ONE int64 and VALUE-sort it — a direct
+        # np.sort is several times faster than a stable argsort plus the
+        # permutation gathers, and pos decodes back out of the low bits
+        key = (ri * n_stems + sc) * max_pos_p1 + ps
+        key = np.sort(key)
+        p = key % max_pos_p1
+        g = key // max_pos_p1
+    else:  # pathological batch: fall back to the stable argsort
+        g0 = ri * n_stems + sc
+        order = np.argsort(g0, kind="stable")
+        g, p = g0[order], ps[order]
+    boundary = np.empty(len(g), dtype=bool)
     boundary[0] = True
-    np.not_equal(r[1:], r[:-1], out=boundary[1:])
-    boundary[1:] |= c[1:] != c[:-1]
+    np.not_equal(g[1:], g[:-1], out=boundary[1:])
     starts = np.flatnonzero(boundary)
-    tf = np.diff(np.append(starts, len(r)))
-    offsets = np.append(starts, len(r))
-    return r[starts], uniq[c[starts]], tf, p, offsets, field_len
+    tf = np.diff(np.append(starts, len(g)))
+    offsets = np.append(starts, len(g))
+    gg = g[starts]
+    grp_row = gg // n_stems
+    grp_term = np.asarray(stem_uniq, dtype=object)[gg - grp_row * n_stems]
+    return grp_row, grp_term, tf, p, offsets, field_len
 
 
 # ---------------------------------------------------------------------------

@@ -286,24 +286,35 @@ def build_index(
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
 
-    Materialization strategy (disk-staged, no in-memory persists — the
-    written parquet IS the cache, the exact DWPT flush-then-merge shape):
+    Materialization strategy (round-3 rework — the corpus text is NEVER
+    shuffled or staged; round 2 range-exchanged the full corpus, wrote it
+    to a `_pages_ids` staging table, and re-shuffled + re-sorted the full
+    posting stream a second time for the packed table):
 
-      1. `_pages_ids` staging: one range exchange assigns stable dense
-         doc ids; written as splittable parquet so every later pass is a
-         plain parallel columnar scan.
-      2. ONE fused analyzer pass: analyzer (map-side inversion, no token
-         shuffle) -> 5-column slim stream -> bucket exchange -> sorted
-         postings write. The written postings ARE the analyzer output's
-         durable form (no intermediate staging table — dropping it saved a
-         full write + read of the flat 40M-row stream per build).
-      3. docmeta derives from the written postings: field_len = sum(tf)
-         per doc, a 2-column columnar scan + map-side partial agg.
-      4. packed blocks + term_stats also derive from the WRITTEN postings
-         (columnar scan prunes to 4 narrow columns; no positions move).
+      1. dense ids: rank the URL COLUMN ONLY (parquet prunes the scan to
+         one string column) via ids.assign_dense_ids' pinned range
+         exchange, then map ids onto the corpus scan with a join —
+         broadcast when the url table is small enough, shuffled hash/SMJ
+         beyond that (at 10^12 docs ids are co-partitioned by url; the
+         text side moves once, which round 2 paid anyway, PLUS a staging
+         write it no longer pays).
+      2. ONE fused analyzer pass: corpus scan -> broadcast id join ->
+         analyzer (map-side inversion, no token shuffle) -> slim stream ->
+         the build's ONE wide exchange ((bucket, salt) + (term, doc_id)
+         sort) -> sorted postings write.
+      3. packed blocks re-read the WRITTEN postings bucket files with an
+         order-preserving whole-file scan (files are complete sorted
+         shuffle partitions; maxPartitionBytes is raised so no file is
+         split mid-(term, blk)-group) — a 4-narrow-column columnar read,
+         no second shuffle, no sort, no 100-GB cache.
+      4. docmeta aggregates field_len from the same written postings
+         (2-column scan); term_stats aggregates the ~50x-smaller packed
+         block metadata.
     """
     import shutil
     import time
+
+    from pyspark import StorageLevel
 
     phase_s: dict[str, float] = {}
     _t0 = time.perf_counter()
@@ -314,8 +325,32 @@ def build_index(
         phase_s[name] = round(now - _t0, 3)
         _t0 = now
 
-    ids_path = os.path.join(out_dir, "_pages_ids")
-    with_ids = write_pages_with_ids(spark, pages, ids_path, doc_base)
+    reg: list = []
+    p = max(spark.sparkContext.defaultParallelism * 2, 8)
+    n_pages = pages.count()  # parquet footer metadata — no data scan
+    ids_small = assign_dense_ids(
+        pages.select("url"),
+        "url",
+        partitions=p,
+        persist_exchange=True,
+        cache_registry=reg,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    reg.append(ids_small)
+    if doc_base:
+        ids_small = ids_small.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(doc_base)
+        )
+    # url is the document key (input contract); duplicate urls would fan
+    # out the id join — fail loudly rather than corrupt doc_ids (this agg
+    # also materializes the pinned exchange, the ids.py determinism
+    # requirement)
+    n_uniq = int(ids_small.agg(F.countDistinct("url")).first()[0])
+    if n_uniq != n_pages:
+        raise ValueError(
+            f"duplicate urls in corpus: {n_pages} rows, {n_uniq} distinct urls"
+        )
+    id_side = F.broadcast(ids_small) if n_pages <= 20_000_000 else ids_small
+    with_ids = pages.select("url", "lang", "text").join(id_side, "url")
     _phase("ids")
 
     # ---- ONE analyzer pass, fused straight into the postings exchange -----
@@ -356,23 +391,28 @@ def build_index(
             F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
         )
         n_parts = num_buckets * salt
+    # THE one wide exchange of the build: (bucket, salt) partition +
+    # (term, doc_id) sort, written straight to the postings table.
+    # `bucket` leads the sort so the child ordering already satisfies the
+    # dynamic-partition write's required ordering — otherwise FileFormatWriter
+    # inserts its own sort on the partition columns, whose stability over the
+    # (term, doc_id) order is not a contract the packed read-back may rely on.
     postings.repartition(n_parts, *part_keys).sortWithinPartitions(
-        "term", "doc_id"
+        "bucket", "term", "doc_id"
     ).write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "postings")
     )
     _phase("analyze_postings")
 
-    # ---- derived tables: read back the WRITTEN postings (columnar-pruned)
     postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
 
     # ---- docmeta WITHOUT a second analysis: the BM25 norm length is the
     # emitted-token count, which is exactly sum(tf) over the doc's posting
-    # rows (PerField#invert / discountOverlaps) — a 2-column scan of the
-    # just-written postings. Map-side partial agg shrinks the exchange to
-    # ~one row per doc; zero-token docs come back via the left join on
-    # _pages_ids; SmallFloat quantization re-applied on the 1-row-per-doc
-    # frame (norms.py bit-exact kernels).
+    # rows (PerField#invert / discountOverlaps) — a 2-column columnar scan
+    # of the just-written postings. Map-side partial agg shrinks the
+    # shuffle to ~one row per doc; zero-token docs come back via the left
+    # join on the ids frame; SmallFloat quantization re-applied on the
+    # 1-row-per-doc frame (norms.py bit-exact kernels).
     from .udfs import norm_byte_udf, quantized_len_udf
 
     fl = postings_w.groupBy("doc_id").agg(F.sum("tf").alias("field_len"))
@@ -391,12 +431,44 @@ def build_index(
     _phase("docmeta")
 
     if packed:
-        write_packed_postings(
-            postings_w.select("term", "doc_id", "tf", "dlq", "bucket"),
-            out_dir,
-            num_buckets,
-            salt=salt,
+        # Order-preserving whole-file read of the just-written postings:
+        # every bucket file is one complete (bucket, salt) shuffle
+        # partition sorted by (term, doc_id), and a (term, blk) group
+        # lives in exactly one file — so as long as no FILE is split
+        # mid-read, any bin-packing of whole files per task keeps groups
+        # contiguous and packing stays a partition-local map: NO second
+        # shuffle, NO sort, a 4-narrow-column columnar scan (positions
+        # pruned). Splitting is governed by maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores)):
+        # BOTH maxPartitionBytes and openCostInBytes must be raised, or a
+        # small total still splits files at totalBytes/cores boundaries.
+        # The huge open cost also stops bin-packing, so parallelism = one
+        # task per written file = the build's n_parts. Restored after.
+        _split_confs = (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
         )
+        saved = {}
+        for c in _split_confs:
+            try:
+                saved[c] = spark.conf.get(c)
+            except Exception:
+                saved[c] = None
+        try:
+            for c in _split_confs:
+                spark.conf.set(c, str(64 << 30))
+            pack_src = spark.read.parquet(
+                os.path.join(out_dir, "postings")
+            ).select("term", "doc_id", "tf", "dlq", "bucket")
+            write_packed_postings(
+                pack_src, out_dir, num_buckets, salt=salt, pre_partitioned=True
+            )
+        finally:
+            for c in _split_confs:
+                if saved[c] is None:
+                    spark.conf.unset(c)
+                else:
+                    spark.conf.set(c, saved[c])
         _phase("packed")
 
     # df/ttf are additive over packed blocks (n, sum_tf) — aggregating the
@@ -439,7 +511,8 @@ def build_index(
     os.makedirs(stats_dir, exist_ok=True)
     with open(os.path.join(stats_dir, "part-00000.json"), "w") as f:
         f.write(_json.dumps(stats) + "\n")
-    shutil.rmtree(ids_path, ignore_errors=True)
+    for h in reg:  # all tables are written: drop the pinned exchanges
+        h.unpersist()
     _phase("stats")
     # per-phase wall seconds: build metrics for lineage/observability,
     # written driver-side next to the stats table (not part of the stats
@@ -457,7 +530,11 @@ PACKED_SCHEMA = (
 
 
 def write_packed_postings(
-    perdoc: DataFrame, out_dir: str, num_buckets: int, salt: int = 0
+    perdoc: DataFrame,
+    out_dir: str,
+    num_buckets: int,
+    salt: int = 0,
+    pre_partitioned: bool = False,
 ) -> None:
     """Per-(term, doc) postings -> packed binary blocks with impacts.
 
@@ -559,22 +636,30 @@ def write_packed_postings(
         src = src.withColumn(
             "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
         )
-    part_keys = [F.col("bucket")]
-    n_parts = num_buckets
-    if salt > 1:
-        # skew split by doc-range: a (term, blk) group maps to ONE partition
-        # (blk determines the salt key), so packing stays partition-local.
-        # DIV (exact integer division) — double `/` rounds wrong past 2^53.
-        part_keys.append(
-            F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
+    if pre_partitioned:
+        # caller guarantees (bucket, salted doc-range) partitioning with
+        # (term, doc_id) order — the build passes its one persisted
+        # exchange here, so packing is a pure partition-local map (the
+        # round-2 path re-shuffled + re-sorted the full stream)
+        staged = src.select("term", "doc_id", "tf", "dlq", "bucket")
+    else:
+        part_keys = [F.col("bucket")]
+        n_parts = num_buckets
+        if salt > 1:
+            # skew split by doc-range: a (term, blk) group maps to ONE
+            # partition (blk determines the salt key), so packing stays
+            # partition-local. DIV (exact integer division) — double `/`
+            # rounds wrong past 2^53.
+            part_keys.append(
+                F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
+            )
+            n_parts = num_buckets * salt
+        staged = (
+            src.select("term", "doc_id", "tf", "dlq", "bucket")
+            .repartition(n_parts, *part_keys)
+            .sortWithinPartitions("term", "doc_id")
         )
-        n_parts = num_buckets * salt
-    packed = (
-        src.select("term", "doc_id", "tf", "dlq", "bucket")
-        .repartition(n_parts, *part_keys)
-        .sortWithinPartitions("term", "doc_id")
-        .mapInPandas(pack_partition, PACKED_SCHEMA + ", bucket int")
-    )
+    packed = staged.mapInPandas(pack_partition, PACKED_SCHEMA + ", bucket int")
     packed.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(out_dir, "packed")
     )
