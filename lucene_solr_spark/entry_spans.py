@@ -607,6 +607,243 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _sim_entry_full(spark, sf_dir, score_fn, term="dup"):
+    """Like _sim_entry, additionally binding the term's collection ttf —
+    the DFR/IB matrices take (tf, dl, df, ttf; N, avgdl)."""
+    from .entry_queries import _cstats, _dl
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    matches = tok.filter(F.col("term") == term)
+    tf = matches.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    df_val = tf.count()
+    ttf_val = matches.count()
+    j = tf.join(dl, "doc_id")
+    scored = j.select(
+        "doc_id",
+        score_fn(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.lit(float(df_val)),
+            F.lit(float(ttf_val)),
+            n,
+            avgdl,
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def q_dfr_gb1(spark, sf_dir):
+    """DFR GB1 = BasicModelG x AfterEffectB x NormalizationH1 (full-matrix
+    member; SURVEY §3.5 DFRSimilarity config space)."""
+    from .score import dfr_score
+
+    def fn(tf, dl, df, ttf, n, avgdl):
+        return dfr_score(tf, dl, df, ttf, n, avgdl,
+                         basic="g", after="b", norm="h1")
+
+    return _sim_entry_full(spark, sf_dir, fn)
+
+
+_SQL_SIM_TTF = f"""{_SQL_SIM_SCAFFOLD},
+ttfv AS (SELECT CAST(count(*) AS DOUBLE) AS ttf FROM tok WHERE term = 'dup')"""
+
+SQL_DFR_GB1 = f"""
+WITH {_SQL_SIM_TTF},
+tfn AS (SELECT tf.doc_id, tf.tf * cstats.avgdl / dl.dl AS v
+        FROM tf, dl, cstats WHERE dl.doc_id = tf.doc_id),
+s AS (
+  SELECT tfn.doc_id,
+         greatest(0.0,
+           ((ttfv.ttf + 1.0) / (dfv.df * (tfn.v + 1.0)))
+           * (log2(1.0 + ttfv.ttf / (cstats.n + ttfv.ttf))
+              + tfn.v * log2((1.0 + ttfv.ttf / (cstats.n + ttfv.ttf))
+                             / (ttfv.ttf / (cstats.n + ttfv.ttf))))) AS score
+  FROM tfn, cstats, dfv, ttfv)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_dfr_pl2(spark, sf_dir):
+    """DFR PL2 = BasicModelP x AfterEffectL x NormalizationH2 — the classic
+    Terrier default member of the matrix (SURVEY §3.5)."""
+    from .score import dfr_score
+
+    def fn(tf, dl, df, ttf, n, avgdl):
+        return dfr_score(tf, dl, df, ttf, n, avgdl,
+                         basic="p", after="l", norm="h2")
+
+    return _sim_entry_full(spark, sf_dir, fn)
+
+
+SQL_DFR_PL2 = f"""
+WITH {_SQL_SIM_TTF},
+tfn AS (SELECT tf.doc_id, tf.tf * log2(1.0 + cstats.avgdl / dl.dl) AS v
+        FROM tf, dl, cstats WHERE dl.doc_id = tf.doc_id),
+s AS (
+  SELECT tfn.doc_id,
+         greatest(0.0,
+           (1.0 / (tfn.v + 1.0))
+           * (tfn.v * log2(tfn.v / (ttfv.ttf / cstats.n))
+              + (ttfv.ttf / cstats.n + 1.0 / (12.0 * tfn.v) - tfn.v)
+                * 1.4426950408889634
+              + 0.5 * log2(2.0 * pi() * tfn.v))) AS score
+  FROM tfn, cstats, ttfv)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_dfr_ineb2(spark, sf_dir):
+    """DFR I(ne)B2 = BasicModelIne x AfterEffectB x NormalizationH2
+    (expected-document-frequency member; SURVEY §3.5)."""
+    from .score import dfr_score
+
+    def fn(tf, dl, df, ttf, n, avgdl):
+        return dfr_score(tf, dl, df, ttf, n, avgdl,
+                         basic="ine", after="b", norm="h2")
+
+    return _sim_entry_full(spark, sf_dir, fn)
+
+
+SQL_DFR_INEB2 = f"""
+WITH {_SQL_SIM_TTF},
+tfn AS (SELECT tf.doc_id, tf.tf * log2(1.0 + cstats.avgdl / dl.dl) AS v
+        FROM tf, dl, cstats WHERE dl.doc_id = tf.doc_id),
+s AS (
+  SELECT tfn.doc_id,
+         greatest(0.0,
+           ((ttfv.ttf + 1.0) / (dfv.df * (tfn.v + 1.0)))
+           * tfn.v * log2((cstats.n + 1.0)
+               / (cstats.n * (1.0 - pow((cstats.n - 1.0) / cstats.n,
+                                        ttfv.ttf)) + 0.5))) AS score
+  FROM tfn, cstats, dfv, ttfv)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_ib_spl(spark, sf_dir):
+    """IB SPL/TTF/H2 = DistributionSPL x LambdaTTF x NormalizationH2
+    (smoothed power law member of the IB matrix; SURVEY §3.5)."""
+    from .score import ib_score
+
+    def fn(tf, dl, df, ttf, n, avgdl):
+        return ib_score(tf, dl, df, ttf, n, avgdl,
+                        distribution="spl", lambda_model="ttf", norm="h2")
+
+    return _sim_entry_full(spark, sf_dir, fn)
+
+
+SQL_IB_SPL = f"""
+WITH {_SQL_SIM_TTF},
+tfn AS (SELECT tf.doc_id, tf.tf * log2(1.0 + cstats.avgdl / dl.dl) AS v
+        FROM tf, dl, cstats WHERE dl.doc_id = tf.doc_id),
+lamv AS (SELECT (ttfv.ttf + 1.0) / (cstats.n + 1.0) AS lam FROM ttfv, cstats),
+s AS (
+  SELECT tfn.doc_id,
+         greatest(0.0,
+           -ln((pow(lamv.lam, tfn.v / (tfn.v + 1.0)) - lamv.lam)
+               / (1.0 - lamv.lam))) AS score
+  FROM tfn, lamv)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_multi_sim(spark, sf_dir):
+    """MultiSimilarity: CombSUM of BM25 + ClassicSimilarity for the same
+    term match (lucene .../similarities/MultiSimilarity.java — evidence
+    combination per Shaw & Fox 1994)."""
+    from .score import bm25_score, classic_score, multi_similarity_score
+
+    def fn(tf, dl, df, n, avgdl):
+        return multi_similarity_score([
+            bm25_score(tf, dl, df, n, avgdl),
+            classic_score(tf, dl, df, n),
+        ])
+
+    return _sim_entry(spark, sf_dir, fn)
+
+
+SQL_MULTI_SIM = f"""
+WITH {_SQL_SIM_SCAFFOLD},
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (cstats.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))
+         + sqrt(tf.tf)
+           * (ln((cstats.n + 1.0) / (dfv.df + 1.0)) + 1.0)
+           * (ln((cstats.n + 1.0) / (dfv.df + 1.0)) + 1.0)
+           / sqrt(dl.dl) AS score
+  FROM tf, dl, cstats, dfv WHERE dl.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_per_field_sim(spark, sf_dir):
+    """PerFieldSimilarityWrapper: text field scored by BM25, source field
+    by BooleanSimilarity — a two-field SHOULD query where each clause's
+    scorer is resolved per field and clause scores sum (the wrapper only
+    changes which SimScorer a field binds)."""
+    from .entry_queries import _cstats, _dl
+    from .score import PerFieldSimilarity, bm25_score, boolean_score
+
+    pfs = PerFieldSimilarity(
+        default=bm25_score, per_field={"source": lambda **_: boolean_score()}
+    )
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    tf = tok.filter(F.col("term") == "dup").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_val = tf.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    text_sim = pfs.get("text")
+    source_sim = pfs.get("source")
+    j = tf.join(dl, "doc_id").join(docs, "doc_id")
+    scored = j.select(
+        "doc_id",
+        (
+            text_sim(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.lit(float(df_val)),
+                n,
+                avgdl,
+            )
+            + F.when(F.col("source") == "web", source_sim()).otherwise(0.0)
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_PER_FIELD_SIM = f"""
+WITH {_SQL_SIM_SCAFFOLD},
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (cstats.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))
+         + CASE WHEN d.source = 'web' THEN 1.0 ELSE 0.0 END AS score
+  FROM tf, dl, cstats, dfv, documents d
+  WHERE dl.doc_id = tf.doc_id AND d.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 REGISTRY_SPANS: dict[str, tuple] = {
     "span_near_ordered": (q_span_near_ordered, SQL_SPAN_NEAR_ORDERED),
     "span_near_unordered": (q_span_near_unordered, SQL_SPAN_NEAR_UNORDERED),
@@ -629,4 +866,10 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "ib_ll_topk": (q_ib_ll, SQL_IB_LL),
     "dfi_chi2_topk": (q_dfi_chi2, SQL_DFI_CHI2),
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp, SQL_AXIOMATIC_F2EXP),
+    "dfr_gb1_topk": (q_dfr_gb1, SQL_DFR_GB1),
+    "dfr_pl2_topk": (q_dfr_pl2, SQL_DFR_PL2),
+    "dfr_ineb2_topk": (q_dfr_ineb2, SQL_DFR_INEB2),
+    "ib_spl_topk": (q_ib_spl, SQL_IB_SPL),
+    "multi_sim_topk": (q_multi_sim, SQL_MULTI_SIM),
+    "per_field_sim_topk": (q_per_field_sim, SQL_PER_FIELD_SIM),
 }

@@ -177,6 +177,170 @@ def dfi_chi2_score(
     return F.lit(boost) * F.when(tf > e, raw).otherwise(F.lit(0.0))
 
 
+_LOG2_E = 1.4426950408889634  # log2(e)
+
+
+def dfr_tfn(tf: Column, dl: Column, avgdl: float, norm: str, c: float) -> Column:
+    """DFR second (length) normalization (Amati & van Rijsbergen 2002;
+    lucene .../similarities/Normalization*.java):
+      h1: tfn = c * tf * avgdl / dl        (uniform density)
+      h2: tfn = tf * log2(1 + c*avgdl/dl)  (logarithmic density)
+      h3: tfn = tf * (tf + c*mu) ... not in the 2-param family — the h3/z
+          members take term-level stats; the two H members Lucene defaults
+          to are covered; 'none' = raw tf.
+    """
+    if norm == "h1":
+        return F.lit(c) * tf * F.lit(float(avgdl)) / dl
+    if norm == "h2":
+        return _tfn_h2(tf, dl, avgdl, c)
+    if norm == "none":
+        return tf + F.lit(0.0)
+    raise ValueError(f"unknown DFR normalization {norm!r}")
+
+
+def dfr_score(
+    tf: Column,
+    dl: Column,
+    df_col: Column,
+    ttf: Column,
+    n_docs: int,
+    avgdl: float,
+    basic: str = "in",
+    after: str = "l",
+    norm: str = "h2",
+    c: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """Full DFR matrix (DFRSimilarity = BasicModel x AfterEffect x
+    Normalization; SURVEY §3.5; formulas per the published framework —
+    Amati & van Rijsbergen, TOIS 2002, as also documented by the
+    similarities package and the Terrier platform).
+
+    Basic models (Inf1, with lambda = F/N, F = collection ttf of the term):
+      in : tfn * log2((N+1) / (df+0.5))                        (inverse doc freq)
+      if : tfn * log2((N+1) / (F+0.5))                         (inverse term freq)
+      ine: tfn * log2((N+1) / (ne+0.5)),
+           ne = N * (1 - ((N-1)/N)^F)                          (expected-n)
+      g  : log2(1+lam) + tfn * log2((1+lam)/lam),
+           lam = F/(N+F)                                       (geometric BE limit)
+      be : -log2(1/(1+lam)) - tfn*log2(lam/(1+lam)), lam = F/N (Bose-Einstein)
+      p  : tfn*log2(tfn/lam) + (lam + 1/(12*tfn) - tfn)*log2(e)
+           + 0.5*log2(2*pi*tfn)                                (Poisson/Stirling)
+      d  : F*phi*log2(phi/p) + F*(1-phi)*log2((1-phi)/(1-p))
+           + 0.5*log2(2*pi*tfn*(1-phi)),
+           phi = tfn/F, p = 1/N                                (binomial divergence)
+
+    After-effects (Inf2 gain): l = 1/(tfn+1); b = (F+1)/(df*(tfn+1));
+    none = 1.  score = boost * Inf2 * Inf1, floored at 0.
+    """
+    import math
+
+    tfn = dfr_tfn(tf, dl, avgdl, norm, c)
+    n = F.lit(float(n_docs))
+    lam = ttf / n
+    if basic == "in":
+        inf1 = tfn * F.log2((n + 1.0) / (df_col + 0.5))
+    elif basic == "if":
+        inf1 = tfn * F.log2((n + 1.0) / (ttf + 0.5))
+    elif basic == "ine":
+        ne = n * (1.0 - F.pow((n - 1.0) / n, ttf))
+        inf1 = tfn * F.log2((n + 1.0) / (ne + 0.5))
+    elif basic == "g":
+        lam_g = ttf / (n + ttf)
+        inf1 = F.log2(1.0 + lam_g) + tfn * F.log2((1.0 + lam_g) / lam_g)
+    elif basic == "be":
+        inf1 = F.log2(1.0 + lam) + tfn * F.log2((1.0 + lam) / lam)
+    elif basic == "p":
+        inf1 = (
+            tfn * F.log2(tfn / lam)
+            + (lam + 1.0 / (12.0 * tfn) - tfn) * F.lit(_LOG2_E)
+            + 0.5 * F.log2(F.lit(2.0 * math.pi) * tfn)
+        )
+    elif basic == "d":
+        # tfn is length-normalized and can exceed F for a short doc holding
+        # most occurrences; phi must stay in (0, 1) for the binomial form
+        phi = F.least(tfn / ttf, F.lit(1.0 - 1e-9))
+        inf1 = (
+            ttf * phi * F.log2(phi * n)
+            + ttf * (1.0 - phi) * F.log2((1.0 - phi) / (1.0 - 1.0 / n))
+            + 0.5 * F.log2(F.lit(2.0 * math.pi) * tfn * (1.0 - phi))
+        )
+    else:
+        raise ValueError(f"unknown DFR basic model {basic!r}")
+    if after == "l":
+        inf2 = 1.0 / (tfn + 1.0)
+    elif after == "b":
+        inf2 = (ttf + 1.0) / (df_col * (tfn + 1.0))
+    elif after == "none":
+        inf2 = F.lit(1.0)
+    else:
+        raise ValueError(f"unknown DFR after-effect {after!r}")
+    return F.lit(boost) * F.greatest(inf2 * inf1, F.lit(0.0))
+
+
+def ib_score(
+    tf: Column,
+    dl: Column,
+    df_col: Column,
+    ttf: Column,
+    n_docs: int,
+    avgdl: float,
+    distribution: str = "ll",
+    lambda_model: str = "df",
+    norm: str = "h2",
+    c: float = 1.0,
+    boost: float = 1.0,
+) -> Column:
+    """Full IB matrix (IBSimilarity = Distribution x Lambda x Normalization;
+    information-based models of Clinchant & Gaussier, SIGIR 2010):
+      lambda: df  = (df+1)/(N+1);  ttf = (F+1)/(N+1)
+      ll  (log-logistic):           score = log((tfn + lam) / lam)
+      spl (smoothed power law):     score = -log((lam^(tfn/(tfn+1)) - lam)
+                                                 / (1 - lam))
+    """
+    tfn = dfr_tfn(tf, dl, avgdl, norm, c)
+    n = F.lit(float(n_docs))
+    if lambda_model == "df":
+        lam = (df_col + 1.0) / (n + 1.0)
+    elif lambda_model == "ttf":
+        lam = (ttf + 1.0) / (n + 1.0)
+    else:
+        raise ValueError(f"unknown IB lambda {lambda_model!r}")
+    if distribution == "ll":
+        raw = F.log((tfn + lam) / lam)
+    elif distribution == "spl":
+        raw = -F.log((F.pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))
+    else:
+        raise ValueError(f"unknown IB distribution {distribution!r}")
+    return F.lit(boost) * F.greatest(raw, F.lit(0.0))
+
+
+def multi_similarity_score(sub_scores: list[Column]) -> Column:
+    """MultiSimilarity (lucene .../similarities/MultiSimilarity.java):
+    CombSUM evidence combination (Shaw & Fox 1994) — the document score is
+    the SUM of each member similarity's score for the same match."""
+    out = sub_scores[0]
+    for s in sub_scores[1:]:
+        out = out + s
+    return out
+
+
+class PerFieldSimilarity:
+    """PerFieldSimilarityWrapper (lucene .../similarities/
+    PerFieldSimilarityWrapper.java, solr SchemaSimilarityFactory): resolves
+    the similarity *expression factory* by field name at plan-build time —
+    each field's query clauses are scored by that field's similarity, and
+    clause scores combine exactly as the boolean DAG prescribes (the
+    wrapper changes only which SimScorer a field binds)."""
+
+    def __init__(self, default, per_field: dict | None = None):
+        self.default = default
+        self.per_field = per_field or {}
+
+    def get(self, field: str):
+        return self.per_field.get(field, self.default)
+
+
 SIMILARITIES = {
     "bm25": bm25_score,
     "classic": classic_score,

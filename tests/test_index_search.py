@@ -179,3 +179,65 @@ def test_lru_query_cache(spark, index_small):
                  with_fields=False).collect()
     assert len(cache._entries) == 2
     cache.clear()
+
+
+def test_dfr_ib_matrix_sweep(spark):
+    """Full DFR (7 basic x 2 after x 2 norm) and IB (2 dist x 2 lambda)
+    matrices produce finite, non-negative scores over a grid of
+    (tf, dl, df, ttf) statistics — one Spark job for the whole sweep."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.score import dfr_score, ib_score
+
+    rows = [
+        (1.0, 10.0, 1.0, 1.0),
+        (3.0, 50.0, 40.0, 120.0),
+        (8.0, 200.0, 99.0, 400.0),
+        (1.0, 1000.0, 5.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "tf double, dl double, df double, ttf double")
+    n_docs, avgdl = 100, 120.0
+    cols = []
+    for basic in ("in", "if", "ine", "g", "be", "p", "d"):
+        for after in ("l", "b"):
+            for norm in ("h1", "h2"):
+                cols.append(
+                    dfr_score(
+                        F.col("tf"), F.col("dl"), F.col("df"), F.col("ttf"),
+                        n_docs, avgdl, basic=basic, after=after, norm=norm,
+                    ).alias(f"dfr_{basic}_{after}_{norm}")
+                )
+    for dist in ("ll", "spl"):
+        for lam in ("df", "ttf"):
+            cols.append(
+                ib_score(
+                    F.col("tf"), F.col("dl"), F.col("df"), F.col("ttf"),
+                    n_docs, avgdl, distribution=dist, lambda_model=lam,
+                ).alias(f"ib_{dist}_{lam}")
+            )
+    out = df.select(*cols).collect()
+    assert len(out[0]) == 7 * 2 * 2 + 4
+    for row in out:
+        for name, v in row.asDict().items():
+            assert v is not None and v >= 0.0, (name, v)
+            assert v == v and v != float("inf"), (name, v)
+
+
+def test_per_field_similarity_dispatch():
+    """PerFieldSimilarityWrapper resolves the scorer factory by field name,
+    falling back to the default for unmapped fields."""
+    from lucene_solr_spark.score import (
+        PerFieldSimilarity,
+        bm25_score,
+        boolean_score,
+        classic_score,
+    )
+
+    pfs = PerFieldSimilarity(
+        default=bm25_score,
+        per_field={"title": classic_score, "source": boolean_score},
+    )
+    assert pfs.get("title") is classic_score
+    assert pfs.get("source") is boolean_score
+    assert pfs.get("text") is bm25_score
+    assert pfs.get("unknown_field") is bm25_score
