@@ -260,17 +260,38 @@ class WandSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
-        rows = out.collect()
-        meta.unpersist()
-        return spark.createDataFrame(rows, "doc_id long, score double") if rows else spark.createDataFrame([], "doc_id long, score double")
+        # Return the UNEVALUATED plan (plan-composable, like Searcher.search:
+        # late-materialization joins start from this relation, not a local
+        # collect). meta stays persisted while the returned plan references
+        # it; Spark's ContextCleaner unpersists it when the caller drops the
+        # DataFrame — an eager unpersist here would force re-deriving meta
+        # on every downstream action.
+        return out
 
     def pruning_stats(self, terms: list[str], k: int = 10) -> dict:
-        """How many blocks WAND skipped (observability for BENCH)."""
+        """How many blocks WAND skipped (observability for BENCH).
+
+        One search pass (k rows collected -> θ) plus ONE aggregation job
+        computing total and surviving block counts together — the stats no
+        longer re-derive blk_ub with separate count() jobs per metric.
+        """
         idfs, weights = self._idfs(terms)
-        meta = self._meta_with_ub(idfs, weights)
-        blk_ub = meta.groupBy("blk").agg(F.sum("ub").alias("sum_ub"))
-        total = blk_ub.count()
         rows = self.search(terms, k).collect()
         kth = rows[-1]["score"] if len(rows) >= k else -math.inf
-        kept = blk_ub.filter(F.col("sum_ub") >= kth).count()
-        return {"total_blocks": total, "kept_blocks": kept, "theta": kth}
+        meta = self._meta_with_ub(idfs, weights)
+        agg = (
+            meta.groupBy("blk")
+            .agg(F.sum("ub").alias("sum_ub"))
+            .agg(
+                F.count("*").alias("total"),
+                F.sum(
+                    F.when(F.col("sum_ub") >= F.lit(kth), 1).otherwise(0)
+                ).alias("kept"),
+            )
+            .collect()[0]
+        )
+        return {
+            "total_blocks": agg["total"],
+            "kept_blocks": agg["kept"] or 0,
+            "theta": kth,
+        }
