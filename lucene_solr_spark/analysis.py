@@ -521,6 +521,57 @@ def synonym_graph(
     return out
 
 
+def analyze_with_offsets(
+    text: str, profile: str = "en"
+) -> list[tuple[str, int, int, int]]:
+    """Analysis chain that carries character offsets into the ORIGINAL
+    text -> [(term, position, start_offset, end_offset)].
+
+    Lucene OffsetAttribute semantics (lucene/core .../tokenattributes/
+    OffsetAttribute.java): offsets always reference the surface form the
+    tokenizer saw — token filters (possessive strip, lowercase, Porter
+    stem) change the term but NOT its offsets, which is what lets the
+    UnifiedHighlighter mark up the original bytes. Positions mirror
+    analyze(): stopword holes consume a position but emit nothing.
+
+    Profiles: en/english (Standard -> Possessive -> Lower -> Stop ->
+    Porter), standard, simple (offsets computed on the lowercased text —
+    identical for ASCII; documented caveat for the rare length-changing
+    Unicode lowercasings).
+    """
+    out: list[tuple[str, int, int, int]] = []
+    if profile == "simple":
+        low = text.lower()
+        for i, m in enumerate(SIMPLE_TOKEN_RE.finditer(low)):
+            out.append((m.group(), i, m.start(), m.end()))
+        return out
+    if profile not in ("en", "english", "standard"):
+        raise ValueError(f"offsets unsupported for profile {profile!r}")
+    pos = 0
+    for m in TOKEN_RE.finditer(text):
+        tok = m.group()
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            pieces = [(tok, m.start(), m.end())]
+        else:  # 255-char split, offsets per chunk (StandardTokenizer)
+            pieces = [
+                (
+                    tok[i : i + MAX_TOKEN_LENGTH],
+                    m.start() + i,
+                    m.start() + min(i + MAX_TOKEN_LENGTH, len(tok)),
+                )
+                for i in range(0, len(tok), MAX_TOKEN_LENGTH)
+            ]
+        for sub, so, eo in pieces:
+            if profile == "standard":
+                out.append((sub.lower(), pos, so, eo))
+            else:
+                t = strip_possessive(sub).lower()
+                if t and t not in ENGLISH_STOP_WORDS:
+                    out.append((porter_stem(t), pos, so, eo))
+            pos += 1  # holes accumulate position increments
+    return out
+
+
 def analyze_query_terms(query_text: str, profile: str = "en") -> list[str]:
     """Query-time analysis of a bare term/phrase string (same chain as
     index time — Lucene's query parser analyzes query text with the

@@ -190,9 +190,24 @@ FROM (SELECT * FROM s ORDER BY ltr_score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_highlight_unified(spark, sf_dir):
+    """Offset-faithful UnifiedHighlighter: query 'tables' is analyzed to
+    stem 'tabl', matching surface form 'table' in the source text; the
+    snippet is assembled from ORIGINAL character offsets, not a re-split.
+    Rows-only (the Porter-stemmed analyzed-match semantics are not
+    ANSI-SQL-expressible; golden tests in test_operators_features.py
+    pin the byte-faithfulness contract)."""
+    from .operators.search_features import highlight_unified
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    out = highlight_unified(d, "doc_id", "text", "tables", window=12)
+    return out.orderBy("doc_id").limit(15)
+
+
 REGISTRY_FEATURES: dict[str, tuple] = {
     "highlight_snippets": (q_highlight, SQL_HIGHLIGHT),
     "highlight_passage": (q_highlight_passage, SQL_HIGHLIGHT_PASSAGE),
+    "highlight_unified": (q_highlight_unified, None),
     "suggest_prefix": (q_suggest_prefix, SQL_SUGGEST_PREFIX),
     "spellcheck_fuzzy": (q_spellcheck, SQL_SPELLCHECK),
     "realtime_get": (q_realtime_get, SQL_REALTIME_GET),

@@ -1,12 +1,15 @@
 """Search-UX operator family: highlighting, suggesters, spellcheck,
-real-time get, LTR rescoring — pure DataFrame/Column recipes (JVM-side,
-whole-stage codegen; no Python in any of these paths).
+real-time get, LTR rescoring — DataFrame/Column recipes (JVM-side,
+whole-stage codegen; the one Python step is the offset-carrying analysis
+pandas UDF inside highlight_unified, which runs over top-k candidate docs
+only, never the corpus).
 
 Reference parity (SURVEY.md §3):
   * Highlighter — lucene/highlighter/src/java/org/apache/lucene/search/
-    uhighlight/UnifiedHighlighter.java (≈L80): best-window snippet with
-    matched terms wrapped. Ours: array ops over the token split (first-hit
-    window; the reference's passage scoring is a config tier above this).
+    uhighlight/UnifiedHighlighter.java (≈L80): three tiers — first-hit
+    window over the token split, BM25-scored passages over the token
+    split, and the offset-faithful unified tier (analyzed-term matching +
+    original-byte snippets via OffsetAttribute-style spans).
   * Suggester — lucene/suggest/src/java/org/apache/lucene/search/suggest/
     analyzing/AnalyzingInfixSuggester.java (≈L60) / Solr TermsComponent
     prefix mode: top-k terms by frequency under a prefix.
@@ -23,6 +26,7 @@ Reference parity (SURVEY.md §3):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +148,161 @@ def highlight_best_passage(
         F.round("pscore", 4).alias("pscore"),
         F.array_join(wrapped, " ").alias("passage"),
     )
+
+
+def highlight_unified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    profile: str = "en",
+    window: int = 16,
+    k1: float = 1.2,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Offset-faithful UnifiedHighlighter (lucene/highlighter .../uhighlight/
+    UnifiedHighlighter.java + FieldHighlighter ≈L120): analyze each doc with
+    the SAME chain as index time, carrying (startOffset, endOffset) into the
+    original text; match ANALYZED terms (so stemming/possessives match:
+    query 'engine' highlights "engine's", "engines", "engineered"); score
+    fixed token-window passages BM25-style; emit the best passage sliced
+    from the ORIGINAL text with tags inserted at source character offsets —
+    never a re-tokenized reconstruction.
+
+    The analysis step is one Arrow-batched pandas UDF (applied to the
+    candidate docs only — highlighting runs over top-k hits, not the
+    corpus); passage scoring, window choice and snippet assembly are all
+    JVM-side (the snippet fold is an `aggregate` over the sorted match
+    offsets using substr on the source column).
+    """
+    import math
+
+    from ..analysis import analyze_query_terms, analyze_with_offsets
+
+    q_terms = set(analyze_query_terms(query, profile))
+    if not q_terms:
+        return df.select(id_col).limit(0).withColumn(
+            "pscore", F.lit(0.0)
+        ).withColumn("snippet", F.lit(""))
+
+    @F.pandas_udf(
+        "struct<term:array<string>,pos:array<int>,so:array<int>,eo:array<int>>"
+    )
+    def _ana(s: pd.Series) -> pd.DataFrame:
+        terms, poss, sos, eos = [], [], [], []
+        for t in s.fillna(""):
+            rows = analyze_with_offsets(t, profile)
+            terms.append([r[0] for r in rows])
+            poss.append([r[1] for r in rows])
+            sos.append([r[2] for r in rows])
+            eos.append([r[3] for r in rows])
+        return pd.DataFrame(
+            {"term": terms, "pos": poss, "so": sos, "eo": eos}
+        )
+
+    toks = (
+        df.select(id_col, text_col, _ana(F.col(text_col)).alias("a"))
+        .select(
+            id_col,
+            text_col,
+            F.explode(F.arrays_zip("a.term", "a.pos", "a.so", "a.eo")).alias(
+                "t"
+            ),
+        )
+        .select(
+            id_col,
+            text_col,
+            F.col("t.term").alias("term"),
+            F.col("t.pos").alias("pos"),
+            F.col("t.so").alias("so"),
+            F.col("t.eo").alias("eo"),
+            (F.col("t.pos") / window).cast("int").alias("win"),
+        )
+    ).persist()
+
+    matched = toks.filter(F.col("term").isin(list(q_terms)))
+    # stats-bind: idf from the candidate set's own dfs (FieldHighlighter
+    # scores passages with index stats; over a top-k slice these are the
+    # available stats) — one tiny collect
+    stats = matched.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    ).collect()
+    if not stats:
+        toks.unpersist()
+        return df.select(id_col).limit(0).withColumn(
+            "pscore", F.lit(0.0)
+        ).withColumn("snippet", F.lit(""))
+    n_docs = df.count()
+    idf_map = F.create_map(
+        *[
+            x
+            for r in stats
+            for x in (
+                F.lit(r["term"]),
+                F.lit(
+                    math.log(
+                        1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+                    )
+                ),
+            )
+        ]
+    )
+    ptf = matched.groupBy(id_col, "win", "term").agg(
+        F.count("*").alias("tf")
+    )
+    contrib = idf_map[F.col("term")] * F.col("tf") / (F.col("tf") + F.lit(k1))
+    pscore = ptf.groupBy(id_col, "win").agg(F.sum(contrib).alias("pscore"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("pscore"), F.asc("win"))
+    best = (
+        pscore.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "win", "pscore")
+    )
+    # passage char bounds span ALL tokens of the window; match offsets only
+    # the hits, sorted for the fold
+    bounds = toks.groupBy(id_col, "win").agg(
+        F.min("so").alias("p_start"), F.max("eo").alias("p_end")
+    )
+    hits = matched.groupBy(id_col, "win").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("so"), F.col("eo")))
+        ).alias("hits")
+    )
+    joined = (
+        best.join(bounds, [id_col, "win"])
+        .join(hits, [id_col, "win"])
+        .join(df.select(id_col, text_col), id_col)
+    )
+    txt = F.col(text_col)
+    # fold the sorted hit offsets into the snippet: copy source bytes
+    # [cur, so), wrap source bytes [so, eo), finish with [cur, p_end)
+    snippet = F.aggregate(
+        F.col("hits"),
+        F.struct(
+            F.col("p_start").alias("cur"), F.lit("").alias("acc")
+        ),
+        lambda st, h: F.struct(
+            h["eo"].alias("cur"),
+            F.concat(
+                st["acc"],
+                txt.substr(st["cur"] + 1, h["so"] - st["cur"]),
+                F.lit(pre),
+                txt.substr(h["so"] + 1, h["eo"] - h["so"]),
+                F.lit(post),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"], txt.substr(st["cur"] + 1, F.col("p_end") - st["cur"])
+        ),
+    )
+    out = joined.select(
+        id_col, F.round("pscore", 4).alias("pscore"), snippet.alias("snippet")
+    )
+    return out
 
 
 def suggest_prefix(

@@ -166,3 +166,76 @@ def test_token_filter_library():
     assert char_ngrams("index", 3) == ["ind", "nde", "dex"]
     assert edge_ngrams("search", 2, 4) == ["se", "sea", "sear"]
     assert ascii_fold("café straße naïve œuvre") == "cafe strasse naive oeuvre"
+
+
+def test_analyze_with_offsets_golden():
+    """Offsets reference the ORIGINAL surface form: possessive strip and
+    Porter stemming change the term, never the (start, end) span."""
+    from lucene_solr_spark.analysis import analyze_with_offsets
+
+    text = "The engine's engines are engineered well."
+    rows = analyze_with_offsets(text)
+    # (term, pos, start, end); 'The'/'are' are stopword holes
+    assert rows == [
+        ("engin", 1, 4, 12),
+        ("engin", 2, 13, 20),
+        ("engin", 4, 25, 35),
+        ("well", 5, 36, 40),
+    ]
+    # every span slices the source back to the surface form the term came from
+    assert [text[s:e] for _, _, s, e in rows] == [
+        "engine's",
+        "engines",
+        "engineered",
+        "well",
+    ]
+
+
+def test_highlight_unified_offset_faithful(spark):
+    """Stemming/possessives shift the term away from the surface form, yet
+    the snippet reproduces the source bytes (punctuation intact) with tags
+    at original offsets — the UnifiedHighlighter contract."""
+    from lucene_solr_spark.operators.search_features import highlight_unified
+
+    df = spark.createDataFrame(
+        [
+            (1, "The engine's engines are engineered well."),
+            (2, "Nothing relevant here at all."),
+            (3, "A search engine indexes the web; engines crawl pages."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_unified(
+            df, "doc_id", "text", "engine", window=8
+        ).collect()
+    }
+    assert 2 not in out  # no analyzed match -> no snippet row
+    assert (
+        out[1] == "<em>engine's</em> <em>engines</em> are <em>engineered</em> well"
+    )
+    # source bytes between matches are verbatim (the ';' survives);
+    # window=8 spans token positions 0-7, so 'pages' (pos 8) is outside
+    assert out[3] == (
+        "search <em>engine</em> indexes the web; <em>engines</em> crawl"
+    )
+
+
+def test_highlight_unified_best_window_and_empty(spark):
+    from lucene_solr_spark.operators.search_features import highlight_unified
+
+    # two windows; the second has 2 hits -> higher passage score wins
+    text = (
+        "alpha beta gamma delta epsilon zeta eta theta "
+        "iota engine kappa engines lambda mu nu xi"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = highlight_unified(df, "doc_id", "text", "engine", window=8).collect()
+    assert len(out) == 1
+    assert out[0]["snippet"] == (
+        "iota <em>engine</em> kappa <em>engines</em> lambda mu nu xi"
+    )
+    # stopword-only query -> empty result, not an error
+    empty = highlight_unified(df, "doc_id", "text", "the and", window=8)
+    assert empty.count() == 0
