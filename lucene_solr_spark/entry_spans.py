@@ -607,6 +607,52 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_intervals_nested(spark, sf_dir):
+    """Nested interval expression — Intervals.maxgaps(6, Intervals.ordered(
+    term(big), Intervals.unordered(fast, slow))): the set-level algebra
+    composing one combinator over another's output (Intervals.java sources
+    nest arbitrarily). Counts minimal intervals per doc."""
+    from .operators.intervals import (
+        interval_counts,
+        ordered_sets,
+        term_intervals,
+        unordered_sets,
+    )
+
+    t = _tok(spark, sf_dir)
+    u = unordered_sets(term_intervals(t, "fast"), term_intervals(t, "slow"))
+    iv = ordered_sets(term_intervals(t, "big"), u, max_gaps=6)
+    return interval_counts(iv).orderBy("doc_id")
+
+
+SQL_INTERVALS_NESTED = f"""
+WITH {_SQL_POS},
+pf AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'fast'),
+ps AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'slow'),
+ucand AS (SELECT DISTINCT pf.doc_id, least(pf.p, ps.p) AS lo,
+                 greatest(pf.p, ps.p) AS hi
+          FROM pf JOIN ps ON ps.doc_id = pf.doc_id AND pf.p != ps.p),
+umin AS (SELECT c.doc_id, c.lo, c.hi FROM ucand c
+         WHERE NOT EXISTS (SELECT 1 FROM ucand i
+                           WHERE i.doc_id = c.doc_id
+                             AND i.lo >= c.lo AND i.hi <= c.hi
+                             AND (i.lo != c.lo OR i.hi != c.hi))),
+pa AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'big'),
+firstu AS (SELECT pa.doc_id, pa.p AS lo, min(u.hi) AS hi
+           FROM pa JOIN umin u ON u.doc_id = pa.doc_id AND u.lo > pa.p
+           GROUP BY pa.doc_id, pa.p),
+wg AS (SELECT f.doc_id, f.lo, f.hi, u.lo - f.lo - 1 AS gap
+       FROM firstu f JOIN umin u ON u.doc_id = f.doc_id AND u.hi = f.hi),
+omin AS (SELECT w.doc_id, w.lo, w.hi, w.gap FROM wg w
+         WHERE NOT EXISTS (SELECT 1 FROM wg i
+                           WHERE i.doc_id = w.doc_id
+                             AND i.lo >= w.lo AND i.hi <= w.hi
+                             AND (i.lo != w.lo OR i.hi != w.hi)))
+SELECT doc_id, count(*) AS n_intervals FROM omin
+WHERE gap <= 6 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _sim_entry_full(spark, sf_dir, score_fn, term="dup"):
     """Like _sim_entry, additionally binding the term's collection ttf —
     the DFR/IB matrices take (tf, dl, df, ttf; N, avgdl)."""
@@ -866,6 +912,7 @@ REGISTRY_SPANS: dict[str, tuple] = {
     "ib_ll_topk": (q_ib_ll, SQL_IB_LL),
     "dfi_chi2_topk": (q_dfi_chi2, SQL_DFI_CHI2),
     "axiomatic_f2exp_topk": (q_axiomatic_f2exp, SQL_AXIOMATIC_F2EXP),
+    "intervals_nested": (q_intervals_nested, SQL_INTERVALS_NESTED),
     "dfr_gb1_topk": (q_dfr_gb1, SQL_DFR_GB1),
     "dfr_pl2_topk": (q_dfr_pl2, SQL_DFR_PL2),
     "dfr_ineb2_topk": (q_dfr_ineb2, SQL_DFR_INEB2),

@@ -169,6 +169,169 @@ def minimal_unordered_n(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Nestable interval-SET algebra (Intervals.java composes sources
+# arbitrarily: ordered(a, unordered(b, c)), containing(ordered(..), x), ...).
+# Every combinator below takes and returns an interval set
+# (doc_id, lo, hi) — term_intervals lifts a term's positions into the
+# algebra, so expressions nest to any depth. All combinators emit MINIMAL
+# sets (no member contains another), matching IntervalIterator's guarantee;
+# maxgaps filters AFTER minimalization, like Lucene's MAXGAPS wrapper
+# filtering the intervals its source produces.
+# ---------------------------------------------------------------------------
+
+
+def term_intervals(tokens: DataFrame, term: str) -> DataFrame:
+    """Intervals.term: each occurrence is the width-1 interval [pos, pos]."""
+    return tokens.filter(F.col("term") == term).select(
+        "doc_id", F.col("pos").alias("lo"), F.col("pos").alias("hi")
+    )
+
+
+def minimalize(intervals: DataFrame) -> DataFrame:
+    """Reduce to the minimal set: drop any interval that (non-strictly)
+    contains a DIFFERENT interval of the set.
+
+    One window, no self-join: over distinct intervals ordered by
+    (lo DESC, hi ASC), every interval contained in the current row
+    precedes it, so the running min of hi over strictly-preceding rows
+    is <= hi exactly when a contained interval exists."""
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("lo"), F.asc("hi"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        intervals.select("doc_id", "lo", "hi")
+        .distinct()
+        .withColumn("_minh", F.min("hi").over(w))
+        .filter(F.col("_minh").isNull() | (F.col("_minh") > F.col("hi")))
+        .drop("_minh")
+    )
+
+
+def ordered_sets(
+    a: DataFrame, b: DataFrame, max_gaps: int | None = None
+) -> DataFrame:
+    """Intervals.ordered over two interval SETS: for each a-interval the
+    earliest b-interval starting after it ends -> [a.lo, b.hi], then
+    minimalized. maxgaps counts the gap BETWEEN the sub-intervals
+    (b.lo - a.hi - 1), Lucene's ordered-maxgaps accounting.
+
+    Inputs must be minimal sets (all producers here are), which makes hi
+    unique per doc — the chosen b is recovered from its hi alone."""
+    bb = b.select(
+        "doc_id", F.col("lo").alias("_blo"), F.col("hi").alias("_bhi")
+    )
+    cand = (
+        a.join(bb, "doc_id")
+        .filter(F.col("_blo") > F.col("hi"))
+        .groupBy("doc_id", "lo", "hi")
+        .agg(
+            F.min(F.struct(F.col("_bhi"), F.col("_blo"))).alias("_b")
+        )
+        .select(
+            "doc_id",
+            "lo",
+            (F.col("_b._blo") - F.col("hi") - 1).alias("_gap"),
+            F.col("_b._bhi").alias("hi2"),
+        )
+        .withColumnRenamed("hi2", "_newhi")
+    )
+    gaps = cand.select(
+        "doc_id", "lo", F.col("_newhi").alias("hi"), "_gap"
+    )
+    out = minimalize(gaps).join(
+        gaps.groupBy("doc_id", "lo", "hi").agg(F.min("_gap").alias("_gap")),
+        ["doc_id", "lo", "hi"],
+    )
+    if max_gaps is not None:
+        out = out.filter(F.col("_gap") <= max_gaps)
+    return out.select("doc_id", "lo", "hi")
+
+
+def unordered_sets(
+    a: DataFrame, b: DataFrame, max_gaps: int | None = None
+) -> DataFrame:
+    """Intervals.unordered (no-overlaps form) over two interval SETS:
+    disjoint pairs in either order -> [min lo, max hi], minimalized;
+    maxgaps again counts the between-gap."""
+    bb = b.select(
+        "doc_id", F.col("lo").alias("_blo"), F.col("hi").alias("_bhi")
+    )
+    pairs = a.join(bb, "doc_id").filter(
+        (F.col("_blo") > F.col("hi")) | (F.col("_bhi") < F.col("lo"))
+    )
+    cand = pairs.select(
+        "doc_id",
+        F.least("lo", "_blo").alias("nlo"),
+        F.greatest("hi", "_bhi").alias("nhi"),
+        F.when(
+            F.col("_blo") > F.col("hi"), F.col("_blo") - F.col("hi") - 1
+        )
+        .otherwise(F.col("lo") - F.col("_bhi") - 1)
+        .alias("_gap"),
+    ).select(
+        "doc_id",
+        F.col("nlo").alias("lo"),
+        F.col("nhi").alias("hi"),
+        "_gap",
+    )
+    out = minimalize(cand).join(
+        cand.groupBy("doc_id", "lo", "hi").agg(F.min("_gap").alias("_gap")),
+        ["doc_id", "lo", "hi"],
+    )
+    if max_gaps is not None:
+        out = out.filter(F.col("_gap") <= max_gaps)
+    return out.select("doc_id", "lo", "hi")
+
+
+def containing_sets(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """Intervals.containing over SETS: outer intervals that contain at
+    least one inner interval."""
+    i = inner.select(
+        "doc_id", F.col("lo").alias("_ilo"), F.col("hi").alias("_ihi")
+    )
+    cond = (F.col("_ilo") >= F.col("lo")) & (F.col("_ihi") <= F.col("hi"))
+    return outer.join(
+        i, (outer["doc_id"] == i["doc_id"]) & cond, "left_semi"
+    )
+
+
+def not_containing_sets(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """Intervals.notContaining over SETS."""
+    i = inner.select(
+        "doc_id", F.col("lo").alias("_ilo"), F.col("hi").alias("_ihi")
+    )
+    cond = (F.col("_ilo") >= F.col("lo")) & (F.col("_ihi") <= F.col("hi"))
+    return outer.join(
+        i, (outer["doc_id"] == i["doc_id"]) & cond, "left_anti"
+    )
+
+
+def contained_by_sets(inner: DataFrame, outer: DataFrame) -> DataFrame:
+    """Intervals.containedBy over SETS: inner intervals lying inside at
+    least one outer interval."""
+    o = outer.select(
+        "doc_id", F.col("lo").alias("_olo"), F.col("hi").alias("_ohi")
+    )
+    cond = (F.col("lo") >= F.col("_olo")) & (F.col("hi") <= F.col("_ohi"))
+    return inner.join(
+        o, (inner["doc_id"] == o["doc_id"]) & cond, "left_semi"
+    )
+
+
+def not_contained_by_sets(inner: DataFrame, outer: DataFrame) -> DataFrame:
+    """Intervals.notContainedBy over SETS."""
+    o = outer.select(
+        "doc_id", F.col("lo").alias("_olo"), F.col("hi").alias("_ohi")
+    )
+    cond = (F.col("lo") >= F.col("_olo")) & (F.col("hi") <= F.col("_ohi"))
+    return inner.join(
+        o, (inner["doc_id"] == o["doc_id"]) & cond, "left_anti"
+    )
+
+
 def interval_counts(intervals: DataFrame) -> DataFrame:
     """(doc_id, n_intervals) — the per-doc sloppy-freq analog."""
     return intervals.groupBy("doc_id").agg(

@@ -113,3 +113,120 @@ def test_ordered_n2_matches_binary(tok):
     assert _set(minimal_ordered_n(tok, ["a", "b"])) == _set(
         minimal_ordered(tok, "a", "b")
     )
+
+
+@pytest.fixture(scope="module")
+def tok_nested(spark):
+    # doc 10: a b c a x b c   — nesting playground
+    # doc 11: c b a            — b,c before a: ordered(a, unordered(b,c)) none
+    # doc 12: a x b x c x d
+    rows = [
+        (10, "a", 0), (10, "b", 1), (10, "c", 2), (10, "a", 3),
+        (10, "x", 4), (10, "b", 5), (10, "c", 6),
+        (11, "c", 0), (11, "b", 1), (11, "a", 2),
+        (12, "a", 0), (12, "x", 1), (12, "b", 2), (12, "x", 3),
+        (12, "c", 4), (12, "x", 5), (12, "d", 6),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, term string, pos int")
+
+
+def _assert_minimal(pairs):
+    """Minimality property: no interval of the set contains another."""
+    by_doc = {}
+    for d, lo, hi in pairs:
+        by_doc.setdefault(d, []).append((lo, hi))
+    for d, ivs in by_doc.items():
+        for lo, hi in ivs:
+            for lo2, hi2 in ivs:
+                if (lo2, hi2) != (lo, hi):
+                    assert not (lo2 >= lo and hi2 <= hi), (d, (lo, hi), (lo2, hi2))
+
+
+def test_set_algebra_matches_term_level(tok):
+    """ordered/unordered over term SETS reproduce the two-term operators."""
+    from lucene_solr_spark.operators.intervals import (
+        minimal_ordered,
+        minimal_unordered,
+        ordered_sets,
+        term_intervals,
+        unordered_sets,
+    )
+
+    a, b = term_intervals(tok, "a"), term_intervals(tok, "b")
+    assert _set(ordered_sets(a, b)) == _set(minimal_ordered(tok, "a", "b"))
+    assert _set(unordered_sets(a, b)) == _set(minimal_unordered(tok, "a", "b"))
+    assert _set(ordered_sets(a, b, max_gaps=2)) == _set(
+        minimal_ordered(tok, "a", "b", max_gaps=2)
+    )
+
+
+def test_nested_ordered_over_unordered(tok_nested):
+    """ordered(a, unordered(b, c)) — a genuinely nested expression."""
+    from lucene_solr_spark.operators.intervals import (
+        ordered_sets,
+        term_intervals,
+        unordered_sets,
+    )
+
+    t = tok_nested
+    u = unordered_sets(term_intervals(t, "b"), term_intervals(t, "c"))
+    # doc 10: unordered minimal {(1,2),(2,5),(5,6)} — (2,5) = [c@2, b@5]
+    # contains neither neighbour; doc 11 {(0,1)}; doc 12 {(2,4)}
+    assert _set(u) == {
+        (10, 1, 2), (10, 2, 5), (10, 5, 6), (11, 0, 1), (12, 2, 4),
+    }
+    got = _set(ordered_sets(term_intervals(t, "a"), u))
+    # doc 10: a@0 -> (1,2) => (0,2); a@3 -> (5,6) => (3,6); both minimal
+    # doc 11: no u after a@2; doc 12: a@0 -> (2,4) => (0,4)
+    assert got == {(10, 0, 2), (10, 3, 6), (12, 0, 4)}
+    _assert_minimal(got)
+
+
+def test_nested_three_levels_and_filters(tok_nested):
+    """containing/not_containing over a nested set, three levels deep."""
+    from lucene_solr_spark.operators.intervals import (
+        contained_by_sets,
+        containing_sets,
+        not_containing_sets,
+        ordered_sets,
+        term_intervals,
+        unordered_sets,
+    )
+
+    t = tok_nested
+    nested = ordered_sets(
+        term_intervals(t, "a"),
+        unordered_sets(term_intervals(t, "b"), term_intervals(t, "c")),
+    )
+    # level 3: keep nested intervals containing an x occurrence
+    with_x = _set(containing_sets(nested, term_intervals(t, "x")))
+    assert with_x == {(10, 3, 6), (12, 0, 4)}
+    without_x = _set(not_containing_sets(nested, term_intervals(t, "x")))
+    assert without_x == {(10, 0, 2)}
+    # containedBy: b-c windows inside an a..d ordered envelope (doc 12 only)
+    env = ordered_sets(term_intervals(t, "a"), term_intervals(t, "d"))
+    u = unordered_sets(term_intervals(t, "b"), term_intervals(t, "c"))
+    inside = _set(contained_by_sets(u, env))
+    assert inside == {(12, 2, 4)}
+    _assert_minimal(with_x)
+    _assert_minimal(without_x)
+
+
+def test_nested_minimality_property(tok, tok_nested):
+    """Every combinator output is a minimal set, at any nesting depth."""
+    from lucene_solr_spark.operators.intervals import (
+        ordered_sets,
+        term_intervals,
+        unordered_sets,
+    )
+
+    for t in (tok, tok_nested):
+        a = term_intervals(t, "a")
+        b = term_intervals(t, "b")
+        for expr in (
+            ordered_sets(a, b),
+            unordered_sets(a, b),
+            ordered_sets(a, unordered_sets(b, term_intervals(t, "x"))),
+            unordered_sets(ordered_sets(a, b), term_intervals(t, "x")),
+        ):
+            _assert_minimal(_set(expr))
