@@ -190,6 +190,70 @@ FROM (SELECT * FROM s ORDER BY ltr_score DESC, doc_id LIMIT 10) t
 """
 
 
+def q_ltr_trees_rescore(spark, sf_dir):
+    """LambdaMART / MultipleAdditiveTreesModel LTR: a fixed 2-tree
+    ensemble over (tf_dup, dl) — each tree a nested CASE WHEN, the
+    ensemble a weighted sum (solr/contrib/ltr MultipleAdditiveTreesModel
+    semantics; trainable via spark.ml GBT, see gbt_to_ltr_trees)."""
+    from .operators.search_features import ltr_trees_rescore
+
+    tok = _tok(spark, sf_dir)
+    tf = (
+        tok.filter(F.col("term") == "dup")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("tf_dup"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    cand = tf.join(dl, "doc_id")
+    trees = [
+        {
+            "weight": 2.0,
+            "root": {
+                "feature": "tf_dup",
+                "threshold": 2.0,
+                "left": {"value": 0.1},
+                "right": {
+                    "feature": "dl",
+                    "threshold": 30.0,
+                    "left": {"value": 1.0},
+                    "right": {"value": 0.6},
+                },
+            },
+        },
+        {
+            "weight": 1.0,
+            "root": {
+                "feature": "dl",
+                "threshold": 25.0,
+                "left": {"value": 0.3},
+                "right": {"value": -0.2},
+            },
+        },
+    ]
+    out = ltr_trees_rescore(cand, features={}, trees=trees, k=10)
+    return out.select(
+        "doc_id", F.round("ltr_score", 4).alias("ltr_score")
+    )
+
+
+SQL_LTR_TREES = f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf_dup FROM tok
+       WHERE term = 'dup' GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+cand AS (SELECT tf.doc_id, tf.tf_dup, dl.dl FROM tf
+         JOIN dl ON tf.doc_id = dl.doc_id),
+s AS (SELECT doc_id,
+             2.0 * (CASE WHEN tf_dup <= 2.0 THEN 0.1
+                         WHEN dl <= 30.0 THEN 1.0 ELSE 0.6 END)
+             + 1.0 * (CASE WHEN dl <= 25.0 THEN 0.3 ELSE -0.2 END)
+             AS ltr_score
+      FROM cand)
+SELECT doc_id, ROUND(ltr_score, 4) AS ltr_score
+FROM (SELECT * FROM s ORDER BY ltr_score DESC, doc_id LIMIT 10) t
+"""
+
+
 def q_highlight_unified(spark, sf_dir):
     """Offset-faithful UnifiedHighlighter: query 'tables' is analyzed to
     stem 'tabl', matching surface form 'table' in the source text; the
@@ -212,6 +276,7 @@ REGISTRY_FEATURES: dict[str, tuple] = {
     "spellcheck_fuzzy": (q_spellcheck, SQL_SPELLCHECK),
     "realtime_get": (q_realtime_get, SQL_REALTIME_GET),
     "ltr_linear_rescore": (q_ltr_rescore, SQL_LTR_RESCORE),
+    "ltr_trees_rescore": (q_ltr_trees_rescore, SQL_LTR_TREES),
 }
 
 

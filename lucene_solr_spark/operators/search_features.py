@@ -584,3 +584,91 @@ def ltr_linear_rescore(
         .orderBy(F.desc("ltr_score"), F.asc(order_tiebreak))
         .limit(k)
     )
+
+
+def _tree_column(node: dict) -> Column:
+    """One regression tree -> a nested CASE WHEN Column.
+
+    Node spec mirrors the MultipleAdditiveTreesModel JSON a Solr user
+    uploads: leaf {"value": v}; split {"feature": name, "threshold": t,
+    "left": node, "right": node} with the Solr branching rule
+    feature <= threshold -> left (NaN/null also -> left)."""
+    if "value" in node:
+        return F.lit(float(node["value"]))
+    go_left = F.col(node["feature"]) <= F.lit(float(node["threshold"]))
+    # null feature -> left, matching the reference's missing-value branch
+    return F.when(
+        go_left | F.col(node["feature"]).isNull(),
+        _tree_column(node["left"]),
+    ).otherwise(_tree_column(node["right"]))
+
+
+def ltr_trees_rescore(
+    candidates: DataFrame,
+    features: dict[str, Column],
+    trees: list[dict],
+    k: int = 10,
+    order_tiebreak: str = "doc_id",
+) -> DataFrame:
+    """LambdaMART / MultipleAdditiveTreesModel rescoring (solr/contrib/ltr
+    .../model/MultipleAdditiveTreesModel.java ≈L60): the model is an
+    uploaded ensemble of weighted regression trees; document score =
+    Σ_t weight_t · tree_t(features). Each tree compiles to a nested CASE
+    WHEN expression, so the whole ensemble scores JVM-side inside
+    whole-stage codegen — no UDF, no mllib runtime dependency — in the
+    same ReRank two-phase plan shape as the linear model.
+
+    trees: [{"weight": w, "root": <node>}, ...] with node spec as in
+    _tree_column (the reference's JSON model layout).
+    """
+    out = candidates
+    for name, col in features.items():
+        out = out.withColumn(name, col)
+    score = None
+    for t in trees:
+        contrib = F.lit(float(t.get("weight", 1.0))) * _tree_column(
+            t["root"]
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        out.withColumn("ltr_score", score)
+        .orderBy(F.desc("ltr_score"), F.asc(order_tiebreak))
+        .limit(k)
+    )
+
+
+def gbt_to_ltr_trees(model) -> list[dict]:
+    """Convert a trained spark.ml GBTRegressionModel into the
+    ltr_trees_rescore node format (training happens outside Solr — any
+    LambdaMART/GBT trainer produces the ensemble the evaluator consumes;
+    spark.ml's GBTRegressor slots in natively here).
+
+    Feature names are taken positionally as the training VectorAssembler
+    input columns, passed via model._ltr_feature_names or read from the
+    assembler metadata by the caller."""
+    names = getattr(model, "_ltr_feature_names", None)
+    if names is None:
+        raise ValueError(
+            "set model._ltr_feature_names = [<assembler input cols>]"
+        )
+
+    def node_to_dict(node):
+        # spark.ml InternalNode/LeafNode (py4j wrappers)
+        jn = node
+        if jn.numDescendants() == 0:
+            return {"value": float(jn.prediction())}
+        split = jn.split()
+        feat = names[split.featureIndex()]
+        thr = float(split.threshold())
+        return {
+            "feature": feat,
+            "threshold": thr,
+            "left": node_to_dict(jn.leftChild()),
+            "right": node_to_dict(jn.rightChild()),
+        }
+
+    out = []
+    for tree, w in zip(model.trees, model.treeWeights):
+        root = tree._call_java("rootNode")
+        out.append({"weight": float(w), "root": node_to_dict(root)})
+    return out

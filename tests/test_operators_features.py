@@ -239,3 +239,83 @@ def test_highlight_unified_best_window_and_empty(spark):
     # stopword-only query -> empty result, not an error
     empty = highlight_unified(df, "doc_id", "text", "the and", window=8)
     assert empty.count() == 0
+
+
+def test_ltr_trees_rescore_golden(spark):
+    """MultipleAdditiveTreesModel evaluator: hand-built 2-tree ensemble,
+    scores verified against manual evaluation (Solr branching rule:
+    feature <= threshold -> left)."""
+    from lucene_solr_spark.operators.search_features import ltr_trees_rescore
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 0.2), (2, 1.0, 0.9), (3, 9.0, 0.5), (4, 3.0, 0.1)],
+        "doc_id long, tf double, ratio double",
+    )
+    trees = [
+        {
+            "weight": 2.0,
+            "root": {
+                "feature": "tf",
+                "threshold": 4.0,
+                "left": {"value": 0.1},
+                "right": {
+                    "feature": "ratio",
+                    "threshold": 0.3,
+                    "left": {"value": 0.5},
+                    "right": {"value": 0.9},
+                },
+            },
+        },
+        {"weight": 0.5, "root": {"value": 1.0}},
+    ]
+    out = {
+        r["doc_id"]: r["ltr_score"]
+        for r in ltr_trees_rescore(
+            df, {"tf": F.col("tf"), "ratio": F.col("ratio")}, trees, k=10
+        ).collect()
+    }
+    # doc1: tf=5>4, ratio=0.2<=0.3 -> 0.5*2 + 0.5 = 1.5
+    # doc2: tf=1<=4 -> 0.1*2 + 0.5 = 0.7
+    # doc3: tf=9>4, ratio=0.5>0.3 -> 0.9*2 + 0.5 = 2.3
+    # doc4: tf=3<=4 -> 0.7
+    assert out == pytest.approx({1: 1.5, 2: 0.7, 3: 2.3, 4: 0.7})
+
+
+def test_ltr_gbt_differential(spark):
+    """Train a spark.ml GBTRegressor, convert via gbt_to_ltr_trees, and
+    check the CASE-WHEN ensemble evaluator reproduces spark.ml's own
+    transform() predictions exactly."""
+    mlpytest = pytest.importorskip("pyspark.ml")
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from lucene_solr_spark.operators.search_features import (
+        gbt_to_ltr_trees,
+        ltr_trees_rescore,
+    )
+
+    rows = [
+        (i, float(i % 7), float((i * 3) % 5) / 5.0,
+         float(i % 7) * 0.8 - float((i * 3) % 5) * 0.3 + (0.1 if i % 2 else -0.1))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, f1 double, f2 double, label double")
+    assembler = VectorAssembler(inputCols=["f1", "f2"], outputCol="fv")
+    train = assembler.transform(df)
+    model = GBTRegressor(
+        featuresCol="fv", labelCol="label", maxIter=5, maxDepth=3, seed=7
+    ).fit(train)
+    expected = {
+        r["doc_id"]: r["prediction"] for r in model.transform(train).collect()
+    }
+    model._ltr_feature_names = ["f1", "f2"]
+    trees = gbt_to_ltr_trees(model)
+    got = {
+        r["doc_id"]: r["ltr_score"]
+        for r in ltr_trees_rescore(
+            df, {"f1": F.col("f1"), "f2": F.col("f2")}, trees, k=100
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], abs=1e-9), d
