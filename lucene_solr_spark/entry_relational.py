@@ -1259,7 +1259,201 @@ ORDER BY dist_km, n_nationkey LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# math evaluators (io/eval family — operators/matheval.py)
+# --------------------------------------------------------------------------
+
+def q_stream_regress(spark, sf_dir):
+    """regress(): simple OLS of l_extendedprice on l_quantity, one agg."""
+    from .operators import matheval as ME
+
+    out = ME.regress_stream(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+    return out.select(
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 8).alias("r2"),
+    )
+
+
+SQL_STREAM_REGRESS = """
+SELECT ROUND(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 4) AS slope,
+       ROUND(avg(l_extendedprice)
+             - covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)
+               * avg(l_quantity), 4) AS intercept,
+       ROUND(corr(l_quantity, l_extendedprice)
+             * corr(l_quantity, l_extendedprice), 8) AS r2
+FROM lineitem
+"""
+
+
+def q_stream_corr(spark, sf_dir):
+    """corr()/cov() evaluators in one agg."""
+    from .operators import matheval as ME
+
+    out = ME.corr_stream(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+    return out.select(
+        F.round("corr", 8).alias("corr"), F.round("cov", 4).alias("cov")
+    )
+
+
+SQL_STREAM_CORR = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 8) AS corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov
+FROM lineitem
+"""
+
+
+def q_stream_describe(spark, sf_dir):
+    """describe(): one-row summary with exact interpolated quartiles."""
+    from .operators import matheval as ME
+
+    out = ME.describe_stream(_t(spark, sf_dir, "events"), "value")
+    return out.select(
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        F.round("min", 4).alias("min"),
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("max", 4).alias("max"),
+    )
+
+
+SQL_STREAM_DESCRIBE = """
+SELECT count(value) AS n,
+       ROUND(avg(value), 4) AS mean,
+       ROUND(stddev_samp(value), 4) AS stddev,
+       ROUND(min(value), 4) AS min,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       ROUND(max(value), 4) AS max
+FROM events
+"""
+
+
+def q_stream_hist(spark, sf_dir):
+    """hist(): 10 equal-width bins over [0, 500) with edge clamping."""
+    from .operators import matheval as ME
+
+    return ME.hist_stream(
+        _t(spark, sf_dir, "events"), "value", 0.0, 500.0, 10
+    )
+
+
+SQL_STREAM_HIST = """
+SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9) AS INT) AS bin,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+
+def q_stream_conv(spark, sf_dir):
+    """conv(): [0.25, 0.5, 0.25] smoothing of the daily event-count
+    series (zero-padded same-length convolution, one window)."""
+    from .operators import matheval as ME
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    out = ME.conv_stream(daily, "day", "n", [0.25, 0.5, 0.25])
+    return out.select(
+        F.unix_timestamp("day").alias("day_ts"),
+        F.col("n").cast("long").alias("n"),
+        F.round("conv", 4).alias("conv"),
+    ).orderBy("day_ts")
+
+
+SQL_STREAM_CONV = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1)
+SELECT day_ts, CAST(n AS BIGINT) AS n,
+       ROUND(0.25 * coalesce(lag(n) OVER w, 0)
+             + 0.5 * n
+             + 0.25 * coalesce(lead(n) OVER w, 0), 4) AS conv
+FROM daily WINDOW w AS (ORDER BY day_ts) ORDER BY day_ts
+"""
+
+
+def q_stream_ttest(spark, sf_dir):
+    """ttest(): Welch two-sample on value between click and error events.
+    Rows-only (the p-value needs the regularized incomplete beta, outside
+    ANSI SQL; betainc itself is closed-form tested in test_matheval.py)."""
+    from .operators import matheval as ME
+
+    r = ME.ttest_ind(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "error"
+    )
+    return spark.createDataFrame(
+        [(round(r["t"], 6), round(r["df"], 2), round(r["p"], 6))],
+        "t double, df double, p double",
+    )
+
+
+def q_stream_anova(spark, sf_dir):
+    """anova(): one-way F across all event types. Rows-only (p-value)."""
+    from .operators import matheval as ME
+
+    r = ME.anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+    return spark.createDataFrame(
+        [(round(r["F"], 6), r["df1"], r["df2"], round(r["p"], 6))],
+        "F double, df1 double, df2 double, p double",
+    )
+
+
+def q_stream_norm_cdf(spark, sf_dir):
+    """normalDistribution().cumulativeProbability(): Column-level normal
+    CDF via the A&S 7.1.26 erf approximation — the identical arithmetic is
+    mirrored in the oracle SQL, so values match to the rounding digit."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.norm_cdf_col(F.col("value"), mu=50.0, sigma=20.0), 6
+        ).alias("cdf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_NORM_CDF = """
+WITH z AS (
+  SELECT event_id, (value - 50.0) / (20.0 * sqrt(2.0)) AS x
+  FROM events WHERE event_id < 20),
+e AS (
+  SELECT event_id, x, abs(x) AS ax,
+         1.0 / (1.0 + 0.3275911 * abs(x)) AS t
+  FROM z),
+erf AS (
+  SELECT event_id, x,
+         1.0 - (0.254829592 * t - 0.284496736 * t * t
+                + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+                + 1.061405429 * t * t * t * t * t) * exp(-ax * ax) AS y
+  FROM e)
+SELECT event_id,
+       ROUND(0.5 * (1.0 + CASE WHEN x < 0 THEN -y ELSE y END), 6) AS cdf
+FROM erf ORDER BY event_id
+"""
+
+
 REGISTRY_RELATIONAL: dict[str, tuple] = {
+    "stream_regress": (q_stream_regress, SQL_STREAM_REGRESS),
+    "stream_corr": (q_stream_corr, SQL_STREAM_CORR),
+    "stream_describe": (q_stream_describe, SQL_STREAM_DESCRIBE),
+    "stream_hist": (q_stream_hist, SQL_STREAM_HIST),
+    "stream_conv": (q_stream_conv, SQL_STREAM_CONV),
+    "stream_ttest": (q_stream_ttest, None),
+    "stream_anova": (q_stream_anova, None),
+    "stream_norm_cdf": (q_stream_norm_cdf, SQL_STREAM_NORM_CDF),
     "facet_field_counts": (q_facet_field, SQL_FACET_FIELD),
     "facet_field_params": (q_facet_field_params, SQL_FACET_FIELD_PARAMS),
     "facet_field_index_sort": (q_facet_field_index, SQL_FACET_FIELD_INDEX),

@@ -1,0 +1,306 @@
+"""Math-expression evaluators — the Streaming Expressions math library
+(solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/*Evaluator.java,
+~250 classes; SURVEY.md §3.9 'math evaluators'). The families a real user
+reaches for, re-expressed as DISTRIBUTED DataFrame aggregations rather
+than Solr's driver-side tuple evaluation:
+
+  * describe / percentile / hist     — DescribeEvaluator, HistogramEvaluator
+  * regress / predict                — RegressionEvaluator, PredictEvaluator
+  * corr / cov                       — CorrelationEvaluator, CovarianceEvaluator
+  * conv (time-series smoothing)     — ConvolutionEvaluator
+  * ttest / anova                    — TTestEvaluator, AnovaEvaluator
+  * normalDistribution / cumulativeProbability — NormalDistributionEvaluator
+
+Aggregates and window math run JVM-side (whole-stage codegen). p-values
+need the regularized incomplete beta, which SQL lacks — it is computed
+DRIVER-SIDE on the two or three scalars the distributed agg returns,
+using the classic continued-fraction algorithm (Numerical Recipes §6.4,
+public domain formulation; also how commons-math does it under Solr).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Descriptive statistics
+# ---------------------------------------------------------------------------
+
+
+def describe_stream(df: DataFrame, col: str) -> DataFrame:
+    """DescribeEvaluator: one-row summary (count, mean, stddev, min, max,
+    exact interpolated quartiles). Uses Spark's exact `percentile`
+    (linear interpolation — the same definition as commons-math's default
+    and DuckDB's quantile_cont)."""
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("n"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.min(c).alias("min"),
+        F.expr(f"percentile({col}, 0.25)").alias("p25"),
+        F.expr(f"percentile({col}, 0.5)").alias("p50"),
+        F.expr(f"percentile({col}, 0.75)").alias("p75"),
+        F.max(c).alias("max"),
+    )
+
+
+def hist_stream(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """HistogramEvaluator: fixed-range equal-width bins -> (bin, n).
+    Values outside [lo, hi) clamp to the edge bins (commons-math
+    EmpiricalDistribution convention); one map + one agg, scale-free."""
+    w = (hi - lo) / nbins
+    c = F.col(col)
+    bin_col = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression family
+# ---------------------------------------------------------------------------
+
+
+def regress_stream(df: DataFrame, x: str, y: str) -> DataFrame:
+    """RegressionEvaluator (simple OLS y ~ x): one distributed agg ->
+    (slope, intercept, r2). slope = cov(x,y)/var(x); r2 = corr²."""
+    cx, cy = F.col(x), F.col(y)
+    agg = df.agg(
+        F.covar_samp(cx, cy).alias("_cov"),
+        F.var_samp(cx).alias("_varx"),
+        F.avg(cx).alias("_mx"),
+        F.avg(cy).alias("_my"),
+        F.corr(cx, cy).alias("_r"),
+    )
+    return agg.select(
+        (F.col("_cov") / F.col("_varx")).alias("slope"),
+        (F.col("_my") - F.col("_cov") / F.col("_varx") * F.col("_mx")).alias(
+            "intercept"
+        ),
+        (F.col("_r") * F.col("_r")).alias("r2"),
+    )
+
+
+def predict_col(x: Column, slope: float, intercept: float) -> Column:
+    """PredictEvaluator: apply a fitted model to a column (the fitted
+    scalars bind as literals — the stats-bind pattern)."""
+    return F.lit(float(slope)) * x + F.lit(float(intercept))
+
+
+def corr_stream(df: DataFrame, x: str, y: str) -> DataFrame:
+    """CorrelationEvaluator + CovarianceEvaluator in one agg."""
+    cx, cy = F.col(x), F.col(y)
+    return df.agg(
+        F.corr(cx, cy).alias("corr"),
+        F.covar_samp(cx, cy).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convolution (time-series smoothing form of ConvolutionEvaluator)
+# ---------------------------------------------------------------------------
+
+
+def conv_stream(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    kernel: list[float],
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """ConvolutionEvaluator over an ordered series: out[i] =
+    Σ_j kernel[j] · val[i - j + center] with zero padding at the edges
+    (the 'same-length' smoothing Solr math expressions use conv for).
+    One window per series — no shuffle beyond the partition sort."""
+    n = len(kernel)
+    center = n // 2
+    w = Window.orderBy(order_col)
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(order_col)
+    out = None
+    for j, k in enumerate(kernel):
+        off = j - center
+        term = F.lit(float(k)) * F.coalesce(
+            F.lag(F.col(val_col), off).over(w)
+            if off >= 0
+            else F.lead(F.col(val_col), -off).over(w),
+            F.lit(0.0),
+        )
+        out = term if out is None else out + term
+    return df.withColumn("conv", out)
+
+
+# ---------------------------------------------------------------------------
+# Regularized incomplete beta (driver-side, on agg scalars only) and the
+# tests built on it. Continued fraction per Numerical Recipes §6.4 /
+# DiDonato & Morris — the standard public formulation.
+# ---------------------------------------------------------------------------
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    MAXIT, EPS, FPMIN = 200, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_sf_two_sided(t: float, dof: float) -> float:
+    """Two-sided p for Student's t."""
+    return betainc(dof / 2.0, 0.5, dof / (dof + t * t))
+
+
+def _f_sf(f: float, d1: float, d2: float) -> float:
+    """Upper tail of the F distribution."""
+    if f <= 0:
+        return 1.0
+    return betainc(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+
+
+def ttest_ind(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    a,
+    b,
+    equal_var: bool = False,
+) -> dict:
+    """TTestEvaluator (two-sample): Welch by default (commons-math
+    TTest#tTest), pooled-variance with equal_var=True. The distributed
+    part is ONE agg returning 6 scalars; t/df/p are O(1) driver math."""
+    g = F.col(group_col)
+    v = F.col(val_col)
+    row = df.filter(g.isin([a, b])).agg(
+        F.count(F.when(g == a, 1)).alias("na"),
+        F.avg(F.when(g == a, v)).alias("ma"),
+        F.var_samp(F.when(g == a, v)).alias("va"),
+        F.count(F.when(g == b, 1)).alias("nb"),
+        F.avg(F.when(g == b, v)).alias("mb"),
+        F.var_samp(F.when(g == b, v)).alias("vb"),
+    ).collect()[0]
+    na, ma, va = row["na"], row["ma"], row["va"]
+    nb, mb, vb = row["nb"], row["mb"], row["vb"]
+    if equal_var:
+        sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+        se = math.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+        dof = float(na + nb - 2)
+    else:
+        se = math.sqrt(va / na + vb / nb)
+        dof = (va / na + vb / nb) ** 2 / (
+            (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+        )
+    t = (ma - mb) / se
+    return {"t": t, "df": dof, "p": _t_sf_two_sided(t, dof)}
+
+
+def anova_oneway(df: DataFrame, group_col: str, val_col: str) -> dict:
+    """AnovaEvaluator (one-way): F statistic + p. One groupBy agg (per-group
+    n/mean/var — map-side partial), tiny collect, O(groups) driver math."""
+    per = df.groupBy(group_col).agg(
+        F.count(val_col).alias("n"),
+        F.avg(val_col).alias("m"),
+        F.var_samp(val_col).alias("v"),
+    ).collect()
+    ntot = sum(r["n"] for r in per)
+    grand = sum(r["n"] * r["m"] for r in per) / ntot
+    k = len(per)
+    ssb = sum(r["n"] * (r["m"] - grand) ** 2 for r in per)
+    ssw = sum((r["n"] - 1) * (r["v"] or 0.0) for r in per)
+    d1, d2 = float(k - 1), float(ntot - k)
+    f = (ssb / d1) / (ssw / d2)
+    return {"F": f, "df1": d1, "df2": d2, "p": _f_sf(f, d1, d2)}
+
+
+# ---------------------------------------------------------------------------
+# Normal distribution (Column-level, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 erf approximation (|err| < 1.5e-7) as pure
+# Column arithmetic — mirrorable verbatim in SQL for the oracle.
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_ERF_P = 0.3275911
+
+
+def erf_col(x: Column) -> Column:
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * ax)
+    poly = (
+        F.lit(_ERF_A[0]) * t
+        + F.lit(_ERF_A[1]) * t * t
+        + F.lit(_ERF_A[2]) * t * t * t
+        + F.lit(_ERF_A[3]) * t * t * t * t
+        + F.lit(_ERF_A[4]) * t * t * t * t * t
+    )
+    y = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(x < 0, -y).otherwise(y)
+
+
+def norm_cdf_col(x: Column, mu: float = 0.0, sigma: float = 1.0) -> Column:
+    """NormalDistribution#cumulativeProbability as a Column."""
+    z = (x - F.lit(float(mu))) / F.lit(float(sigma) * math.sqrt(2.0))
+    return F.lit(0.5) * (F.lit(1.0) + erf_col(z))
+
+
+def norm_pdf_col(x: Column, mu: float = 0.0, sigma: float = 1.0) -> Column:
+    z = (x - F.lit(float(mu))) / F.lit(float(sigma))
+    return F.exp(F.lit(-0.5) * z * z) / F.lit(
+        float(sigma) * math.sqrt(2.0 * math.pi)
+    )

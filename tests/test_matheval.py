@@ -1,0 +1,143 @@
+"""Math-evaluator family (solr io/eval): distributed aggs + driver-side
+special functions, with closed-form and hand-computed golden values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_betainc_closed_forms():
+    from lucene_solr_spark.operators.matheval import betainc
+
+    # I_x(a, 1) = x^a ; I_x(1, b) = 1 - (1-x)^b ; symmetry
+    for x in (0.05, 0.3, 0.7, 0.95):
+        assert betainc(3.0, 1.0, x) == pytest.approx(x**3, rel=1e-12)
+        assert betainc(1.0, 2.5, x) == pytest.approx(
+            1 - (1 - x) ** 2.5, rel=1e-12
+        )
+        assert betainc(2.0, 5.0, x) == pytest.approx(
+            1 - betainc(5.0, 2.0, 1 - x), rel=1e-10
+        )
+    assert betainc(2.0, 3.0, 0.0) == 0.0
+    assert betainc(2.0, 3.0, 1.0) == 1.0
+
+
+def test_t_pvalue_limits():
+    from lucene_solr_spark.operators.matheval import _t_sf_two_sided
+
+    # df=1 is Cauchy: two-sided p = 1 - (2/pi) atan(t)
+    for t in (0.5, 1.0, 2.0, 5.0):
+        assert _t_sf_two_sided(t, 1.0) == pytest.approx(
+            1 - 2 / math.pi * math.atan(t), rel=1e-9
+        )
+    # large df approaches the normal: p(1.96, 1e6) ~ 0.05
+    assert _t_sf_two_sided(1.959964, 1e6) == pytest.approx(0.05, abs=1e-4)
+    assert _t_sf_two_sided(0.0, 10.0) == pytest.approx(1.0)
+
+
+def test_anova_golden(spark):
+    """Hand-computed one-way ANOVA: groups [1,2,3],[2,3,4],[6,7,8] ->
+    F = 21, p = I_{6/48}(3, 1) = 0.125^3 (closed form since df1/2 = 1)."""
+    from lucene_solr_spark.operators.matheval import anova_oneway
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0),
+            ("c", 6.0), ("c", 7.0), ("c", 8.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v")
+    assert r["F"] == pytest.approx(21.0, rel=1e-12)
+    assert (r["df1"], r["df2"]) == (2.0, 6.0)
+    assert r["p"] == pytest.approx(0.125**3, rel=1e-9)
+
+
+def test_ttest_welch_and_pooled(spark):
+    from lucene_solr_spark.operators.matheval import ttest_ind
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("b", v) for v in (3.0, 4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # equal n, equal variance: Welch == pooled; t = -2/sqrt(2*5/3/4)
+    se = math.sqrt(2 * (5.0 / 3.0) / 4)
+    for ev in (False, True):
+        r = ttest_ind(df, "g", "v", "a", "b", equal_var=ev)
+        assert r["t"] == pytest.approx(-2.0 / se, rel=1e-12)
+        assert r["df"] == pytest.approx(6.0, rel=1e-9)
+        assert 0.0 < r["p"] < 1.0
+    # p symmetric in sign and decreasing in |t|
+    r0 = ttest_ind(df, "g", "v", "b", "a")
+    assert r0["t"] == pytest.approx(2.0 / se)
+    assert r0["p"] == pytest.approx(
+        ttest_ind(df, "g", "v", "a", "b")["p"], rel=1e-12
+    )
+
+
+def test_regress_and_predict(spark):
+    from lucene_solr_spark.operators.matheval import (
+        predict_col,
+        regress_stream,
+    )
+
+    # exact line y = 3x + 1 -> slope 3, intercept 1, r2 1
+    df = spark.createDataFrame(
+        [(float(x), 3.0 * x + 1.0) for x in range(10)], "x double, y double"
+    )
+    r = regress_stream(df, "x", "y").collect()[0]
+    assert r["slope"] == pytest.approx(3.0)
+    assert r["intercept"] == pytest.approx(1.0)
+    assert r["r2"] == pytest.approx(1.0)
+    pred = df.select(
+        predict_col(F.col("x"), r["slope"], r["intercept"]).alias("p"),
+        "y",
+    ).collect()
+    for row in pred:
+        assert row["p"] == pytest.approx(row["y"])
+
+
+def test_conv_stream_golden(spark):
+    from lucene_solr_spark.operators.matheval import conv_stream
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 4.0), (3, 8.0)], "i long, v double"
+    )
+    out = {
+        r["i"]: r["conv"]
+        for r in conv_stream(df, "i", "v", [0.25, 0.5, 0.25]).collect()
+    }
+    # zero-padded smoothing: out[0]=.5*1+.25*2 ; out[1]=.25*1+.5*2+.25*4 ...
+    assert out == pytest.approx(
+        {0: 1.0, 1: 2.25, 2: 4.5, 3: 5.0}
+    )
+
+
+def test_describe_and_hist(spark):
+    from lucene_solr_spark.operators.matheval import (
+        describe_stream,
+        hist_stream,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "v double"
+    )
+    d = describe_stream(df, "v").collect()[0]
+    assert d["n"] == 10 and d["mean"] == 5.5
+    assert d["p50"] == pytest.approx(5.5)
+    assert d["p25"] == pytest.approx(3.25)
+    h = {r["bin"]: r["n"] for r in hist_stream(df, "v", 0.0, 10.0, 5).collect()}
+    # bins [0,2),[2,4),[4,6),[6,8),[8,10] with clamp: 10.0 clamps into bin 4
+    assert h == {0: 1, 1: 2, 2: 2, 3: 2, 4: 3}
+
+
+def test_norm_cdf_accuracy(spark):
+    """A&S 7.1.26 approximation within 1.5e-7 of math.erf everywhere."""
+    from lucene_solr_spark.operators.matheval import norm_cdf_col
+
+    vals = [(-3.0,), (-1.96,), (-0.5,), (0.0,), (0.5,), (1.0,), (1.96,), (3.2,)]
+    df = spark.createDataFrame(vals, "x double")
+    rows = df.select("x", norm_cdf_col(F.col("x")).alias("c")).collect()
+    for r in rows:
+        exact = 0.5 * (1 + math.erf(r["x"] / math.sqrt(2)))
+        assert r["c"] == pytest.approx(exact, abs=2e-7), r["x"]
