@@ -701,15 +701,18 @@ _R03_WINDOW = [
     "highlight_snippets", "highlight_passage", "suggest_prefix",
     "suggest_fuzzy", "spellcheck_fuzzy", "spellcheck_collation",
     "realtime_get", "ltr_linear_rescore", "term_vectors", "query_elevation",
-    "cursor_page", "collapse_field", "expand_groups", "grouping_two_pass",
-    "rerank_topn", "diversified_topk", "more_like_this",
+    "cursor_page", "diversified_topk", "more_like_this",
     # analysis-chain entries
     "shingle_bigrams", "char_ngrams", "edge_ngrams",
     # facets / stats
-    "facet_field_counts", "facet_field_params", "facet_range_histogram",
-    "facet_pivot", "facet_interval", "stats_component",
-    # joins
-    "hash_join", "semi_join", "block_join_parent",
+    "facet_field_params",
+    # round-3 additions (never driver-witnessed): nested intervals, the
+    # DFR/IB matrix + wrappers, offset-faithful highlighter, tree LTR,
+    # math evaluators
+    "intervals_nested", "dfr_gb1_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
+    "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
+    "highlight_unified", "ltr_trees_rescore", "stream_regress",
+    "stream_conv", "stream_norm_cdf",
     # sentinels from the rounds-1/2 witnessed tier
     "term_query_bm25", "engine_wand_or_sql", "dedup_lsh_pairs",
 ]
