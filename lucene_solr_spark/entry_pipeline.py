@@ -264,6 +264,15 @@ def q_simhash_hamming(spark, sf_dir):
     return D.simhash_hamming_candidates(sim, max_hamming=3).orderBy("a", "b")
 
 
+def q_simhash_manku(spark, sf_dir):
+    """SimHash near-dup candidates via the Manku WWW'07 multi-table block
+    scheme (C(6,3)=20 tables keyed on ~32 bits) — the 10^9+-doc bucketing
+    that replaces 16-bit chunks. Pigeonhole-complete for Hamming <= 3, so
+    the pair set equals the all-pairs oracle exactly."""
+    sim = D.simhash64(_tok_pos(spark, sf_dir))
+    return D.simhash_manku_candidates(sim, max_hamming=3).orderBy("a", "b")
+
+
 def _sql_simhash_hamming() -> str:
     bit_sums = ",\n".join(
         "sum(CASE WHEN (('0x' || substr(md5(term), {p}, 1))::BIGINT >> {s}) % 2 = 1 "
@@ -764,6 +773,7 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_simhash64": (q_simhash64, SQL_SIMHASH64),
     "dedup_simhash_hamming": (q_simhash_hamming, SQL_SIMHASH_HAMMING),
+    "dedup_simhash_manku": (q_simhash_manku, SQL_SIMHASH_HAMMING),
     "dedup_lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "dedup_lsh_clusters": (q_lsh_clusters, SQL_LSH_CLUSTERS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -712,7 +712,7 @@ _R03_WINDOW = [
     "intervals_nested", "dfr_gb1_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
     "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
     "highlight_unified", "ltr_trees_rescore", "stream_regress",
-    "stream_conv", "stream_norm_cdf",
+    "stream_conv", "stream_norm_cdf", "dedup_simhash_manku",
     # sentinels from the rounds-1/2 witnessed tier
     "term_query_bm25", "engine_wand_or_sql", "dedup_lsh_pairs",
 ]

@@ -420,6 +420,72 @@ def simhash64(tok: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_manku_candidates(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    blocks: int = 6,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Near-dup candidates via the Manku et al. 2007 multi-table block
+    scheme ("Detecting Near-Duplicates for Web Crawling", WWW'07 §3) —
+    the 10^9+ replacement for 16-bit chunk bucketing.
+
+    Split the 64-bit simhash into `blocks` (m) blocks; for Hamming
+    distance <= k, any pair's <= k differing bits fall into at most k
+    blocks, so SOME choice of m-k blocks matches exactly (pigeonhole).
+    One table per C(m, m-k) combination, keyed by the CONCATENATION of
+    that combination's block values — with m=6, k=3 that is 20 tables
+    keyed on ~32 bits (vs 4 tables on 16 bits): bucket count rises from
+    2^16 to ~2^32, so expected bucket occupancy at 10^9 docs drops from
+    ~15k to <1, at the cost of 20 emitted rows per doc. The emission is
+    ONE scan (explode over a per-row array of (table, key) structs), the
+    join is bucket-keyed with the same hot-bucket cap, and pairs sharing
+    several tables dedup in the final distinct.
+    """
+    import itertools
+
+    m, k = blocks, max_hamming
+    assert m > k >= 1
+    base, extra = divmod(64, m)
+    widths = [base + (1 if i < extra else 0) for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+
+    def block_col(i):
+        return F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    entries = []
+    for ti, combo in enumerate(itertools.combinations(range(m), m - k)):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            key = F.shiftleft(key, widths[i]).bitwiseOR(block_col(i))
+        entries.append(
+            F.struct(F.lit(ti).alias("table"), key.alias("key"))
+        )
+    keys = sim.select(
+        "doc_id", F.explode(F.array(*entries)).alias("_e")
+    ).select("doc_id", F.col("_e.table").alias("table"), F.col("_e.key").alias("key"))
+    hashes = sim.select("doc_id", "simhash")
+    cand = _capped_bucket_pairs(keys, ["table", "key"], max_bucket)
+    cand = cand.join(
+        hashes.withColumnRenamed("doc_id", "a").withColumnRenamed(
+            "simhash", "ha"
+        ),
+        "a",
+    ).join(
+        hashes.withColumnRenamed("doc_id", "b").withColumnRenamed(
+            "simhash", "hb"
+        ),
+        "b",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # pairs are already distinct from _capped_bucket_pairs
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
 def simhash_hamming_candidates(
     sim: DataFrame, max_hamming: int = 3, chunks: int = 4,
     max_bucket: int = 5000,

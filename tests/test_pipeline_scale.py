@@ -309,3 +309,48 @@ def test_knn_join_bucketed_beats_random_on_uniform(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"uniform-data recall {recall} (random ≈ 0.31 scan)"
+
+
+def test_simhash_manku_complete_random(spark):
+    """Manku multi-table scheme finds EXACTLY the brute-force Hamming<=3
+    pair set over random 64-bit hashes, including mixed-sign and planted
+    pairs whose differing bits straddle three different blocks."""
+    import random
+
+    from lucene_solr_spark.pipeline.dedup import simhash_manku_candidates
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rng = random.Random(7)
+    raw = [rng.getrandbits(64) for _ in range(60)]
+    hashes = [(i, signed(u)) for i, u in enumerate(raw)]
+    # planted near-dups: flip bits in three DIFFERENT 11/10-bit blocks
+    # (flips done in the unsigned domain, then converted once)
+    for j, bits in enumerate([(0,), (5, 20), (3, 25, 60), (63,)]):
+        v = raw[0]
+        for b in bits:
+            v ^= 1 << b
+        hashes.append((100 + j, signed(v)))
+    sim = spark.createDataFrame(hashes, "doc_id long, simhash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_manku_candidates(sim, max_hamming=3).collect()
+    }
+    a = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    exact = {
+        (r["a"], r["b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == exact
+    # the 4 planted pairs (vs doc 0) must all be present
+    planted = {(0, 100, 1), (0, 101, 2), (0, 102, 3), (0, 103, 1)}
+    assert planted <= got
