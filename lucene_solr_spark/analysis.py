@@ -445,44 +445,161 @@ def ascii_fold(term: str) -> str:
 # synonyms for exact multi-word phrase semantics.
 # ---------------------------------------------------------------------------
 
-_WDGF_SPLIT_RE = re.compile(
-    r"[^0-9A-Za-z]+"          # delimiters
-    r"|(?<=[a-z])(?=[A-Z])"   # case change: wiFi -> wi|Fi
-    r"|(?<=[A-Za-z])(?=[0-9])"  # letter->digit: SD500 -> SD|500
-    r"|(?<=[0-9])(?=[A-Za-z])"  # digit->letter
+_WDGF_DELIM_RE = re.compile(r"[^0-9A-Za-z]+")
+
+# Flag bits mirror WordDelimiterGraphFilter.java's public constants.
+WDGF_GENERATE_WORD_PARTS = 1 << 0
+WDGF_GENERATE_NUMBER_PARTS = 1 << 1
+WDGF_CATENATE_WORDS = 1 << 2
+WDGF_CATENATE_NUMBERS = 1 << 3
+WDGF_CATENATE_ALL = 1 << 4
+WDGF_PRESERVE_ORIGINAL = 1 << 5
+WDGF_SPLIT_ON_CASE_CHANGE = 1 << 6
+WDGF_SPLIT_ON_NUMERICS = 1 << 7
+WDGF_STEM_ENGLISH_POSSESSIVE = 1 << 8
+WDGF_DEFAULT = (
+    WDGF_GENERATE_WORD_PARTS
+    | WDGF_GENERATE_NUMBER_PARTS
+    | WDGF_SPLIT_ON_CASE_CHANGE
+    | WDGF_SPLIT_ON_NUMERICS
+    | WDGF_STEM_ENGLISH_POSSESSIVE
 )
+
+
+def _wdgf_case_split(seg: str) -> list[str]:
+    """Case-change boundaries per WordDelimiterIterator: lower->Upper
+    ("PowerShot" -> Power|Shot), and before the LAST upper of an upper run
+    followed by a lower ("USAToday" -> USA|Today); a bare upper run ("XL")
+    never splits."""
+    out, start = [], 0
+    for i in range(1, len(seg)):
+        prev, cur = seg[i - 1], seg[i]
+        nxt = seg[i + 1] if i + 1 < len(seg) else ""
+        if (prev.islower() and cur.isupper()) or (
+            prev.isupper() and cur.isupper() and nxt.islower()
+        ):
+            out.append(seg[start:i])
+            start = i
+    out.append(seg[start:])
+    return out
+
+
+def _wdgf_num_split(seg: str) -> list[str]:
+    """Letter<->digit boundaries: "SD500" -> SD|500, "j2se" -> j|2|se."""
+    out, start = [], 0
+    for i in range(1, len(seg)):
+        if seg[i - 1].isdigit() != seg[i].isdigit():
+            out.append(seg[start:i])
+            start = i
+    out.append(seg[start:])
+    return out
+
+
+def word_delimiter_graph_flags(
+    token: str, flags: int = WDGF_DEFAULT
+) -> list[tuple[str, int]]:
+    """WordDelimiterGraphFilter with the FULL per-flag matrix
+    (.../miscellaneous/WordDelimiterGraphFilter.java ≈L120:
+    GENERATE_WORD_PARTS, GENERATE_NUMBER_PARTS, CATENATE_WORDS,
+    CATENATE_NUMBERS, CATENATE_ALL, PRESERVE_ORIGINAL,
+    SPLIT_ON_CASE_CHANGE, SPLIT_ON_NUMERICS, STEM_ENGLISH_POSSESSIVE).
+
+    Returns [(subtoken, pos_increment)]: generated parts advance the
+    position by 1; catenated variants STACK at the first part of their
+    run (pos_increment 0) and the preserved original stacks at the first
+    part — the token-graph shape, flattened (posLength collapses to 1,
+    the same lossy step as FlattenGraphFilter).
+
+      "Wi-Fi"    -> [("Wi",1), ("Fi",1)]           (+ ("WiFi",0) if catenate)
+      "SD500"    -> [("SD",1), ("500",1)]
+      "O'Neil's" -> [("O",1), ("Neil",1)]
+      "foobar"   -> [("foobar",1)]
+
+    Mixed alpha+digit parts (only possible with SPLIT_ON_NUMERICS off)
+    are generated by EITHER generate flag (Lucene types them ALPHA|NUM)
+    but do not join CATENATE_WORDS/CATENATE_NUMBERS runs.
+    """
+    base = (
+        _POSSESSIVE_RE.sub("", token)
+        if flags & WDGF_STEM_ENGLISH_POSSESSIVE
+        else token
+    )
+    parts: list[str] = []
+    for seg in _WDGF_DELIM_RE.split(base):
+        if not seg:
+            continue
+        subs = (
+            _wdgf_case_split(seg)
+            if flags & WDGF_SPLIT_ON_CASE_CHANGE
+            else [seg]
+        )
+        if flags & WDGF_SPLIT_ON_NUMERICS:
+            subs = [p for s in subs for p in _wdgf_num_split(s)]
+        parts.extend(subs)
+    if not parts:
+        return []
+    gen = [
+        bool(
+            (flags & WDGF_GENERATE_WORD_PARTS and any(c.isalpha() for c in p))
+            or (
+                flags & WDGF_GENERATE_NUMBER_PARTS
+                and any(c.isdigit() for c in p)
+            )
+        )
+        for p in parts
+    ]
+    stacked: dict[int, list[str]] = {}
+
+    def _add_runs(pred) -> None:
+        i = 0
+        while i < len(parts):
+            if pred(parts[i]):
+                j = i
+                while j + 1 < len(parts) and pred(parts[j + 1]):
+                    j += 1
+                if j > i:  # single-part run would duplicate the part itself
+                    stacked.setdefault(i, []).append("".join(parts[i : j + 1]))
+                i = j + 1
+            else:
+                i += 1
+
+    if flags & WDGF_CATENATE_WORDS:
+        _add_runs(str.isalpha)
+    if flags & WDGF_CATENATE_NUMBERS:
+        _add_runs(str.isdigit)
+    if flags & WDGF_CATENATE_ALL and len(parts) > 1:
+        stacked.setdefault(0, []).append("".join(parts))
+    out: list[tuple[str, int]] = []
+    for i, p in enumerate(parts):
+        toks: list[str] = [p] if gen[i] else []
+        if (
+            i == 0
+            and flags & WDGF_PRESERVE_ORIGINAL
+            and (len(parts) > 1 or parts[0] != token)
+        ):
+            toks.append(token)
+        toks.extend(stacked.get(i, ()))
+        if not toks:
+            continue
+        out.append((toks[0], 1))
+        out.extend((t, 0) for t in toks[1:])
+    return out
 
 
 def word_delimiter_graph(
     token: str,
     catenate_all: bool = False,
     preserve_original: bool = False,
+    flags: int = WDGF_DEFAULT,
 ) -> list[tuple[str, int]]:
-    """WordDelimiterGraphFilter (.../miscellaneous/
-    WordDelimiterGraphFilter.java ≈L120; default flags GENERATE_WORD_PARTS |
-    GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS |
-    STEM_ENGLISH_POSSESSIVE).
-
-    Returns [(subtoken, pos_increment)]: parts advance the position by 1;
-    catenated/original variants STACK on the first part (pos_increment 0) —
-    the token-graph shape, flattened.
-
-      "Wi-Fi"    -> [("Wi",1), ("Fi",1)]           (+ ("WiFi",0) if catenate)
-      "SD500"    -> [("SD",1), ("500",1)]
-      "O'Neil's" -> [("O",1), ("Neil",1)]
-      "foobar"   -> [("foobar",1)]
-    """
-    base = _POSSESSIVE_RE.sub("", token)
-    parts = [p for p in _WDGF_SPLIT_RE.split(base) if p]
-    if not parts:
-        return []
-    out: list[tuple[str, int]] = [(parts[0], 1)]
-    if preserve_original and token != parts[0]:
-        out.append((token, 0))
-    if catenate_all and len(parts) > 1:
-        out.append(("".join(parts), 0))
-    out.extend((p, 1) for p in parts[1:])
-    return out
+    """Default-flag WDGF (see word_delimiter_graph_flags for the matrix);
+    the two keyword booleans are kept as shorthands for the two most
+    common extra flags."""
+    if catenate_all:
+        flags |= WDGF_CATENATE_ALL
+    if preserve_original:
+        flags |= WDGF_PRESERVE_ORIGINAL
+    return word_delimiter_graph_flags(token, flags)
 
 
 def synonym_graph(
