@@ -599,3 +599,41 @@ REGISTRY_FEATURES.update(
         "phonetic_terms": (q_phonetic_terms, None),
     }
 )
+
+
+def q_suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester over a bigram suggestion corpus built from
+    the documents table (weight = bigram frequency): typing 'va' matches
+    any suggestion one of whose tokens starts with 'va'."""
+    from .operators.search_features import suggest_infix
+    from .pipeline.dedup import shingle_grams
+
+    sug = (
+        shingle_grams(_docs(spark, sf_dir), n=2)
+        .groupBy(F.col("gram").alias("suggestion"))
+        .agg(F.count("*").alias("weight"))
+    )
+    return suggest_infix(sug, "va", 10)
+
+
+SQL_SUGGEST_INFIX = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+         generate_subscripts(string_split(text,' '), 1) AS pos
+  FROM documents),
+sug AS (
+  SELECT suggestion, count(*) AS weight FROM (
+    SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS suggestion
+    FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1)
+  GROUP BY suggestion)
+SELECT suggestion, weight FROM sug
+WHERE len(list_filter(string_split(lower(suggestion), ' '),
+                      t -> t LIKE 'va%')) > 0
+ORDER BY weight DESC, suggestion LIMIT 10
+"""
+
+REGISTRY_FEATURES.update(
+    {
+        "suggest_infix": (q_suggest_infix, SQL_SUGGEST_INFIX),
+    }
+)

@@ -796,3 +796,252 @@ REGISTRY_PIPELINE: dict[str, tuple] = {
     "engine_bm25_english": (q_engine_bm25_english, None),
     "engine_phrase_english": (q_engine_phrase_english, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# web-corpus prep: URL canonicalization / dedup / host stats (webprep.py)
+# ---------------------------------------------------------------------------
+# The testdata documents table has no url column, so both sides derive a
+# deterministic synthetic url per row (scheme/host-case/port/params/fragment
+# variants keyed off doc_id) and the ORACLE replicates the derivation —
+# the operator under test is the canonicalizer, not the synthesis.
+
+def _with_urls(docs):
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, "HTTP").otherwise("https")
+    host = F.when(
+        d % 3 == 0, F.concat(F.lit("WWW."), F.upper("source"), F.lit(".Example.COM"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    port = (
+        F.when(d % 4 == 0, ":80")
+        .when(d % 4 == 1, ":443")
+        .when(d % 4 == 2, ":8080")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/Docs/"), (d % 50).cast("string"),
+        F.when(d % 5 == 0, "/").otherwise(""),
+    )
+    query = (
+        F.when(d % 3 == 0, "?utm_source=feed&z=1&a=2&fbclid=xyz")
+        .when(d % 3 == 1, "?b=2&a=1")
+        .otherwise("")
+    )
+    frag = F.when(d % 2 == 0, "#Section-2").otherwise(F.lit(""))
+    return docs.withColumn(
+        "url", F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    )
+
+
+_SQL_URLS = """
+urls AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN 'WWW.' || upper(source) || '.Example.COM'
+               ELSE source || '.example.com' END) ||
+         (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                          WHEN 2 THEN ':8080' ELSE '' END) ||
+         '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&z=1&a=2&fbclid=xyz'
+                          WHEN 1 THEN '?b=2&a=1' ELSE '' END) ||
+         (CASE WHEN doc_id % 2 = 0 THEN '#Section-2' ELSE '' END) AS url
+  FROM documents)
+"""
+
+# the canonicalizer, restated in DuckDB SQL (same 7 rules as webprep.py)
+_SQL_CANON = """
+canon AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_replace(
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        ':[0-9]+$', '')),
+      '^www\\.', '') AS host,
+    regexp_extract(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      ':([0-9]+)$', 1) AS port,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/+$', '') AS path1,
+    regexp_extract(regexp_replace(url, '#.*$', ''), '\\?([^#]*)', 1) AS query
+  FROM urls),
+cu AS (
+  SELECT doc_id, url,
+    scheme || '://' || host ||
+    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END) ||
+    (CASE WHEN path1 = '' THEN '/' ELSE path1 END) ||
+    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+          ELSE '' END) AS canonical_url,
+    host
+  FROM (SELECT *,
+          list_sort(list_filter(string_split(query, '&'),
+            p -> len(p) > 0 AND NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref_src)=')))
+          AS kept
+        FROM canon))
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    from .pipeline.webprep import canonicalize_url
+
+    d = _with_urls(_docs(spark, sf_dir))
+    return (
+        canonicalize_url(d)
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    )
+
+
+SQL_URL_CANONICAL = f"""
+WITH {_SQL_URLS}, {_SQL_CANON}
+SELECT doc_id, canonical_url FROM cu WHERE doc_id < 24 ORDER BY doc_id
+"""
+
+
+def q_url_dedup_hosts(spark, sf_dir):
+    from .pipeline.webprep import host_stats
+
+    return host_stats(_with_urls(_docs(spark, sf_dir))).limit(20)
+
+
+SQL_URL_DEDUP_HOSTS = f"""
+WITH {_SQL_URLS}, {_SQL_CANON}
+SELECT host, count(*) AS pages,
+       count(DISTINCT canonical_url) AS distinct_urls,
+       count(*) - count(DISTINCT canonical_url) AS dup_pages
+FROM cu GROUP BY host ORDER BY pages DESC, host LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontamination + repeated-span detection (decontam.py)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as the
+    held-out eval set; report the most-contaminated remaining docs."""
+    from .pipeline.decontam import contamination_report
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    # n=4 at this corpus' vocabulary plays the role 13-grams play on real
+    # web text: rare enough to mean true overlap, common enough that the
+    # entry's evidence is non-vacuous (8 contaminated docs at sf0.01)
+    rep = contamination_report(corpus, bench, n=4)
+    return rep.orderBy(
+        F.desc("contamination_frac"), F.asc("doc_id")
+    ).limit(15)
+
+
+_SQL_GRAMS4 = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+         generate_subscripts(string_split(text,' '), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3)
+"""
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_GRAMS4},
+bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS contaminated_grams FROM corp
+        WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams, h.contaminated_grams,
+       ROUND(CAST(h.contaminated_grams AS DOUBLE) / t.n_grams, 4)
+         AS contamination_frac
+FROM tot t JOIN hit h ON h.doc_id = t.doc_id
+ORDER BY contamination_frac DESC, t.doc_id LIMIT 15
+"""
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Lee-et-al-style repeated-substring summary at k=8 tokens."""
+    from .pipeline.decontam import duplicate_window_stats
+
+    return duplicate_window_stats(_docs(spark, sf_dir), k=8)
+
+
+_SQL_GRAMS8 = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term,
+         generate_subscripts(string_split(text,' '), 1) AS pos
+  FROM documents),
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term || ' ' ||
+         e.term || ' ' || f.term || ' ' || g.term || ' ' || h.term AS gram
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+  JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4
+  JOIN tok f ON f.doc_id = a.doc_id AND f.pos = a.pos + 5
+  JOIN tok g ON g.doc_id = a.doc_id AND g.pos = a.pos + 6
+  JOIN tok h ON h.doc_id = a.doc_id AND h.pos = a.pos + 7)
+"""
+
+SQL_REPEATED_SPANS = f"""
+WITH {_SQL_GRAMS8},
+dfs AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram)
+SELECT CAST(sum(df) AS BIGINT) AS doc_windows,
+       count(*) AS distinct_windows,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_windows,
+       max(df) AS max_df,
+       (SELECT count(DISTINCT doc_id) FROM sh
+        WHERE gram IN (SELECT gram FROM dfs WHERE df >= 2))
+         AS docs_with_dup_span
+FROM dfs
+"""
+
+
+def q_dup_span_frac(spark, sf_dir):
+    """Per-doc duplicated-window fraction (the substring-dedup filter
+    signal): 20 most-duplicated docs."""
+    from .pipeline.decontam import duplicate_window_fraction
+
+    out = duplicate_window_fraction(_docs(spark, sf_dir), k=8)
+    return out.orderBy(
+        F.desc("dup_frac"), F.asc("doc_id")
+    ).limit(20)
+
+
+SQL_DUP_SPAN_FRAC = f"""
+WITH {_SQL_GRAMS8},
+dfs AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram),
+per AS (
+  SELECT s.doc_id, count(*) AS windows,
+         CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_windows
+  FROM sh s JOIN dfs d ON d.gram = s.gram GROUP BY s.doc_id)
+SELECT doc_id, windows, dup_windows,
+       ROUND(CAST(dup_windows AS DOUBLE) / windows, 4) AS dup_frac
+FROM per ORDER BY dup_frac DESC, doc_id LIMIT 20
+"""
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "web_url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
+        "web_url_dedup_hosts": (q_url_dedup_hosts, SQL_URL_DEDUP_HOSTS),
+        "decontaminate_ngram": (q_decontaminate, SQL_DECONTAMINATE),
+        "dedup_repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
+        "dedup_dup_span_frac": (q_dup_span_frac, SQL_DUP_SPAN_FRAC),
+    }
+)

@@ -672,3 +672,28 @@ def gbt_to_ltr_trees(model) -> list[dict]:
         root = tree._call_java("rootNode")
         out.append({"weight": float(w), "root": node_to_dict(root)})
     return out
+
+
+def suggest_infix(
+    suggestions: DataFrame, typed: str, k: int = 10
+) -> DataFrame:
+    """AnalyzingInfixSuggester (lucene/suggest/.../analyzing/
+    AnalyzingInfixSuggester.java): match multi-word suggestions where the
+    typed text prefixes ANY token of the suggestion — "infix" completion,
+    e.g. typing `spee` surfaces "corpus speed test" — ranked by stored
+    weight desc then suggestion. Lucene backs this with an auxiliary
+    index whose terms are the suggestion tokens; here the suggestion
+    table is scanned with an any-token-startswith predicate (narrow, no
+    shuffle) and top-k via TakeOrderedAndProject. Expects
+    (suggestion, weight) rows."""
+    t = typed.lower()
+    hit = F.exists(
+        F.split(F.lower("suggestion"), " "),
+        lambda tok: tok.startswith(t),
+    )
+    return (
+        suggestions.filter(hit)
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(k)
+        .select("suggestion", "weight")
+    )

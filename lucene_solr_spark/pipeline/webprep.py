@@ -1,0 +1,122 @@
+"""Web-corpus preparation operators: URL canonicalization, URL-level
+dedup, and per-host corpus statistics.
+
+The reference indexes Common-Crawl-style pages keyed by url
+(SURVEY.md §2 data model: (url, warc_ts, html, text, lang)); every real
+crawl pipeline canonicalizes URLs before dedup because the same page is
+fetched under scheme/case/port/tracking-param variants. These are the
+standard RFC 3986 syntax-based normalizations plus tracking-parameter
+stripping (the "safe" tier — no content fetch needed):
+
+  1. drop the fragment (never sent to the server)
+  2. lowercase scheme and host (RFC 3986 §6.2.2.1)
+  3. strip a leading ``www.`` label (crawl-dedup convention)
+  4. strip default ports (http:80 / https:443), keep explicit others
+  5. drop tracking query params (utm_*, fbclid, gclid, msclkid, igshid,
+     mc_eid, ref_src)
+  6. sort surviving query params bytewise (param order is almost never
+     semantic; sorting makes equivalent URLs compare equal)
+  7. strip trailing slashes from the path; an empty path becomes "/"
+
+Everything is JVM-side Column expressions (regexp + array lambdas) —
+a narrow zero-shuffle map, so at 10^12 rows the canonicalizer runs at
+scan speed inside whole-stage codegen. ``url_dedup`` adds exactly one
+shuffle keyed by the canonical url (hash-partitioned, no skew beyond the
+natural duplicate-group sizes); ``host_stats`` one shuffle keyed by host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking params dropped by step 5. Kept in one place so the Spark
+# expression and any SQL twin agree on the exact set.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref_src)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """The canonical form of ``url`` as a single Column expression."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    is_default = ((scheme == F.lit("http")) & (port == F.lit("80"))) | (
+        (scheme == F.lit("https")) & (port == F.lit("443"))
+    )
+    portpart = F.when(
+        (port == F.lit("")) | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path0 = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path1 = F.regexp_replace(path0, r"/+$", "")
+    path = F.when(path1 == F.lit(""), F.lit("/")).otherwise(path1)
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical url column. Narrow map, zero shuffle."""
+    return df.withColumn(out_col, canonical_url_col(F.col(url_col)))
+
+
+def canonical_host_col(url: Column) -> Column:
+    """Canonical host (lowercased, www-stripped, port dropped)."""
+    hostport = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    return F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"^www\.", ""
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row per canonical url — the lowest id (crawl
+    pipelines keep the earliest fetch). One hash shuffle on the canonical
+    url; the min-aggregation is map-side partial, so even a url duplicated
+    across every input partition reduces to one row per partition before
+    the exchange."""
+    c = canonicalize_url(df, url_col)
+    keep = c.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
+    return c.join(keep, ["canonical_url", id_col], "inner")
+
+
+def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus stats: pages, distinct canonical urls, dup pages.
+    The standard pre-filter signal for crawl curation (boilerplate farms
+    show pages >> distinct urls)."""
+    c = canonicalize_url(df, url_col).withColumn(
+        "host", canonical_host_col(F.col(url_col))
+    )
+    return (
+        c.groupBy("host")
+        .agg(
+            F.count("*").alias("pages"),
+            F.count_distinct("canonical_url").alias("distinct_urls"),
+            (F.count("*") - F.count_distinct("canonical_url")).alias(
+                "dup_pages"
+            ),
+        )
+        .orderBy(F.desc("pages"), F.asc("host"))
+    )
