@@ -351,6 +351,14 @@ def build_index(
         )
     id_side = F.broadcast(ids_small) if n_pages <= 20_000_000 else ids_small
     with_ids = pages.select("url", "lang", "text").join(id_side, "url")
+    # Analyzer parallelism rides the parquet split count. Small corpora
+    # (bench/test scale) can land on a handful of row groups — a 100k-doc
+    # corpus is ~13 splits, so 2/3 of a 32-core box idles through the
+    # build's dominant phase. One cheap exchange restores full fan-out;
+    # the condition is never true at production scale (a 100 TB corpus is
+    # millions of splits >> cores), so no text shuffle is added there.
+    if pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        with_ids = with_ids.repartition(p)
     _phase("ids")
 
     # ---- ONE analyzer pass, fused straight into the postings exchange -----
