@@ -1045,3 +1045,90 @@ REGISTRY_PIPELINE.update(
         "dedup_dup_span_frac": (q_dup_span_frac, SQL_DUP_SPAN_FRAC),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN (pipeline/pq.py) + multi-language ID (textqc.py)
+# ---------------------------------------------------------------------------
+
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ-coded ANN: train m=16 x ksub=16 codebooks on a sample, encode the
+    corpus to 8-byte codes, ADC top-10 via literal lookup tables (pure JVM
+    scan). KMeans codebooks are not ANSI-SQL-expressible -> rows-only entry;
+    recall vs brute-force cosine is asserted in tests/test_pipeline_scale.py."""
+    from .pipeline import pq as PQ
+
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return PQ.pq_topk(e, qv, k=10)
+
+
+_LANG_SAMPLES = {
+    1: "der hund und die katze laufen nicht in das haus von dem mann",
+    2: "le chat et les chiens sont dans la maison pour que il dort",
+    3: "el perro y la casa de los gatos es una cosa que se ve con el sol",
+    0: "zzz qqq xyzzy plugh foobar quux grault garply waldo fred corge",
+}
+
+
+def q_lang_id_multi(spark, sf_dir):
+    """Multi-language ID over function-word density profiles. The testdata
+    corpus is English, so rows are steered into each profile's path with
+    fixed literal sentences keyed off doc_id (same derivation restated in
+    the oracle — the operator under test is the classifier expression)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    t = F.col("text")
+    for k, s in _LANG_SAMPLES.items():
+        t = F.when(F.col("doc_id") % 5 == k, F.lit(s)).otherwise(t)
+    return TQ.lang_id_multi(docs.withColumn("text", t)).orderBy("doc_id")
+
+
+def _profile_sql(words):
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_LANG_CASE_SQL = """
+      CASE WHEN doc_id % 5 = 1 THEN '{s1}'
+           WHEN doc_id % 5 = 2 THEN '{s2}'
+           WHEN doc_id % 5 = 3 THEN '{s3}'
+           WHEN doc_id % 5 = 0 THEN '{s0}'
+           ELSE text END
+""".format(s1=_LANG_SAMPLES[1], s2=_LANG_SAMPLES[2], s3=_LANG_SAMPLES[3],
+           s0=_LANG_SAMPLES[0])
+
+SQL_LANG_ID_MULTI = f"""
+WITH d AS (
+  SELECT doc_id, {_LANG_CASE_SQL} AS text
+  FROM documents WHERE doc_id < 60),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS t
+  FROM d),
+c AS (
+  SELECT doc_id, len(t) AS n,
+    len(list_filter(t, x -> x IN ({_profile_sql(TQ.LANG_PROFILES['en'])}))) AS c_en,
+    len(list_filter(t, x -> x IN ({_profile_sql(TQ.LANG_PROFILES['de'])}))) AS c_de,
+    len(list_filter(t, x -> x IN ({_profile_sql(TQ.LANG_PROFILES['fr'])}))) AS c_fr,
+    len(list_filter(t, x -> x IN ({_profile_sql(TQ.LANG_PROFILES['es'])}))) AS c_es
+  FROM tok)
+SELECT doc_id,
+  CASE WHEN n = 0 OR greatest(c_en, c_de, c_fr, c_es) / CAST(n AS DOUBLE) < 0.02
+         THEN 'und'
+       WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+       WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+       WHEN c_fr >= c_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  CASE WHEN n > 0
+       THEN ROUND(greatest(c_en, c_de, c_fr, c_es) / CAST(n AS DOUBLE), 4)
+       ELSE 0.0 END AS top_density
+FROM c ORDER BY doc_id
+"""
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "ann_pq_adc": (q_ann_pq_adc, None),
+        "text_lang_id_multi": (q_lang_id_multi, SQL_LANG_ID_MULTI),
+    }
+)

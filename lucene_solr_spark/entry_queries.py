@@ -702,19 +702,22 @@ _R03_WINDOW = [
     "suggest_fuzzy", "spellcheck_fuzzy", "spellcheck_collation",
     "realtime_get", "ltr_linear_rescore", "term_vectors", "query_elevation",
     "cursor_page", "diversified_topk", "more_like_this",
-    # analysis-chain entries
-    "shingle_bigrams", "char_ngrams", "edge_ngrams",
+    # analysis-chain entries (char/edge ngrams stay local-verified: simple
+    # expressions, judged pass(local) in round 2 — the window slots go to
+    # this round's brand-new operators instead)
+    "shingle_bigrams",
     # facets / stats
     "facet_field_params",
     # round-3 additions (never driver-witnessed): nested intervals, the
     # DFR/IB matrix + wrappers, offset-faithful highlighter, tree LTR,
-    # math evaluators
+    # math evaluators, PQ-ANN, multi-language ID
     "intervals_nested", "dfr_gb1_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
     "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
     "highlight_unified", "ltr_trees_rescore", "stream_regress",
     "stream_conv", "stream_norm_cdf", "dedup_simhash_manku",
+    "ann_pq_adc", "text_lang_id_multi",
     # sentinels from the rounds-1/2 witnessed tier
-    "term_query_bm25", "engine_wand_or_sql", "dedup_lsh_pairs",
+    "term_query_bm25", "engine_wand_or_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R03_WINDOW if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

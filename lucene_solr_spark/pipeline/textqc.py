@@ -56,6 +56,60 @@ def lang_id_heuristic(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Per-language function-word profiles (high-frequency closed-class words —
+# the standard cheap lang-ID signal; cf. the reference's per-language
+# analyzer stopword sets under lucene/analysis/common). Kept short and
+# distinctive on purpose: densities are compared ACROSS profiles, so a few
+# very frequent words per language dominate the decision.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was",
+           "for", "with", "his", "they", "this", "have", "not"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "eine",
+           "mit", "auf", "sich", "dem", "den", "von", "zu", "im"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "que",
+           "pour", "qui", "pas", "sur", "au", "ce", "il"],
+    "es": ["el", "la", "los", "las", "que", "y", "en", "un", "una",
+           "es", "del", "se", "por", "con", "para", "no"],
+}
+
+
+def lang_id_multi(
+    df: DataFrame, text_col: str = "text", min_density: float = 0.02
+) -> DataFrame:
+    """Multi-language ID: per-language function-word occurrence density,
+    argmax across profiles, 'und' below `min_density`. Ties break by
+    profile order (en > de > fr > es), stated in the contract so the SQL
+    oracle can restate it. Pure array expressions over one lowercase
+    tokenization — a narrow zero-shuffle map at any corpus size."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    d = df.select("doc_id", toks.alias("_t"))
+    def _contains(arr):
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        return lambda t: F.array_contains(arr, t)
+
+    counts = {}
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        counts[lang] = F.size(F.filter(F.col("_t"), _contains(arr)))
+    n = F.size(F.col("_t"))
+    best = F.greatest(*counts.values())
+    pick = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
+        pick = F.when(counts[lang] == best, lang).otherwise(pick)
+    pick = F.when((n > 0) & (best / n >= F.lit(min_density)), pick).otherwise(
+        F.lit("und")
+    )
+    return d.select(
+        "doc_id",
+        pick.alias("pred_lang"),
+        F.when(n > 0, F.round(best / n, 4)).otherwise(F.lit(0.0)).alias(
+            "top_density"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality scoring: length / mean word length / stopword ratio blended —
     Gopher-style filters as one select."""

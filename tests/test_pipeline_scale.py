@@ -354,3 +354,91 @@ def test_simhash_manku_complete_random(spark):
     # the 4 planted pairs (vs doc 0) must all be present
     planted = {(0, 100, 1), (0, 101, 2), (0, 102, 3), (0, 103, 1)}
     assert planted <= got
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC (pipeline/pq.py)
+# ---------------------------------------------------------------------------
+
+def test_pq_codes_shape_and_range(spark, emb):
+    from lucene_solr_spark.pipeline import pq as PQ
+
+    cb = PQ.pq_train(emb, m=16, ksub=16, sample_rows=256, iters=5)
+    assert cb.shape == (16, 16, 4)  # 64-dim corpus -> dsub=4
+    codes = PQ.pq_encode(emb, cb).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["pq_code"]) == 16
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+def test_pq_adc_recall_vs_brute(spark, emb):
+    """PQ is a candidate generator for exact rerank: the ADC shortlist at
+    candidates=50 (10% of this near-uniform fixture) must retain >= 0.7 of
+    the true top-10, and the reranked top-10 must equal the shortlist's
+    survivors (rerank is exact). Near-uniform vectors are the hard case —
+    real embedding corpora cluster and recall rises."""
+    from lucene_solr_spark.pipeline import pq as PQ
+    from lucene_solr_spark.pipeline.similarity import cosine_topk
+
+    row = emb.filter(F.col("vec_id") == 3).first()
+    qv = [float(x) for x in row["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 3)
+    truth = [r["vec_id"] for r in cosine_topk(rest, qv, k=10).collect()]
+
+    cb = PQ.pq_train(rest, m=16, ksub=16)
+    codes = PQ.pq_encode(rest, cb)
+    short = {r["vec_id"] for r in PQ.pq_adc_topk(codes, cb, qv, k=50).collect()}
+    shortlist_recall = len(set(truth) & short) / 10.0
+    assert shortlist_recall >= 0.7, f"ADC shortlist recall too low: {shortlist_recall}"
+
+    final = [r["vec_id"] for r in
+             PQ.pq_topk_rerank(rest, codes, cb, qv, k=10, candidates=50).collect()]
+    # exact rerank: every true neighbor that survived the shortlist must be
+    # in the final top-10, in true cosine order
+    survivors = [v for v in truth if v in short]
+    assert final[: len(survivors)] == survivors
+
+
+def test_pq_adc_plan_is_jvm_side(spark, emb):
+    """The ADC scan must stay in whole-stage codegen (literal LUT
+    element_at sums) and end in TakeOrderedAndProject — no Python UDF, no
+    global sort in the query path."""
+    from lucene_solr_spark.pipeline import pq as PQ
+
+    cb = PQ.pq_train(emb, m=16, ksub=16, sample_rows=128, iters=3)
+    codes = PQ.pq_encode(emb, cb)
+    qv = [0.1] * 64
+    plan = PQ.pq_adc_topk(codes, cb, qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    head = plan.split("ArrowEvalPython")[0] if "ArrowEvalPython" in plan else plan
+    assert "BatchEvalPython" not in head  # no row-at-a-time python anywhere
+
+
+# ---------------------------------------------------------------------------
+# Multi-language ID (textqc.lang_id_multi)
+# ---------------------------------------------------------------------------
+
+def test_lang_id_multi_classifies_fixed_sentences(spark):
+    from lucene_solr_spark.pipeline import textqc as TQ
+
+    rows = [
+        (1, "the cat and the dog that was in the house for it is not this"),
+        (2, "der hund und die katze laufen nicht in das haus von dem mann"),
+        (3, "le chat et les chiens sont dans la maison pour que il dort"),
+        (4, "el perro y la casa de los gatos es una cosa que se ve con el"),
+        (5, "zzz qqq xyzzy plugh foobar quux grault garply waldo fred"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["pred_lang"] for r in TQ.lang_id_multi(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "und"}
+
+
+def test_lang_id_multi_tie_breaks_by_profile_order(spark):
+    from lucene_solr_spark.pipeline import textqc as TQ
+
+    # 'no' is in the es profile only; 'the' en only; equal counts -> en wins
+    df = spark.createDataFrame([(1, "the no the no")], ["doc_id", "text"])
+    r = TQ.lang_id_multi(df).first()
+    assert r["pred_lang"] == "en"
