@@ -1132,3 +1132,100 @@ REGISTRY_PIPELINE.update(
         "text_lang_id_multi": (q_lang_id_multi, SQL_LANG_ID_MULTI),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (closed-form quantizer -> full SQL oracle) and
+# C4/Dolma-style line-level exact dedup
+# ---------------------------------------------------------------------------
+
+def q_ann_sq8(spark, sf_dir):
+    """int8 scalar-quantized cosine top-10: exact per-dim min/max stats,
+    floor(+0.5) affine encode, dequantized cosine scan. The whole pipeline
+    is closed-form, so the oracle restates stats+encode+scan exactly."""
+    from .pipeline import pq as PQ
+
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return PQ.sq8_search(e, qv, k=10)
+
+
+SQL_ANN_SQ8 = """
+WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM v GROUP BY i),
+codes AS (SELECT v.vec_id, v.i, s.mn, s.mx,
+            least(255, greatest(0, CAST(floor(
+              CASE WHEN s.mx > s.mn
+                   THEN (v.x - s.mn) * 255.0 / (s.mx - s.mn)
+                   ELSE 0.0 END + 0.5) AS INT))) AS c
+          FROM v JOIN stats s USING (i)),
+deq AS (SELECT vec_id, i, mn + c * (mx - mn) / 255.0 AS xh FROM codes),
+dots AS (SELECT d.vec_id, sum(d.xh * q.x) AS dot,
+                sum(d.xh * d.xh) AS n2, sum(q.x * q.x) AS q2
+         FROM deq d JOIN q USING (i) GROUP BY d.vec_id)
+SELECT vec_id, ROUND(cosine, 4) AS sq_cosine FROM (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(q2) + 1e-12) AS cosine FROM dots
+  ORDER BY cosine DESC, vec_id LIMIT 10) t
+"""
+
+
+_BOILER_A = "Subscribe to our newsletter for weekly updates and offers"
+_BOILER_B = "All rights reserved  copyright two thousand twenty four"
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Line/sentence-level exact dedup: boilerplate units repeated across
+    documents. The testdata corpus has no sentence separators, so each doc
+    is given a deterministic sentence structure keyed off doc_id (two text
+    slices + boilerplate sentences on doc_id%3==0 / %4==1 — restated in the
+    oracle, as with web_url_canonical's derived urls): the operator under
+    test is the unit-dedup aggregation. Top 100 by spread, deterministic
+    tie order via unit_md5."""
+    from .pipeline import dedup as DD
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.when(F.col("doc_id") % 3 == 0, ". " + _BOILER_A).otherwise(""),
+            F.when(F.col("doc_id") % 4 == 1, ". " + _BOILER_B).otherwise(""),
+            F.lit(". "),
+            F.substring("text", 61, 60),
+        ),
+    )
+    return DD.line_dedup_stats(d).limit(100)
+
+
+SQL_DEDUP_LINES = f"""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 60)
+         || (CASE WHEN doc_id % 3 = 0 THEN '. {_BOILER_A}' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 1 THEN '. {_BOILER_B}' ELSE '' END)
+         || '. ' || substr(text, 61, 60) AS text
+  FROM documents),
+units AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(u, '\\s+', ' ', 'g'))) AS unit
+  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS u FROM d)),
+f AS (SELECT * FROM units WHERE length(unit) >= 20),
+g AS (SELECT unit, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+      FROM f GROUP BY unit HAVING count(DISTINCT doc_id) > 1)
+SELECT md5(unit) AS unit_md5, n_docs, n_occurrences
+FROM g
+ORDER BY n_docs DESC, n_occurrences DESC, unit_md5
+LIMIT 100
+"""
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "ann_sq8_topk": (q_ann_sq8, SQL_ANN_SQ8),
+        "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    }
+)

@@ -699,7 +699,7 @@ _R03_WINDOW = [
     "dfr_inl2_topk", "ib_ll_topk", "dfi_chi2_topk", "axiomatic_f2exp_topk",
     # search UX: highlighting, suggest, spellcheck, collectors
     "highlight_snippets", "highlight_passage", "suggest_prefix",
-    "suggest_fuzzy", "spellcheck_fuzzy", "spellcheck_collation",
+    "spellcheck_fuzzy", "spellcheck_collation",
     "realtime_get", "ltr_linear_rescore", "term_vectors", "query_elevation",
     "cursor_page", "diversified_topk", "more_like_this",
     # analysis-chain entries (char/edge ngrams stay local-verified: simple
@@ -714,8 +714,11 @@ _R03_WINDOW = [
     "intervals_nested", "dfr_gb1_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
     "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
     "highlight_unified", "ltr_trees_rescore", "stream_regress",
-    "stream_conv", "stream_norm_cdf", "dedup_simhash_manku",
-    "ann_pq_adc", "text_lang_id_multi",
+    "stream_conv", "dedup_simhash_manku",
+    "ann_pq_adc", "text_lang_id_multi", "ann_sq8_topk", "dedup_lines",
+    # (suggest_fuzzy and stream_norm_cdf stay local-verified to make room —
+    # their siblings spellcheck_fuzzy / stream_regress+stream_conv cover the
+    # same code paths in the window)
     # sentinels from the rounds-1/2 witnessed tier
     "term_query_bm25", "engine_wand_or_sql",
 ]

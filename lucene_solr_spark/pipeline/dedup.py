@@ -534,3 +534,41 @@ def simhash_hamming_candidates(
         cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def line_dedup_stats(
+    df: DataFrame, text_col: str = "text", min_len: int = 20
+) -> DataFrame:
+    """Line/sentence-level exact dedup (the C4 / Dolma pattern: drop or
+    count text UNITS repeated across documents — boilerplate sentences,
+    nav text, cookie banners — rather than whole-doc dups).
+
+    Splits each doc on sentence boundaries, normalizes (trim + lower +
+    whitespace collapse), drops units under `min_len` chars, and reports
+    each unit that appears in more than one document with its document
+    and occurrence counts. Shape at 100 TB: explode is a narrow map (rows
+    grow ~20x but bytes stay ~flat), then ONE hash-keyed aggregation on
+    the unit hash — the same shuffle profile as exact whole-doc dedup.
+    The md5 key (not the raw text) would be the shuffle key at scale; the
+    output keeps the text for the report."""
+    unit = F.explode(F.split(F.col(text_col), r"\.")).alias("u")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("u"), r"\s+", " ")))
+    units = (
+        df.select("doc_id", unit)
+        .select("doc_id", norm.alias("unit"))
+        .filter(F.length("unit") >= min_len)
+    )
+    return (
+        units.groupBy("unit")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5(F.col("unit")).alias("unit_md5"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "unit_md5")
+    )

@@ -196,3 +196,107 @@ def pq_topk(
         emb, codes, cb, query_vec, k=k, candidates=candidates,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the other vector-compression tier. Unlike PQ,
+# the quantizer is closed-form (per-dimension affine over exact corpus
+# min/max), so an ANSI-SQL oracle can restate the ENTIRE pipeline and the
+# driver value-hashes it; it is also the shape of Lucene's int8 scalar
+# quantization for KNN vectors (Lucene99ScalarQuantizedVectorsFormat).
+# ---------------------------------------------------------------------------
+
+def sq8_stats(emb: DataFrame, vec_col: str = "embedding"):
+    """Exact per-dimension (min, max) over the corpus -> two python lists.
+
+    One narrow posexplode + 64-group aggregation; the collected result is
+    dim rows of scalar model state (the TermStates.build pattern — the
+    stats table is tiny and becomes plan literals). At 10^12 scale this
+    aggregation is map-side-combined per partition before one 64-key
+    exchange."""
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mins = [float(r["mn"]) for r in stats]
+    maxs = [float(r["mx"]) for r in stats]
+    return mins, maxs
+
+
+def sq8_encode(
+    emb: DataFrame, mins: list[float], maxs: list[float],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each dimension to 8 bits: floor((x-mn)*255/(mx-mn) + 0.5),
+    clamped to [0,255] — explicit floor(+0.5), not round(), so any SQL
+    engine restates it without half-even ambiguity. 4x smaller than
+    float32, pure zip_with expressions, zero shuffle."""
+    mn = F.array(*[F.lit(v) for v in mins])
+    rng = F.array(*[F.lit(mx - mi) for mx, mi in zip(maxs, mins)])
+    centered = F.zip_with(
+        F.col(vec_col), mn, lambda x, m: x.cast("double") - m
+    )
+    code = F.zip_with(
+        centered, rng,
+        lambda d, r: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.when(r > 0, d * F.lit(255.0) / r).otherwise(F.lit(0.0))
+                    + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return emb.select(F.col(id_col), code.alias("sq_code"))
+
+
+def sq8_topk(
+    codes: DataFrame, mins: list[float], maxs: list[float],
+    query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over dequantized int8 codes vs the exact query.
+
+    x_hat_j = mn_j + code_j * (mx_j - mn_j)/255; cosine(q, x_hat) as
+    zip_with/aggregate JVM expressions over the codes column only, ending
+    in TakeOrderedAndProject. The scan reads 1/4 of the raw-vector bytes;
+    at 10^12 vectors the codes table is the hot store and the float
+    vectors are cold archive."""
+    import math
+
+    mn = F.array(*[F.lit(v) for v in mins])
+    step = F.array(*[F.lit((mx - mi) / 255.0) for mx, mi in zip(maxs, mins)])
+    deq = F.zip_with(
+        F.zip_with(F.col("sq_code"), step, lambda c, s: c.cast("double") * s),
+        mn,
+        lambda xs, m: xs + m,
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    dot = F.aggregate(
+        F.zip_with(deq, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    n2 = F.aggregate(
+        F.transform(deq, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = dot / (F.sqrt(n2) * F.lit(qn) + F.lit(1e-12))
+    return (
+        codes.select(F.col(id_col), cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), F.asc(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("_raw", 4).alias("sq_cosine"))
+    )
+
+
+def sq8_search(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """stats -> encode -> dequantized cosine top-k in one call."""
+    mins, maxs = sq8_stats(emb, vec_col)
+    codes = sq8_encode(emb, mins, maxs, id_col=id_col, vec_col=vec_col)
+    return sq8_topk(codes, mins, maxs, query_vec, k=k, id_col=id_col)

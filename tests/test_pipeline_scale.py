@@ -442,3 +442,63 @@ def test_lang_id_multi_tie_breaks_by_profile_order(spark):
     df = spark.createDataFrame([(1, "the no the no")], ["doc_id", "text"])
     r = TQ.lang_id_multi(df).first()
     assert r["pred_lang"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization + line-level dedup
+# ---------------------------------------------------------------------------
+
+def test_sq8_roundtrip_error_bounded(spark, emb):
+    """Quantize -> dequantize error per dimension is bounded by half a step
+    ((mx-mn)/255/2) — the defining property of the affine int8 quantizer."""
+    from lucene_solr_spark.pipeline import pq as PQ
+
+    mins, maxs = PQ.sq8_stats(emb)
+    codes = PQ.sq8_encode(emb, mins, maxs)
+    joined = emb.join(codes, "vec_id").select("embedding", "sq_code").collect()
+    for r in joined:
+        for j, (x, c) in enumerate(zip(r["embedding"], r["sq_code"])):
+            step = (maxs[j] - mins[j]) / 255.0
+            xh = mins[j] + c * step
+            assert abs(float(x) - xh) <= step / 2 + 1e-9
+
+
+def test_sq8_topk_close_to_exact(spark, emb):
+    """int8 quantization at 64 dims keeps cosine error ~1e-3: the SQ8
+    top-10 must share >= 8 of the exact top-10."""
+    from lucene_solr_spark.pipeline import pq as PQ
+    from lucene_solr_spark.pipeline.similarity import cosine_topk
+
+    row = emb.filter(F.col("vec_id") == 7).first()
+    qv = [float(x) for x in row["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 7)
+    truth = {r["vec_id"] for r in cosine_topk(rest, qv, k=10).collect()}
+    got = {r["vec_id"] for r in PQ.sq8_search(rest, qv, k=10).collect()}
+    assert len(truth & got) >= 8
+
+
+def test_line_dedup_finds_shared_boilerplate(spark):
+    from lucene_solr_spark.pipeline.dedup import line_dedup_stats
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    rows = [
+        (1, f"unique first doc. {boiler}. more text here for padding"),
+        (2, f"second document body. {boiler}. trailing content words"),
+        (3, f"third one with {boiler} inline but not sentence-split"),
+        (4, "no shared units at all in this document body text"),
+        (5, f"{boiler}. {boiler}. repeated twice in one doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = line_dedup_stats(df).collect()
+    # the boilerplate sentence: docs 1, 2, 5 split it out exactly
+    # (doc 3 embeds it mid-sentence -> different unit)
+    top = got[0]
+    assert top["n_docs"] == 3 and top["n_occurrences"] == 4
+
+
+def test_line_dedup_ignores_short_units(spark):
+    from lucene_solr_spark.pipeline.dedup import line_dedup_stats
+
+    rows = [(1, "ok. ok. ok"), (2, "ok. yes. no")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert line_dedup_stats(df, min_len=20).count() == 0
