@@ -637,3 +637,83 @@ REGISTRY_FEATURES.update(
         "suggest_infix": (q_suggest_infix, SQL_SUGGEST_INFIX),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Monitor / percolator (reverse search): registered queries matched against
+# the document stream (lucene/monitor Monitor.java ≈L60,
+# TermFilteredPresearcher.java ≈L80)
+# ---------------------------------------------------------------------------
+
+_MONITOR_QUERIES = [
+    # (query_id, qtype, terms)
+    (1, "any", ["customer", "vector"]),
+    (2, "all", ["key", "agg", "row"]),
+    (3, "phrase", ["table", "table"]),
+    (4, "all", ["zzzmissing", "key"]),      # negative control: never matches
+    (5, "any", ["window"]),
+]
+
+
+def q_monitor_match(spark, sf_dir):
+    """Percolate sf documents through 5 registered queries; report matched
+    docs per query. Presearcher join is term-keyed (query side broadcast),
+    then per-type verification — never doc x query."""
+    from .operators.monitor import monitor_match
+
+    queries = spark.createDataFrame(
+        [(i, t, terms) for i, t, terms in _MONITOR_QUERIES],
+        "query_id long, qtype string, terms array<string>",
+    )
+    pairs = monitor_match(_tok_pos(spark, sf_dir), queries)
+    return (
+        pairs.groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("query_id")
+    )
+
+
+def _sql_monitor() -> str:
+    vals = []
+    for qid, qtype, terms in _MONITOR_QUERIES:
+        for slot, term in enumerate(terms):
+            vals.append(f"({qid}, '{qtype}', {len(terms)}, {slot}, '{term}')")
+    values = ",\n    ".join(vals)
+    return f"""
+WITH q(query_id, qtype, n_terms, slot, term) AS (VALUES
+    {values}),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+               generate_subscripts(string_split(text,' '), 1) AS pos
+        FROM documents),
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+hits AS (SELECT DISTINCT d.doc_id, q.query_id, q.qtype, q.n_terms, q.slot
+         FROM dterms d JOIN q USING (term)),
+matched AS (SELECT doc_id, query_id, qtype, n_terms,
+                   count(DISTINCT slot) AS m
+            FROM hits GROUP BY doc_id, query_id, qtype, n_terms),
+anyall AS (SELECT doc_id, query_id FROM matched
+           WHERE qtype = 'any' OR (qtype = 'all' AND m = n_terms)),
+phc AS (SELECT doc_id, query_id, n_terms FROM matched
+        WHERE qtype = 'phrase' AND m = n_terms),
+pho AS (SELECT DISTINCT c.doc_id, c.query_id, c.n_terms, q.slot,
+               t.pos - q.slot AS anchor
+        FROM phc c
+        JOIN q ON q.query_id = c.query_id AND q.qtype = 'phrase'
+        JOIN tok t ON t.doc_id = c.doc_id AND t.term = q.term),
+phok AS (SELECT DISTINCT doc_id, query_id FROM (
+           SELECT doc_id, query_id, anchor
+           FROM pho GROUP BY doc_id, query_id, n_terms, anchor
+           HAVING count(*) = n_terms)),
+allm AS (SELECT * FROM anyall UNION SELECT * FROM phok)
+SELECT query_id, count(*) AS n_docs FROM allm
+GROUP BY query_id ORDER BY query_id
+"""
+
+
+SQL_MONITOR = _sql_monitor()
+
+REGISTRY_FEATURES.update(
+    {
+        "monitor_percolate": (q_monitor_match, SQL_MONITOR),
+    }
+)

@@ -1515,3 +1515,66 @@ REGISTRY_RELATIONAL: dict[str, tuple] = {
     "relatedness_agg": (q_relatedness, SQL_RELATEDNESS),
     "score_nodes": (q_score_nodes, SQL_SCORE_NODES),
 }
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration) — the graph-analytics companion to
+# gatherNodes/scoreNodes; 3 unrolled iterations so the oracle can restate
+# the exact arithmetic
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over a 3-tier supplier -> nation -> region graph (node ids
+    prefixed 's'/'n'/'r' so integer keys from different tables never
+    collide). d=0.85, 3 iterations, dangling mass dropped — the oracle
+    unrolls the identical recurrence."""
+    from .operators.graph import pagerank
+
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 60)
+    na = _t(spark, sf_dir, "nation")
+    e1 = s.select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = na.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    out = pagerank(edges, "src", "dst", iters=3, damping=0.85)
+    return out.orderBy(F.desc("pagerank"), F.asc("node")).limit(30)
+
+
+def _sql_pagerank() -> str:
+    head = """
+WITH e AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src,
+         'n' || CAST(s_nationkey AS VARCHAR) AS dst
+  FROM supplier WHERE s_suppkey < 60
+  UNION ALL
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+         'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+p0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f""",
+c{i} AS (SELECT e.dst AS node, sum(p.pr / od.outdeg) AS c
+        FROM e JOIN p{i-1} p ON p.node = e.src JOIN od ON od.src = e.src
+        GROUP BY e.dst),
+p{i} AS (SELECT nodes.node,
+              (1 - 0.85) / nn.n + 0.85 * COALESCE(c{i}.c, 0) AS pr
+        FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node, nn)""")
+    tail = """
+SELECT node, ROUND(pr, 6) AS pagerank FROM p3
+ORDER BY pagerank DESC, node LIMIT 30
+"""
+    return head + "".join(iters) + tail
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+REGISTRY_RELATIONAL["graph_pagerank"] = (q_pagerank, SQL_PAGERANK)

@@ -102,3 +102,51 @@ def shortest_path(
         visited = visited.unionByName(nxt).distinct().localCheckpoint()
         frontier = nxt.localCheckpoint()
     return None
+
+
+def pagerank(
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge DataFrame.
+
+    PR_0(v) = 1/N;  PR_{t+1}(v) = (1-d)/N + d * sum_{u->v} PR_t(u)/out(u).
+    Contract notes (restated by the SQL oracle): the node set is
+    distinct(from UNION to); dangling-node mass is DROPPED, not
+    redistributed (so total mass decays when sinks exist — the simple
+    textbook variant); fixed iteration count, no convergence test.
+
+    Shape per iteration: one edges-join-pr shuffle keyed on `from`, one
+    groupBy(to) aggregation, one left join back to the node set — at
+    10^9 edges each round is two hash-keyed exchanges, the same profile
+    as connected_components (pipeline/dedup.py), and like it the plan is
+    localCheckpoint()ed each round so lineage stays flat over deep runs."""
+    f, t = F.col(from_col).alias("node"), F.col(to_col).alias("node")
+    nodes = edges.select(f).union(edges.select(t)).distinct().persist()
+    n = nodes.count()
+    outdeg = edges.groupBy(F.col(from_col).alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                pr.join(outdeg, "node").withColumnRenamed("node", from_col),
+                from_col,
+            )
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

@@ -319,3 +319,95 @@ def test_ltr_gbt_differential(spark):
     assert set(got) == set(expected)
     for d in expected:
         assert got[d] == pytest.approx(expected[d], abs=1e-9), d
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def test_pagerank_uniform_on_cycle(spark):
+    """On a directed cycle every node has one in/out edge -> PageRank is
+    exactly uniform at every iteration."""
+    from lucene_solr_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    rows = pagerank(e, "src", "dst", iters=5).collect()
+    assert {r["pagerank"] for r in rows} == {round(1 / 3, 6)}
+
+
+def test_pagerank_mass_conserved_without_sinks(spark):
+    """No dangling nodes -> total mass stays 1 after any iteration count."""
+    from lucene_solr_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "b")],
+        ["src", "dst"],
+    )
+    rows = pagerank(e, "src", "dst", iters=4).collect()
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    """Star pointing at a hub: the hub must outrank every spoke."""
+    from lucene_solr_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1")],
+        ["src", "dst"],
+    )
+    pr = {r["node"]: r["pagerank"] for r in pagerank(e, "src", "dst").collect()}
+    assert pr["hub"] > pr["s2"] and pr["hub"] > pr["s3"]
+
+
+# ---------------------------------------------------------------------------
+# Monitor / percolator (operators/monitor.py)
+# ---------------------------------------------------------------------------
+
+def _tok(spark, rows):
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+
+
+def test_monitor_any_all_phrase_semantics(spark):
+    from lucene_solr_spark.operators.monitor import monitor_match
+
+    tok = _tok(spark, [
+        (1, "alpha beta gamma"),
+        (2, "beta delta"),
+        (3, "gamma alpha beta"),   # phrase 'alpha beta' adjacent here
+        (4, "alpha gamma beta"),   # all three terms, phrase NOT adjacent
+    ])
+    queries = spark.createDataFrame(
+        [
+            (10, "any", ["delta"]),
+            (11, "all", ["alpha", "beta"]),
+            (12, "phrase", ["alpha", "beta"]),
+            (13, "all", ["alpha", "zzz"]),
+        ],
+        "query_id long, qtype string, terms array<string>",
+    )
+    got = {(r["doc_id"], r["query_id"])
+           for r in monitor_match(tok, queries).collect()}
+    assert got == {
+        (2, 10),                   # any: delta only in doc 2
+        (1, 11), (3, 11), (4, 11), # all alpha+beta
+        (1, 12), (3, 12),          # phrase adjacency (doc 4 excluded)
+    }
+
+
+def test_monitor_phrase_repeated_term(spark):
+    from lucene_solr_spark.operators.monitor import monitor_match
+
+    tok = _tok(spark, [(1, "x table table y"), (2, "table x table")])
+    queries = spark.createDataFrame(
+        [(1, "phrase", ["table", "table"])],
+        "query_id long, qtype string, terms array<string>",
+    )
+    got = {(r["doc_id"], r["query_id"])
+           for r in monitor_match(tok, queries).collect()}
+    assert got == {(1, 1)}
