@@ -1229,3 +1229,77 @@ REGISTRY_PIPELINE.update(
         "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# training-data mixing + LM-quality scoring (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+
+
+def q_sample_mix(spark, sf_dir):
+    """Deterministic data mixing: per-source keep rates via md5-hash
+    Bernoulli on doc_id (rerunnable — same subset every run). Reports kept
+    rows per source; the oracle recomputes the identical hash decision."""
+    from .pipeline import sampling as SP
+
+    kept = SP.sample_mix(
+        _docs(spark, sf_dir), _MIX_RATES, default_rate=_MIX_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def _sql_sample_mix() -> str:
+    rate = f"{_MIX_DEFAULT}"
+    for src, r in sorted(_MIX_RATES.items(), reverse=True):
+        rate = f"CASE WHEN source = '{src}' THEN {float(r)} ELSE {rate} END"
+    return f"""
+WITH u AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS unit
+  FROM documents)
+SELECT source, count(*) AS n_kept
+FROM u WHERE unit < {rate}
+GROUP BY source ORDER BY source
+"""
+
+
+SQL_SAMPLE_MIX = _sql_sample_mix()
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Per-doc mean unigram log-prob under the corpus' own smoothed
+    unigram LM (the CCNet-style perplexity-filter stand-in)."""
+    from .pipeline import sampling as SP
+
+    out = SP.unigram_logprob(_docs(spark, sf_dir))
+    return out.filter(F.col("doc_id") < 20).orderBy("doc_id")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_tok,
+               CAST(count(*) AS DOUBLE) AS n_vocab FROM tf),
+lm AS (SELECT term, ln((tf + 0.5) / (tot.n_tok + 0.5 * tot.n_vocab)) AS logp
+       FROM tf, tot)
+SELECT doc_id, ROUND(avg(logp), 4) AS mean_logprob
+FROM tok JOIN lm USING (term)
+WHERE doc_id < 20 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "pipeline_sample_mix": (q_sample_mix, SQL_SAMPLE_MIX),
+        "text_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    }
+)

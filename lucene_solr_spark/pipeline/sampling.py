@@ -1,0 +1,69 @@
+"""Training-data mixing & LM-quality scoring — the last two stages of a
+web-corpus pipeline before tokenization.
+
+Both operators are pure Column expressions (zero Python, zero extra
+shuffle beyond one stats aggregation), and both are closed-form so their
+SQL oracles restate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic per-row uniform in [0, 1): first 8 hex chars of
+# md5(doc_id) -> 32-bit int / 2^32. md5 exists verbatim in every SQL
+# engine, so engine and oracle compute the IDENTICAL value (Spark's
+# xxhash64 does not match DuckDB's hash()); 32 bits of the digest is
+# plenty for a sampling decision.
+def _unit_hash(col):
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 32))
+
+
+def sample_mix(
+    df: DataFrame, rates: dict[str, float], source_col: str = "source",
+    id_col: str = "doc_id", default_rate: float = 0.0,
+) -> DataFrame:
+    """Data mixing: keep each row with its source's target rate,
+    deterministically (hash-Bernoulli on the row id — re-running the
+    pipeline reproduces the same subset; the standard way training mixes
+    pin upsample/downsample weights per source).
+
+    At 100 TB this is a narrow map: no shuffle, no sampling state, and
+    the filter pushes into the scan alongside any partition pruning on
+    source. Rows whose source has no configured rate get default_rate."""
+    u = _unit_hash(F.col(id_col))
+    rate = F.lit(default_rate)
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", min_prob_scale: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus' own unigram
+    LM — the cheap stand-in for a KenLM perplexity quality filter
+    (cf. CCNet, Wenzek et al. 2020: rank documents by LM score, keep the
+    head). Add-0.5 smoothing over the corpus vocabulary.
+
+    Two aggregations total: one (term -> count) table for the LM (at
+    100 TB: map-side combined, ~vocab-sized result, broadcast back), one
+    per-doc mean over the exploded tokens. Higher (less negative) score =
+    more typical text; boilerplate of rare tokens scores low."""
+    tok = docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    totals = tf.agg(
+        F.sum("tf").alias("n_tokens"), F.count("*").alias("n_vocab")
+    ).collect()[0]
+    n_tok, n_vocab = float(totals["n_tokens"]), float(totals["n_vocab"])
+    denom = n_tok + min_prob_scale * n_vocab
+    logp = F.log((F.col("tf") + F.lit(min_prob_scale)) / F.lit(denom))
+    lm = tf.select("term", logp.alias("logp"))
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 4).alias("mean_logprob"))
+    )

@@ -502,3 +502,37 @@ def test_line_dedup_ignores_short_units(spark):
     rows = [(1, "ok. ok. ok"), (2, "ok. yes. no")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert line_dedup_stats(df, min_len=20).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Data mixing + unigram-LM scoring (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_sample_mix_deterministic_and_rate_shaped(spark):
+    from lucene_solr_spark.pipeline.sampling import sample_mix
+
+    rows = [(i, "s_keep" if i % 2 == 0 else "s_drop") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sample_mix(df, {"s_keep": 1.0, "s_drop": 0.0})
+    got = kept.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s_keep": 1000}
+    # half-rate keeps roughly half (hash-uniform), and re-running the
+    # plan returns the identical subset (deterministic hash, no RNG)
+    half = sample_mix(df, {"s_keep": 0.5, "s_drop": 0.5})
+    n1 = half.count()
+    assert 800 <= n1 <= 1200
+    ids1 = {r["doc_id"] for r in half.collect()}
+    ids2 = {r["doc_id"] for r in half.collect()}
+    assert ids1 == ids2
+
+
+def test_unigram_logprob_ranks_rare_text_lower(spark):
+    from lucene_solr_spark.pipeline.sampling import unigram_logprob
+
+    common = "the cat sat on the mat " * 5
+    rows = [(i, common.strip()) for i in range(9)] + [
+        (9, "zqx wvu kjh gfd bnm poi")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(df).collect()}
+    assert got[9] < got[0]  # rare-token doc scores lower
