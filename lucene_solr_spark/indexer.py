@@ -36,6 +36,10 @@ from .udfs import make_analyze_udf, norm_byte_udf, quantized_len_udf
 
 DEFAULT_BUCKETS = 16
 BLOCK_SPAN = 4096  # doc-range width per packed posting block
+# per-RecordBatch byte cap for the packer's framed binary streams: Arrow
+# BinaryArray offsets are int32, so one emitted batch must stay well under
+# 2 GiB per stream (a production partition's framed payload can exceed it)
+_PACK_EMIT_CAP = 1 << 30
 
 
 def analyzed_docs(pages: DataFrame, profile: str = "en") -> DataFrame:
@@ -568,28 +572,38 @@ def write_packed_postings(
 
     Execution: ONE exchange (repartition by term bucket + sort by
     (term, doc_id)), then a partition-level vectorized packer — the whole
-    partition is varint-encoded in a handful of numpy passes and per-block
-    blobs are cut out by offset; no per-group Python UDF calls
+    partition is varint-encoded in a handful of numpy passes and the
+    per-block framed blobs are assembled as raw Arrow BinaryArray buffers
+    (offsets + one contiguous values buffer), so NO per-group Python
+    object is ever created and no pandas round-trip happens
     (FreqProxTermsWriter#flush: sort terms once, walk postings once).
+    The scatter trick: the payload bytes of consecutive (term, blk)
+    groups are already adjacent in the partition-wide varint buffer, so
+    the framed stream is the payload buffer with each group's varint(n)
+    header spliced in — two `np.repeat` index computations, O(bytes).
     """
-    import pandas as pd
-
     span = BLOCK_SPAN
 
     def pack_partition(batches):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        from .codec import _encode_small, varint_encode_raw
+        from .codec import varint_encode_raw
 
-        pdfs = [p for p in batches]
-        if not pdfs:
+        batches = list(batches)
+        if not batches:
             return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dlqs = pdf["dlq"].to_numpy(dtype=np.int64)
-        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
-        codes, uniq = pd.factorize(pdf["term"].to_numpy(dtype=object))
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        if tbl.num_rows == 0:
+            return
+        docs = tbl["doc_id"].to_numpy()
+        tfs = tbl["tf"].to_numpy().astype(np.int64, copy=False)
+        dlqs = tbl["dlq"].to_numpy().astype(np.int64, copy=False)
+        buckets = tbl["bucket"].to_numpy()
+        dict_enc = tbl["term"].chunk(0).dictionary_encode()
+        codes = dict_enc.indices.to_numpy()
+        terms_dict = dict_enc.dictionary
         blk = docs // span
         # group boundaries on the (term, blk) sorted stream
         boundary = np.empty(len(docs), dtype=bool)
@@ -597,56 +611,85 @@ def write_packed_postings(
         np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
         boundary[1:] |= blk[1:] != blk[:-1]
         starts = np.flatnonzero(boundary)
-        ends = np.append(starts[1:], len(docs))
-        counts = ends - starts
+        counts = np.diff(np.append(starts, len(docs)))
         # delta-encode doc ids with a reset at every group start
         deltas = np.empty_like(docs)
         deltas[0] = docs[0]
         np.subtract(docs[1:], docs[:-1], out=deltas[1:])
         deltas[starts] = docs[starts]
-        # one vectorized varint pass over the whole partition per stream
-        dbuf, dlen = varint_encode_raw(deltas.astype(np.uint64))
-        tbuf, tlen = varint_encode_raw(tfs.astype(np.uint64))
-        qbuf, qlen = varint_encode_raw(dlqs.astype(np.uint64))
-        dof = np.concatenate(([0], np.cumsum(dlen)))
-        tof = np.concatenate(([0], np.cumsum(tlen)))
-        qof = np.concatenate(([0], np.cumsum(qlen)))
-        dbytes, tbytes, qbytes = dbuf.tobytes(), tbuf.tobytes(), qbuf.tobytes()
-        max_tf = np.maximum.reduceat(tfs, starts)
-        min_dlq = np.minimum.reduceat(dlqs, starts)
+        # one vectorized varint pass over the whole partition per stream,
+        # plus one over the per-group counts (the frame headers)
+        fbuf, flen = varint_encode_raw(counts.astype(np.uint64))
+        fcum = np.cumsum(flen)  # frame bytes through group g, inclusive
+
+        def framed(buf: np.ndarray, blen: np.ndarray):
+            """Splice per-group varint(n) headers into the contiguous
+            payload buffer -> (values uint8[], group offsets int64[G+1])."""
+            plen = np.add.reduceat(blen, starts)
+            goff = np.empty(len(starts) + 1, dtype=np.int64)
+            goff[0] = 0
+            np.cumsum(flen + plen, out=goff[1:])
+            out = np.empty(int(goff[-1]), dtype=np.uint8)
+            # frame header bytes: group g's header starts at goff[g]
+            foff = fcum - flen  # frame bytes before group g
+            out[np.repeat(goff[:-1] - foff, flen) + np.arange(len(fbuf))] = fbuf
+            # payload bytes: shift each byte right by the headers at/before
+            # its group (payloads are contiguous in group order already)
+            out[np.repeat(fcum, plen) + np.arange(len(buf))] = buf
+            return out, goff
+
+        d_out, d_off = framed(*varint_encode_raw(deltas.astype(np.uint64)))
+        t_out, t_off = framed(*varint_encode_raw(tfs.astype(np.uint64)))
+        q_out, q_off = framed(*varint_encode_raw(dlqs.astype(np.uint64)))
+        max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+        min_dlq = np.minimum.reduceat(dlqs, starts).astype(np.int32)
         sum_tf = np.add.reduceat(tfs, starts)
-        headers = {}  # counts repeat a lot (full blocks) — memoize framing
+        term_col = pc.take(terms_dict, pa.array(codes[starts]))
+        if term_col.type != pa.string():  # e.g. useLargeVarTypes sessions
+            term_col = term_col.cast(pa.string())
+        blk_col = blk[starts]
+        bucket_col = buckets[starts].astype(np.int32, copy=False)
 
-        def frame(n: int) -> bytes:
-            h = headers.get(n)
-            if h is None:
-                h = bytes(_encode_small(np.array([n], dtype=np.uint64)))
-                headers[n] = h
-            return h
+        def bin_col(out: np.ndarray, goff: np.ndarray, g0: int, g1: int):
+            off32 = (goff[g0 : g1 + 1] - goff[g0]).astype(np.int32)
+            vals = np.ascontiguousarray(out[goff[g0] : goff[g1]])
+            return pa.Array.from_buffers(
+                pa.binary(), g1 - g0,
+                [None, pa.py_buffer(off32), pa.py_buffer(vals)],
+            )
 
-        yield pd.DataFrame(
-            {
-                "term": uniq[codes[starts]],
-                "blk": blk[starts],
-                "n": counts.astype(np.int32),
-                "docs": [
-                    frame(counts[g]) + dbytes[dof[starts[g]] : dof[ends[g]]]
-                    for g in range(len(starts))
+        # chunk the emit so every BinaryArray stays under int32 offsets
+        # (a partition's framed stream can pass 2 GiB at production scale)
+        ngroups = len(starts)
+        cap = _PACK_EMIT_CAP
+        g0 = 0
+        while g0 < ngroups:
+            g1 = ngroups
+            for off in (d_off, t_off, q_off):
+                if off[g1] - off[g0] > cap:
+                    g1 = min(
+                        g1, int(np.searchsorted(off, off[g0] + cap) - 1)
+                    )
+            g1 = max(g1, g0 + 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_col.slice(g0, g1 - g0),
+                    pa.array(blk_col[g0:g1], type=pa.int64()),
+                    pa.array(counts[g0:g1].astype(np.int32), type=pa.int32()),
+                    bin_col(d_out, d_off, g0, g1),
+                    bin_col(t_out, t_off, g0, g1),
+                    bin_col(q_out, q_off, g0, g1),
+                    pa.array(max_tf[g0:g1], type=pa.int32()),
+                    pa.array(min_dlq[g0:g1], type=pa.int32()),
+                    pa.array(sum_tf[g0:g1], type=pa.int64()),
+                    pa.array(bucket_col[g0:g1], type=pa.int32()),
                 ],
-                "tfs": [
-                    frame(counts[g]) + tbytes[tof[starts[g]] : tof[ends[g]]]
-                    for g in range(len(starts))
+                names=[
+                    "term", "blk", "n", "docs", "tfs", "dlqs",
+                    "max_tf", "min_dlq", "sum_tf", "bucket",
                 ],
-                "dlqs": [
-                    frame(counts[g]) + qbytes[qof[starts[g]] : qof[ends[g]]]
-                    for g in range(len(starts))
-                ],
-                "max_tf": max_tf.astype(np.int32),
-                "min_dlq": min_dlq.astype(np.int32),
-                "sum_tf": sum_tf.astype(np.int64),
-                "bucket": buckets[starts].astype(np.int32),
-            }
-        )
+            )
+            g0 = g1
 
     src = perdoc
     if "bucket" not in src.columns:
@@ -676,7 +719,7 @@ def write_packed_postings(
             .repartition(n_parts, *part_keys)
             .sortWithinPartitions("term", "doc_id")
         )
-    packed = staged.mapInPandas(pack_partition, PACKED_SCHEMA + ", bucket int")
+    packed = staged.mapInArrow(pack_partition, PACKED_SCHEMA + ", bucket int")
     packed.write.mode("overwrite").option(
         "parquet.writer.version", "v2"
     ).partitionBy("bucket").parquet(os.path.join(out_dir, "packed"))

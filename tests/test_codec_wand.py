@@ -196,3 +196,118 @@ def test_bucket_pruning_in_plan(index_small):
     s = Searcher(index_small)
     plan = s._term_postings("search")._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+# ---------------------------------------------------------------------------
+# arrow-native packer (no Spark: drives the mapInArrow generator directly)
+# ---------------------------------------------------------------------------
+
+def _capture_packer():
+    """Grab write_packed_postings' partition generator without a session."""
+    import lucene_solr_spark.indexer as ix
+
+    captured = {}
+
+    class _Stub:
+        columns = ["term", "doc_id", "tf", "dlq", "bucket"]
+
+        def select(self, *a):
+            return self
+
+        def mapInArrow(self, fn, schema):
+            captured["fn"] = fn
+            raise RuntimeError("captured")
+
+    with pytest.raises(RuntimeError, match="captured"):
+        ix.write_packed_postings(_Stub(), "/tmp/_x", 4, pre_partitioned=True)
+    return captured["fn"]
+
+
+def _synthetic_stream(n_terms=40, docs_per_term=50, seed=7):
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    terms = np.repeat([f"t{i:03d}" for i in range(n_terms)], docs_per_term)
+    docs = np.concatenate(
+        [
+            np.sort(rng.choice(20000, docs_per_term, replace=False))
+            for _ in range(n_terms)
+        ]
+    ).astype(np.int64)
+    tf = rng.randint(1, 9, len(terms)).astype(np.int32)
+    dlq = rng.randint(1, 200, len(terms)).astype(np.int32)
+    bk = np.full(len(terms), 1, np.int32)
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array(terms), pa.array(docs), pa.array(tf), pa.array(dlq), pa.array(bk)],
+        names=["term", "doc_id", "tf", "dlq", "bucket"],
+    )
+    return rb, terms, docs, tf, dlq
+
+
+def test_arrow_packer_wire_format_and_groups():
+    """Framed blobs decode back to the exact per-(term, blk) input slices;
+    impacts are the true per-group max_tf / min_dlq / sum_tf."""
+    import collections
+
+    import pyarrow as pa
+
+    import lucene_solr_spark.indexer as ix
+    from lucene_solr_spark.codec import varint_decode
+
+    fn = _capture_packer()
+    rb, terms, docs, tf, dlq = _synthetic_stream()
+    out = pa.Table.from_batches(list(fn(iter([rb])))).to_pydict()
+
+    exp = collections.defaultdict(lambda: {"docs": [], "tf": [], "dlq": []})
+    for t, d, f_, q in zip(terms, docs, tf, dlq):
+        g = exp[(t, int(d) // ix.BLOCK_SPAN)]
+        g["docs"].append(int(d))
+        g["tf"].append(int(f_))
+        g["dlq"].append(int(q))
+    assert len(out["term"]) == len(exp)
+    for i in range(len(out["term"])):
+        g = exp[(out["term"][i], out["blk"][i])]
+        dv, _ = varint_decode(out["docs"][i])
+        assert list(np.cumsum(dv.astype(np.int64))) == g["docs"]
+        tv, _ = varint_decode(out["tfs"][i])
+        qv, _ = varint_decode(out["dlqs"][i])
+        assert list(tv.astype(int)) == g["tf"]
+        assert list(qv.astype(int)) == g["dlq"]
+        assert out["n"][i] == len(g["docs"])
+        assert out["max_tf"][i] == max(g["tf"])
+        assert out["min_dlq"][i] == min(g["dlq"])
+        assert out["sum_tf"][i] == sum(g["tf"])
+
+
+def test_arrow_packer_chunked_emit_matches_single(monkeypatch):
+    """int32-offset safety valve: a tiny per-batch byte cap must split the
+    emit into many RecordBatches with byte-identical content."""
+    import pyarrow as pa
+
+    import lucene_solr_spark.indexer as ix
+
+    fn = _capture_packer()
+    rb, *_ = _synthetic_stream(seed=11)
+    single = pa.Table.from_batches(list(fn(iter([rb])))).to_pydict()
+    monkeypatch.setattr(ix, "_PACK_EMIT_CAP", 64)
+    chunks = list(fn(iter([rb])))
+    assert len(chunks) > 10
+    assert pa.Table.from_batches(chunks).to_pydict() == single
+
+
+def test_arrow_packer_empty_partition():
+    import pyarrow as pa
+
+    fn = _capture_packer()
+    assert list(fn(iter([]))) == []
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], "string"),
+            pa.array([], "int64"),
+            pa.array([], "int32"),
+            pa.array([], "int32"),
+            pa.array([], "int32"),
+        ],
+        names=["term", "doc_id", "tf", "dlq", "bucket"],
+    )
+    assert list(fn(iter([empty]))) == []
