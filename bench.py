@@ -97,7 +97,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     pages = spark.read.parquet(pages_pq)
     n_docs = pages.count()
     t0 = time.perf_counter()
-    build_index(spark, pages, idx_dir, profile="en")
+    build_stats = build_index(spark, pages, idx_dir, profile="en")
     build_s = time.perf_counter() - t0
     queries["index_build"] = round(build_s, 3)
     docs_per_sec = n_docs / build_s
@@ -170,6 +170,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "n_docs_indexed": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
         "bm25_term_p50_ms": round(queries["term_top10"] * 1000, 1),
+        "build_phase_s": build_stats.get("phase_s", {}),
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()

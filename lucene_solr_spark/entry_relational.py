@@ -1566,10 +1566,14 @@ c{i} AS (SELECT e.dst AS node, sum(p.pr / od.outdeg) AS c
         FROM e JOIN p{i-1} p ON p.node = e.src JOIN od ON od.src = e.src
         GROUP BY e.dst),
 p{i} AS (SELECT nodes.node,
-              (1 - 0.85) / nn.n + 0.85 * COALESCE(c{i}.c, 0) AS pr
+              FLOOR(((1 - 0.85) / nn.n + 0.85 * COALESCE(c{i}.c, 0))
+                    * 1e12 + 0.5) / 1e12 AS pr
         FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node, nn)""")
+    # the per-iteration 1e-12 lattice + the floor-form final rounding make
+    # the value IEEE-deterministic across engines (see operators/graph.py
+    # pagerank docstring — plain ROUND splits on boundary values)
     tail = """
-SELECT node, ROUND(pr, 6) AS pagerank FROM p3
+SELECT node, FLOOR(pr * 1e6 + 0.5) / 1e6 AS pagerank FROM p3
 ORDER BY pagerank DESC, node LIMIT 30
 """
     return head + "".join(iters) + tail

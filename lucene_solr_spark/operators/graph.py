@@ -123,7 +123,17 @@ def pagerank(
     groupBy(to) aggregation, one left join back to the node set — at
     10^9 edges each round is two hash-keyed exchanges, the same profile
     as connected_components (pipeline/dedup.py), and like it the plan is
-    localCheckpoint()ed each round so lineage stays flat over deep runs."""
+    localCheckpoint()ed each round so lineage stays flat over deep runs.
+
+    Float determinism contract: each iteration's pr is quantized to a
+    1e-12 lattice via floor(pr*1e12 + 0.5)/1e12 — multiply/add/floor/
+    divide are bit-identical IEEE ops in every engine, so the quantize
+    collapses summation-ORDER noise (distributed aggregation sums in
+    arbitrary order) onto identical doubles, and the final 6-decimal
+    value is produced with the same floor expression. Plain ROUND is NOT
+    cross-engine stable: Spark's round(double) goes through Java's
+    shortest-decimal BigDecimal.valueOf while DuckDB rounds the binary
+    value, and they split on exact-boundary values (e.g. 0.0069375)."""
     f, t = F.col(from_col).alias("node"), F.col(to_col).alias("node")
     nodes = edges.select(f).union(edges.select(t)).distinct().persist()
     n = nodes.count()
@@ -141,12 +151,18 @@ def pagerank(
             .groupBy(F.col(to_col).alias("node"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
+        raw = F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
         pr = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+                (F.floor(raw * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)).alias("pr"),
             )
             .localCheckpoint(eager=False)
         )
-    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+    return pr.select(
+        "node",
+        (F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "pagerank"
+        ),
+    )
