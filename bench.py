@@ -192,10 +192,20 @@ def _one_scaling_run(sf_dir: str, cpus: int, pages_sf: str, reps: int) -> dict:
         p = subprocess.run(
             cmd, env=env, capture_output=True, text=True, timeout=3600
         )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            # a rep can die on this shared VM (OOM-kill, transient JVM
+            # crash): report and move on — `best` keeps any good rep
+            sys.stderr.write(
+                f"scaling rep failed (cpus={cpus}, rc={p.returncode}); "
+                f"stderr tail:\n{p.stderr[-2000:]}\n"
+            )
+            continue
+        r = json.loads(lines[-1])
         if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
             best = r
+    if best is None:
+        raise RuntimeError(f"all {reps} scaling reps failed at cpus={cpus}")
     return best
 
 

@@ -32,6 +32,7 @@ def assign_dense_ids(
     partitions: int | None = None,
     persist_exchange: bool = False,
     cache_registry: list | None = None,
+    require_unique: bool = False,
 ) -> DataFrame:
     """`persist_exchange=True` caches the range-partitioned input so the
     counting pass and the main pass share one exchange — REQUIRED for
@@ -49,10 +50,23 @@ def assign_dense_ids(
         ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_registry is not None:
             cache_registry.append(ranged)
-    counts = (
-        ranged.groupBy("_pid").count().orderBy("_pid").collect()
-    )  # <= `partitions` rows — driver-side by design, O(p) not O(rows);
-    # with persist_exchange this also materializes the shared exchange
+    # <= `partitions` rows — driver-side by design, O(p) not O(rows); with
+    # persist_exchange this also materializes the shared exchange.
+    # require_unique rides the SAME counting pass: range partitioning
+    # co-locates equal keys, so sum(per-partition countDistinct) IS the
+    # global distinct count — no separate full-scan job for the dup check.
+    aggs = [F.count("*").alias("count")]
+    if require_unique:
+        aggs.append(F.countDistinct(key).alias("n_uniq"))
+    counts = ranged.groupBy("_pid").agg(*aggs).orderBy("_pid").collect()
+    if require_unique:
+        n_rows = sum(r["count"] for r in counts)
+        n_uniq = sum(r["n_uniq"] for r in counts)
+        if n_uniq != n_rows:
+            raise ValueError(
+                f"duplicate '{key}' values: {n_rows} rows, "
+                f"{n_uniq} distinct"
+            )
     offsets, acc = {}, 0
     for row in counts:
         offsets[row["_pid"]] = acc

@@ -332,26 +332,22 @@ def build_index(
     reg: list = []
     p = max(spark.sparkContext.defaultParallelism * 2, 8)
     n_pages = pages.count()  # parquet footer metadata — no data scan
+    # url is the document key (input contract); duplicate urls would fan
+    # out the id join — require_unique fails loudly INSIDE the counting
+    # pass (which also materializes the pinned exchange, the ids.py
+    # determinism requirement) rather than paying a separate full agg job
     ids_small = assign_dense_ids(
         pages.select("url"),
         "url",
         partitions=p,
         persist_exchange=True,
         cache_registry=reg,
+        require_unique=True,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reg.append(ids_small)
     if doc_base:
         ids_small = ids_small.withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
-        )
-    # url is the document key (input contract); duplicate urls would fan
-    # out the id join — fail loudly rather than corrupt doc_ids (this agg
-    # also materializes the pinned exchange, the ids.py determinism
-    # requirement)
-    n_uniq = int(ids_small.agg(F.countDistinct("url")).first()[0])
-    if n_uniq != n_pages:
-        raise ValueError(
-            f"duplicate urls in corpus: {n_pages} rows, {n_uniq} distinct urls"
         )
     id_side = F.broadcast(ids_small) if n_pages <= 20_000_000 else ids_small
     with_ids = pages.select("url", "lang", "text").join(id_side, "url")

@@ -125,6 +125,13 @@ class Searcher:
         self.num_buckets = index["stats"].get("num_buckets", 16)
         self.similarity = similarity
         self.query_cache = query_cache
+        # TermStates cache (TermStates.build / SegmentTermsEnum#seekExact
+        # over Lucene's RAM-resident terms-dict FST): an index snapshot is
+        # immutable, so a term's (df, ttf) never changes for this Searcher —
+        # repeated query terms skip the stats-bind Spark job entirely.
+        # None = negative entry (term absent), cached too so unknown-term
+        # queries don't re-scan.
+        self._term_states: dict[str, dict | None] = {}
 
     # ---- stats bind (Weight creation) ------------------------------------
     def _buckets(self, terms) -> list[int]:
@@ -135,17 +142,24 @@ class Searcher:
     def _stats_for(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
-        ts = self.term_stats
-        if "bucket" in ts.columns:
-            # partition pruning: the terms-dict seek touches only the
-            # buckets the query terms hash to (SegmentTermsEnum#seekExact)
-            ts = ts.filter(F.col("bucket").isin(self._buckets(terms)))
-        rows = (
-            ts.filter(F.col("term").isin(list(terms)))
-            .select("term", "df", "ttf")
-            .collect()
-        )
-        return {r["term"]: {"df": int(r["df"]), "ttf": int(r["ttf"])} for r in rows}
+        cache = self._term_states
+        missing = sorted({t for t in terms if t not in cache})
+        if missing:
+            ts = self.term_stats
+            if "bucket" in ts.columns:
+                # partition pruning: the terms-dict seek touches only the
+                # buckets the query terms hash to (SegmentTermsEnum#seekExact)
+                ts = ts.filter(F.col("bucket").isin(self._buckets(missing)))
+            rows = (
+                ts.filter(F.col("term").isin(missing))
+                .select("term", "df", "ttf")
+                .collect()
+            )
+            for t in missing:
+                cache[t] = None
+            for r in rows:
+                cache[r["term"]] = {"df": int(r["df"]), "ttf": int(r["ttf"])}
+        return {t: cache[t] for t in terms if cache.get(t) is not None}
 
     def _score_expr(self, tf, dlq, df: int, boost: float = 1.0):
         if self.similarity == "classic":

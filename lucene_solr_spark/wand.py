@@ -71,6 +71,10 @@ class WandSearcher:
         # below this many candidate blocks, θ-probing costs more than it
         # saves (an extra Spark round trip) — decode everything instead
         self.probe_threshold: int = 64
+        # TermStates cache over the immutable snapshot (same contract as
+        # Searcher._term_states): df per term never changes, so repeated
+        # query terms skip the stats-bind job. None = absent term.
+        self._term_states: dict[str, int | None] = {}
 
     def _mask(self, hits: DataFrame) -> DataFrame:
         """liveDocs filter on kernel output (no-op without tombstones)."""
@@ -99,16 +103,24 @@ class WandSearcher:
 
         weights = dict(Counter(terms))
         uniq = list(weights)
-        rows = (
-            self._pruned(self.term_stats, uniq)
-            .filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .collect()
-        )
+        cache = self._term_states
+        missing = sorted(t for t in uniq if t not in cache)
+        if missing:
+            rows = (
+                self._pruned(self.term_stats, missing)
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            for t in missing:
+                cache[t] = None
+            for r in rows:
+                cache[r["term"]] = int(r["df"])
         n = self.n_docs
         idfs = {
-            r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
-            for r in rows
+            t: math.log(1.0 + (n - cache[t] + 0.5) / (cache[t] + 0.5))
+            for t in uniq
+            if cache.get(t) is not None
         }
         return idfs, {t: weights[t] for t in idfs}
 

@@ -241,3 +241,27 @@ def test_per_field_similarity_dispatch():
     assert pfs.get("source") is boolean_score
     assert pfs.get("text") is bm25_score
     assert pfs.get("unknown_field") is bm25_score
+
+
+def test_dense_ids_require_unique_rejects_duplicates(spark):
+    """The dup-key guard rides the counting pass (ids.py): duplicate urls
+    must fail loudly before any index table is written."""
+    import pytest as _pytest
+
+    from lucene_solr_spark.ids import assign_dense_ids
+
+    df = spark.createDataFrame(
+        [("u1",), ("u2",), ("u1",)], ["url"]
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        # the counting pass collects, so the error surfaces eagerly
+        assign_dense_ids(df, "url", partitions=2, require_unique=True)
+
+
+def test_dense_ids_require_unique_passes_and_stays_dense(spark):
+    from lucene_solr_spark.ids import assign_dense_ids
+
+    df = spark.createDataFrame([(f"u{i:03d}",) for i in range(57)], ["url"])
+    out = assign_dense_ids(df, "url", partitions=4, require_unique=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == list(range(57))
