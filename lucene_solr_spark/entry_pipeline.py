@@ -632,6 +632,7 @@ def q_multimodal_frame_plan(spark, sf_dir):
 
 
 _ENGINE_IDX: dict = {}
+_ENGINE_TABLES: dict = {}  # sf_dir -> read_index() dict (for check_index)
 
 
 def _engine_searcher(spark, sf_dir):
@@ -654,8 +655,10 @@ def _engine_searcher(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="lss_entry_idx_")
     atexit.register(shutil.rmtree, out, ignore_errors=True)
     build_index(spark, d, out, profile="en", num_buckets=8)
-    s = Searcher(read_index(spark, out))
+    idx = read_index(spark, out)
+    s = Searcher(idx)
     _ENGINE_IDX[sf_dir] = s
+    _ENGINE_TABLES[sf_dir] = idx
     return s
 
 
@@ -1301,5 +1304,107 @@ REGISTRY_PIPELINE.update(
     {
         "pipeline_sample_mix": (q_sample_mix, SQL_SAMPLE_MIX),
         "text_unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    }
+)
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-incremental MinHash dedup (pipeline/dedup.py
+    incremental_band_filter): band the NEW snapshot (doc_id % 7 == 0) and
+    semi-join its band keys against the EXISTING corpus's persisted band
+    table — never re-pairing the corpus with itself."""
+    tok = _tok_pos(spark, sf_dir)
+    corpus_sig = D.minhash_signature(
+        tok.filter(F.col("doc_id") % 7 != 0), num_hashes=4
+    )
+    batch_sig = D.minhash_signature(
+        tok.filter(F.col("doc_id") % 7 == 0), num_hashes=4
+    )
+    out = D.incremental_band_filter(
+        corpus_sig, batch_sig, bands=2, rows_per_band=2
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         min(md5(term || '#0')) AS mh_0, min(md5(term || '#1')) AS mh_1,
+         min(md5(term || '#2')) AS mh_2, min(md5(term || '#3')) AS mh_3
+  FROM tok GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh_2 || '|' || mh_3) AS band_key FROM sig),
+corpus AS (
+  SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 7 <> 0),
+hits AS (
+  SELECT b.doc_id, count(*) AS n_hit_bands
+  FROM bands b
+  WHERE b.doc_id % 7 = 0
+    AND EXISTS (SELECT 1 FROM corpus c
+                WHERE c.band = b.band AND c.band_key = b.band_key)
+  GROUP BY b.doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(h.n_hit_bands, 0) AS INT) AS n_hit_bands,
+       COALESCE(h.n_hit_bands, 0) > 0 AS is_candidate_dup
+FROM sig s LEFT JOIN hits h ON h.doc_id = s.doc_id
+WHERE s.doc_id % 7 = 0
+ORDER BY s.doc_id
+"""
+
+
+def q_host_cap(spark, sf_dir):
+    """Per-host document cap (webprep.py host_cap_sample): keep at most 3
+    docs per canonical host, preferring longer documents (n_chars), with
+    canonical-url + doc_id tie-breaks for full determinism."""
+    from .pipeline.webprep import host_cap_sample
+
+    d = _with_urls(_docs(spark, sf_dir))
+    out = host_cap_sample(d, cap=3, order_col="n_chars", tiebreak=["doc_id"])
+    return out.select("doc_id", "host").orderBy("host", "doc_id")
+
+
+SQL_HOST_CAP = f"""
+WITH {_SQL_URLS}, {_SQL_CANON},
+ranked AS (
+  SELECT d.doc_id, cu.host,
+         row_number() OVER (
+           PARTITION BY cu.host
+           ORDER BY d.n_chars DESC, cu.canonical_url ASC, d.doc_id ASC
+         ) AS rk
+  FROM cu JOIN documents d ON d.doc_id = cu.doc_id)
+SELECT doc_id, host FROM ranked WHERE rk <= 3 ORDER BY host, doc_id
+"""
+
+
+def q_check_index(spark, sf_dir):
+    """CheckIndex (checkindex.py; lucene CheckIndex.java ≈L400): the
+    cross-table integrity audit over the engine index built from
+    documents. The oracle states the expected verdicts — every check must
+    hold on a fresh build."""
+    _engine_searcher(spark, sf_dir)  # ensure the index exists
+    from .checkindex import check_index
+
+    return check_index(spark, _ENGINE_TABLES[sf_dir]).select("check", "ok")
+
+
+SQL_CHECK_INDEX = """
+SELECT * FROM (VALUES
+  ('bucket_hash', true), ('doc_count', true), ('norms_recompute', true),
+  ('packed_df_ttf', true), ('sum_ttf', true), ('term_stats_df_ttf', true),
+  ('tf_positions', true)) AS t("check", ok)
+ORDER BY "check"
+"""
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "dedup_incremental": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+        "web_host_cap": (q_host_cap, SQL_HOST_CAP),
+        "check_index": (q_check_index, SQL_CHECK_INDEX),
     }
 )

@@ -1582,3 +1582,75 @@ ORDER BY pagerank DESC, node LIMIT 30
 SQL_PAGERANK = _sql_pagerank()
 
 REGISTRY_RELATIONAL["graph_pagerank"] = (q_pagerank, SQL_PAGERANK)
+
+
+def q_bfs_levels(spark, sf_dir):
+    """shortestPath() generalized to a full BFS level table (graph.py
+    bfs_levels; ShortestPathStream.java ≈L60): min hop count from the
+    customer seeds over the customer->order->part edge graph."""
+    from .operators.graph import bfs_levels
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    e1 = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    sources = c.filter(F.col("c_custkey") < 3).select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    out = bfs_levels(edges, "src", "dst", sources, max_depth=2)
+    return out.orderBy("depth", "node")
+
+
+SQL_BFS_LEVELS = """
+WITH RECURSIVE e AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+         'p' || CAST(l_partkey AS VARCHAR) FROM lineitem),
+walk(node, depth) AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR), 0 FROM customer WHERE c_custkey < 3
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.depth < 2)
+SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+ORDER BY depth, node
+"""
+
+
+def q_drill_sideways(spark, sf_dir):
+    """DrillSideways.java ≈L60: per-dimension facet counts with the OTHER
+    dimensions' drill-downs applied but the dimension's own excluded."""
+    from .operators.facets import drill_sideways
+
+    p = _t(spark, sf_dir, "part")
+    return drill_sideways(
+        p, {"p_brand": "Brand#4", "p_type": "MEDIUM"}, limit=5
+    )
+
+
+SQL_DRILL_SIDEWAYS = """
+WITH b AS (
+  SELECT 'p_brand' AS dim, p_brand AS facet_value, count(*) AS count,
+         row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS rk
+  FROM part WHERE p_type = 'MEDIUM' AND p_brand IS NOT NULL GROUP BY p_brand),
+t AS (
+  SELECT 'p_type' AS dim, p_type AS facet_value, count(*) AS count,
+         row_number() OVER (ORDER BY count(*) DESC, p_type ASC) AS rk
+  FROM part WHERE p_brand = 'Brand#4' AND p_type IS NOT NULL GROUP BY p_type)
+SELECT dim, facet_value, count FROM (
+  SELECT * FROM b WHERE rk <= 5 UNION ALL SELECT * FROM t WHERE rk <= 5)
+ORDER BY dim, count DESC, facet_value ASC
+"""
+
+
+REGISTRY_RELATIONAL["graph_shortest_path"] = (q_bfs_levels, SQL_BFS_LEVELS)
+REGISTRY_RELATIONAL["drill_sideways"] = (q_drill_sideways, SQL_DRILL_SIDEWAYS)

@@ -339,3 +339,50 @@ def relatedness_agg(
         "bg_count",
         F.round(rel, 4).alias("relatedness"),
     ).orderBy(F.desc("relatedness"), bucket_field)
+
+
+def drill_sideways(
+    df: DataFrame,
+    selections: dict,
+    limit: int = 10,
+) -> DataFrame:
+    """DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java ≈L60): faceted navigation where each dimension's
+    counts are computed with every OTHER dimension's drill-down filter
+    applied but its OWN filter excluded — so the UI can show what the
+    user would get by switching this dimension's value, not just the
+    counts inside the current selection.
+
+    `selections` maps dim column -> selected value (value None = dimension
+    faceted but not drilled into). Output: (dim, facet_value, count),
+    top-`limit` buckets per dim by (count desc, value asc).
+
+    Scale shape: one groupBy per dimension over the near-drill-down subset
+    — D narrow aggregations that each push the other dims' equality
+    filters into the scan (partition-prunable), never a full-corpus facet.
+    """
+    outs = []
+    rank_w = Window.partitionBy("dim").orderBy(
+        F.desc("count"), F.asc("facet_value")
+    )
+    for dim in selections:
+        sub = df
+        for other, val in selections.items():
+            if other != dim and val is not None:
+                sub = sub.filter(F.col(other) == val)
+        outs.append(
+            sub.filter(F.col(dim).isNotNull())
+            .groupBy(F.col(dim).cast("string").alias("facet_value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("dim", F.lit(dim))
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return (
+        u.withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= limit)
+        .drop("_rk")
+        .select("dim", "facet_value", "count")
+        .orderBy("dim", F.desc("count"), F.asc("facet_value"))
+    )

@@ -104,6 +104,47 @@ def shortest_path(
     return None
 
 
+def bfs_levels(
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    sources: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """Full BFS level assignment: (node, depth) for every node reachable
+    from `sources` (a 1-column DataFrame named `node`) within `max_depth`
+    hops, depth = MINIMUM hop count (sources themselves at depth 0).
+
+    This is ShortestPathStream.java (≈L60) generalized from one target to
+    the whole reachable set — the level table IS the shortest-path length
+    for every node, so a single run answers any (source, target) distance
+    query. Same scale shape as shortest_path: one equi-join shuffle per
+    hop, broadcast frontier, left-anti against the visited set (cycle
+    pruning), localCheckpoint per hop to keep lineage flat on deep runs."""
+    frontier = sources.select("node").distinct()
+    visited = frontier.withColumn("depth", F.lit(0)).localCheckpoint()
+    frontier = frontier.localCheckpoint()
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", from_col)),
+                from_col,
+                "inner",
+            )
+            .select(F.col(to_col).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        nxt = nxt.localCheckpoint()
+        visited = visited.unionByName(
+            nxt.withColumn("depth", F.lit(depth))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     from_col: str,

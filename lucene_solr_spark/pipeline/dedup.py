@@ -572,3 +572,47 @@ def line_dedup_stats(
         )
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "unit_md5")
     )
+
+
+def incremental_band_filter(
+    corpus_sig: DataFrame,
+    batch_sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Snapshot-incremental MinHash dedup: flag each NEW-batch document
+    whose LSH band key collides with the EXISTING corpus, without ever
+    re-pairing the corpus against itself.
+
+    This is the shape a 100 TB crawl pipeline actually runs: the corpus's
+    (band, band_key) table is a persisted artifact that only GROWS as
+    snapshots land; each new snapshot is banded (narrow map over the new
+    docs only) and LEFT SEMI-joined against the stored band table. Cost
+    per snapshot is O(new_docs x bands) join rows — independent of corpus
+    size on the probe side (the join is hash-keyed on band_key; with the
+    band table bucketed by band_key it's a co-located join, no corpus
+    shuffle at all). Docs that collide in >= 1 band are candidate dups
+    (same guarantee as lsh_candidate_pairs within one corpus); the rest
+    are certified new at the banding threshold and appended.
+
+    Inputs are minhash signature frames (doc_id, mh_0..mh_{b*r-1}).
+    Output: (doc_id, n_hit_bands, is_candidate_dup) for every batch doc.
+    """
+    corpus_keys = _band_keys(corpus_sig, bands, rows_per_band).select(
+        "band", "band_key"
+    ).distinct()
+    batch_keys = _band_keys(batch_sig, bands, rows_per_band)
+    hits = (
+        batch_keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_bands"))
+    )
+    return (
+        batch_sig.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hit_bands", F.lit(0)).cast("int").alias("n_hit_bands"),
+            (F.coalesce("n_hit_bands", F.lit(0)) > 0).alias("is_candidate_dup"),
+        )
+    )

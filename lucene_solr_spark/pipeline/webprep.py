@@ -120,3 +120,48 @@ def host_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .orderBy(F.desc("pages"), F.asc("host"))
     )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    order_col: str | None = None,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-host document cap — the standard web-pipeline guard against a
+    single host dominating the training mix (a handful of hosts hold a
+    huge share of any crawl; cf. C4/Gopher host-balancing): keep at most
+    `cap` documents per canonical host, preferring high `order_col`
+    (quality score, length, ...) with the canonical url as the
+    deterministic tie-break. order_col=None keeps the cap deterministic
+    on url alone.
+
+    Scale shape: ONE shuffle keyed by host (window row_number with
+    partial pre-ranking impossible — row_number needs the full host
+    group), then a narrow filter. Host groups are the skew surface: the
+    window sorts each host's rows, so a 10^8-page host costs one task's
+    sort — if a crawl has such hosts, pre-filter them with host_stats +
+    a count cap before the window (same two-step every production
+    pipeline uses)."""
+    from pyspark.sql import Window
+
+    host = canonical_host_col(F.col(url_col))
+    keys = [F.col("_ord").desc() if descending else F.col("_ord").asc()] if order_col else []
+    # tiebreak columns make the cap fully deterministic when distinct rows
+    # share (order_col, canonical_url) — e.g. a stable document id
+    w = Window.partitionBy("_host").orderBy(
+        *keys,
+        canonical_url_col(F.col(url_col)).asc(),
+        *[F.col(c).asc() for c in (tiebreak or [])],
+    )
+    out = (
+        df.withColumn("_host", host)
+        .withColumn("_ord", F.col(order_col) if order_col else F.lit(0))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_ord", "_rk")
+        .withColumnRenamed("_host", "host")
+    )
+    return out
