@@ -1445,8 +1445,72 @@ FROM erf ORDER BY event_id
 """
 
 
+def q_stream_moving_avg(spark, sf_dir):
+    """movingAvg(series, 7): trailing 7-day mean of the daily event-count
+    series; null until the first full window (Solr emits full windows
+    only — SURVEY.md §3.9 math evaluators, MovingAverageEvaluator)."""
+    from .operators import matheval as ME
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    out = ME.moving_avg_stream(daily, "day", "n", 7)
+    return out.select(
+        F.unix_timestamp("day").alias("day_ts"),
+        F.col("n").cast("long").alias("n"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    ).orderBy("day_ts")
+
+
+SQL_STREAM_MOVING_AVG = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1)
+SELECT day_ts, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN row_number() OVER w >= 7
+             THEN avg(n) OVER (ORDER BY day_ts
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             END, 6) AS moving_avg
+FROM daily WINDOW w AS (ORDER BY day_ts) ORDER BY day_ts
+"""
+
+
+def q_stream_diff(spark, sf_dir):
+    """diff(series, 1): lag-1 differencing of the daily event-count
+    series (DiffEvaluator); the first row has no predecessor -> null."""
+    from .operators import matheval as ME
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    out = ME.diff_stream(daily, "day", "n", 1)
+    return out.select(
+        F.unix_timestamp("day").alias("day_ts"),
+        F.col("n").cast("long").alias("n"),
+        F.col("diff").cast("long").alias("diff"),
+    ).orderBy("day_ts")
+
+
+SQL_STREAM_DIFF = """
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1)
+SELECT day_ts, CAST(n AS BIGINT) AS n,
+       CAST(n - lag(n) OVER (ORDER BY day_ts) AS BIGINT) AS diff
+FROM daily ORDER BY day_ts
+"""
+
+
 REGISTRY_RELATIONAL: dict[str, tuple] = {
     "stream_regress": (q_stream_regress, SQL_STREAM_REGRESS),
+    "stream_moving_avg": (q_stream_moving_avg, SQL_STREAM_MOVING_AVG),
+    "stream_diff": (q_stream_diff, SQL_STREAM_DIFF),
     "stream_corr": (q_stream_corr, SQL_STREAM_CORR),
     "stream_describe": (q_stream_describe, SQL_STREAM_DESCRIBE),
     "stream_hist": (q_stream_hist, SQL_STREAM_HIST),

@@ -143,6 +143,46 @@ def conv_stream(
     return df.withColumn("conv", out)
 
 
+def moving_avg_stream(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    n: int,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """MovingAverageEvaluator: trailing window mean of size `n` over an
+    ordered series. Solr emits only FULL windows (output length
+    len-n+1) — mirrored here by null-ing the first n-1 rows' `moving_avg`
+    instead of emitting a partial-window mean. One window spec, no
+    shuffle beyond the series sort."""
+    w = Window.orderBy(order_col)
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(order_col)
+    avg = F.avg(F.col(val_col)).over(w.rowsBetween(-(n - 1), 0))
+    pos = F.row_number().over(w)
+    return df.withColumn(
+        "moving_avg", F.when(pos >= n, avg)
+    )
+
+
+def diff_stream(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    lag: int = 1,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """DiffEvaluator (lag differencing): out[i] = x[i] - x[i-lag]; the
+    first `lag` rows have no predecessor and emit null (Solr's diff
+    returns the shortened series — same information)."""
+    w = Window.orderBy(order_col)
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy(order_col)
+    return df.withColumn(
+        "diff", F.col(val_col) - F.lag(F.col(val_col), lag).over(w)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Regularized incomplete beta (driver-side, on agg scalars only) and the
 # tests built on it. Continued fraction per Numerical Recipes §6.4 /

@@ -113,6 +113,31 @@ def test_conv_stream_golden(spark):
     )
 
 
+def test_moving_avg_and_diff_golden(spark):
+    from lucene_solr_spark.operators.matheval import (
+        diff_stream,
+        moving_avg_stream,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 4.0), (3, 8.0), (4, 16.0)],
+        "i long, v double",
+    )
+    ma = {
+        r["i"]: r["moving_avg"]
+        for r in moving_avg_stream(df, "i", "v", 3).collect()
+    }
+    # full windows only: rows 0-1 null, then trailing means of 3
+    assert ma[0] is None and ma[1] is None
+    assert ma[2] == pytest.approx(7.0 / 3)
+    assert ma[3] == pytest.approx(14.0 / 3)
+    assert ma[4] == pytest.approx(28.0 / 3)
+
+    d = {r["i"]: r["diff"] for r in diff_stream(df, "i", "v", 2).collect()}
+    assert d[0] is None and d[1] is None
+    assert d == pytest.approx({0: None, 1: None, 2: 3.0, 3: 6.0, 4: 12.0})
+
+
 def test_describe_and_hist(spark):
     from lucene_solr_spark.operators.matheval import (
         describe_stream,
