@@ -316,28 +316,33 @@ def run_scaling_low(sf_dir: str) -> None:
     """
     scaling_sf = os.environ.get("SPARK_GRAFT_SCALING_LOW_SF", "0.25")
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    lo, hi = (
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_LOW_CPUS", "2,8").split(",")
+    )
     results = {}
-    for cpus in (2, 8):
+    for cpus in (lo, hi):
         results[cpus] = _one_scaling_run(sf_dir, cpus, scaling_sf, reps)
         print(f"local[{cpus}]: {json.dumps(results[cpus])}")
-    b2, b8 = results[2], results[8]
-    eff = (b8["docs_per_sec"] / b2["docs_per_sec"]) / 4.0
+    b2, b8 = results[lo], results[hi]
+    eff = (b8["docs_per_sec"] / b2["docs_per_sec"]) / (hi / lo)
     lines = [
         "",
-        "## Strong scaling below bus saturation (local[2] vs local[8])",
+        f"## Strong scaling below bus saturation (local[{lo}] vs local[{hi}])",
         "",
         f"Same job, same input ({b2['n_docs_indexed']} docs), identical "
-        "code, CPU affinity pinned (cores 0-1 vs cores 0-7). N -> 4N at "
+        f"code, CPU affinity pinned (cores 0-{lo - 1} vs cores 0-{hi - 1})."
+        f" N -> {hi // lo}N at "
         "an operating point where the single memory bus is not yet the "
         "bottleneck — the regime an N-vs-4N *cluster* comparison lives "
         "in, since each added node brings its own bus:",
         "",
         "| parallelism (pinned) | index build (s) | docs/s |",
         "|---|---|---|",
-        f"| local[2]  | {b2['queries']['index_build']} | {b2['docs_per_sec']} |",
-        f"| local[8]  | {b8['queries']['index_build']} | {b8['docs_per_sec']} |",
+        f"| local[{lo}]  | {b2['queries']['index_build']} | {b2['docs_per_sec']} |",
+        f"| local[{hi}]  | {b8['queries']['index_build']} | {b8['docs_per_sec']} |",
         "",
-        f"**Index-build scaling efficiency (2 -> 8 cores): {eff:.3f}**",
+        f"**Index-build scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**",
         "",
         "```json",
         json.dumps(b2),
@@ -347,7 +352,7 @@ def run_scaling_low(sf_dir: str) -> None:
     ]
     with open(os.path.join(REPO, "BENCH_AUTO.md"), "a") as f:
         f.write("\n".join(lines))
-    print(f"scaling efficiency (build, 2->8): {eff:.3f} -> BENCH_AUTO.md")
+    print(f"scaling efficiency (build, {lo}->{hi}): {eff:.3f} -> BENCH_AUTO.md")
 
 
 def main() -> None:
