@@ -72,7 +72,8 @@ def assign_dense_ids(
         offsets[row["_pid"]] = acc
         acc += row["count"]
     offsets_df = df.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["_pid", "_offset"]
+        [(pid, off) for pid, off in offsets.items()],
+        "_pid int, _offset long",  # explicit: offsets may be empty (0-row df)
     )
     w = Window.partitionBy("_pid").orderBy(key)
     return (

@@ -286,6 +286,7 @@ def build_index(
     packed: bool = True,
     doc_base: int = 0,
     quantize: bool = True,
+    fused: bool = True,
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
@@ -306,12 +307,19 @@ def build_index(
          analyzer (map-side inversion, no token shuffle) -> slim stream ->
          the build's ONE wide exchange ((bucket, salt) + (term, doc_id)
          sort) -> sorted postings write.
-      3. packed blocks re-read the WRITTEN postings bucket files with an
-         order-preserving whole-file scan (files are complete sorted
-         shuffle partitions; maxPartitionBytes is raised so no file is
-         split mid-(term, blk)-group) — a 4-narrow-column columnar read,
-         no second shuffle, no sort, no 100-GB cache.
-      4. docmeta aggregates field_len from the same written postings
+      3. `fused=True` (default): the task holding each sorted partition
+         writes BOTH durable forms itself — the flat-postings part-file
+         and the packed-blocks part-file — via pyarrow's C++ parquet
+         writer, then the driver manifest-commits the file set from the
+         collected per-partition lineage rows (`_fused_postings_writer` /
+         `_commit_fused`; atomic-rename protocol, object-store caveat in
+         the writer docstring). The flat stream is encoded exactly once
+         and never re-read. `fused=False` keeps the committer-backed
+         two-pass path: Spark writes flat postings, then packed blocks
+         re-read the WRITTEN bucket files with an order-preserving
+         whole-file scan (maxPartitionBytes raised so no file splits
+         mid-(term, blk)-group) — still no second shuffle and no sort.
+      4. docmeta aggregates field_len from the written postings
          (2-column scan); term_stats aggregates the ~50x-smaller packed
          block metadata.
     """
@@ -410,14 +418,44 @@ def build_index(
     # int64, and v2 cuts the whole index ~29% (1.4G -> 988M at sf1.0)
     # with build time and query p50 unchanged (measured both ways,
     # BENCH.md). Per-write option — the user's session conf is untouched.
-    postings.repartition(n_parts, *part_keys).sortWithinPartitions(
+    sorted_stream = postings.repartition(n_parts, *part_keys).sortWithinPartitions(
         "bucket", "term", "doc_id"
-    ).write.mode("overwrite").option("parquet.writer.version", "v2").partitionBy(
-        "bucket"
-    ).parquet(
-        os.path.join(out_dir, "postings")
     )
-    _phase("analyze_postings")
+    commit_info = None
+    if packed and fused:
+        # single pass: analyzer -> exchange/sort -> per-partition pyarrow
+        # write of flat + packed, manifest-committed from the collected
+        # lineage rows (docstring of _fused_postings_writer)
+        for t in ("postings", "packed"):
+            shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
+        lineage = [
+            r.asDict()
+            for r in sorted_stream.mapInArrow(
+                _fused_postings_writer(out_dir, BLOCK_SPAN), _LINEAGE_SCHEMA
+            ).collect()
+        ]
+        if all(r["n_rows"] == 0 for r in lineage):
+            # degenerate empty stream: pyarrow wrote no files; fall back to
+            # the empty-table write below so readers still find a
+            # schema-bearing table
+            fused = False
+        else:
+            commit_info = _commit_fused(out_dir, lineage)
+            _phase("analyze_postings_packed")
+    if not (packed and fused):
+        if n_pages == 0:
+            # partitionBy on 0 rows writes NO files (unreadable table);
+            # an unpartitioned empty write keeps the schema — `bucket`
+            # becomes a regular (empty) column, which readers filter the
+            # same way they'd prune the partition directory
+            sorted_stream.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "postings")
+            )
+        else:
+            sorted_stream.write.mode("overwrite").option(
+                "parquet.writer.version", "v2"
+            ).partitionBy("bucket").parquet(os.path.join(out_dir, "postings"))
+        _phase("analyze_postings")
 
     postings_w = spark.read.parquet(os.path.join(out_dir, "postings"))
 
@@ -447,7 +485,7 @@ def build_index(
     docmeta_w = spark.read.parquet(os.path.join(out_dir, "docmeta"))
     _phase("docmeta")
 
-    if packed:
+    if packed and not fused:
         # Order-preserving whole-file read of the just-written postings:
         # every bucket file is one complete (bucket, salt) shuffle
         # partition sorted by (term, doc_id), and a (term, blk) group
@@ -477,9 +515,23 @@ def build_index(
             pack_src = spark.read.parquet(
                 os.path.join(out_dir, "postings")
             ).select("term", "doc_id", "tf", "dlq", "bucket")
-            write_packed_postings(
-                pack_src, out_dir, num_buckets, salt=salt, pre_partitioned=True
-            )
+            if n_pages == 0:
+                # schema-bearing empty packed table (partitionBy would
+                # write no files; the packer maps 0 rows to 0 rows anyway)
+                pack_src.limit(0).selectExpr(
+                    "term", "cast(0 as long) blk", "cast(0 as int) n",
+                    "cast(null as binary) docs", "cast(null as binary) tfs",
+                    "cast(null as binary) dlqs", "cast(0 as int) max_tf",
+                    "cast(0 as int) min_dlq", "cast(0 as long) sum_tf",
+                    "bucket",
+                ).write.mode("overwrite").parquet(
+                    os.path.join(out_dir, "packed")
+                )
+            else:
+                write_packed_postings(
+                    pack_src, out_dir, num_buckets, salt=salt,
+                    pre_partitioned=True,
+                )
         finally:
             for c in _split_confs:
                 if saved[c] is None:
@@ -502,9 +554,15 @@ def build_index(
     term_stats = ts_src.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     )
-    term_stats.repartition(num_buckets, "bucket").write.mode("overwrite").option(
-        "parquet.writer.version", "v2"
-    ).partitionBy("bucket").parquet(os.path.join(out_dir, "term_stats"))
+    ts_writer = term_stats.repartition(num_buckets, "bucket").write.mode(
+        "overwrite"
+    ).option("parquet.writer.version", "v2")
+    if n_pages == 0:  # partitionBy writes no files on 0 rows (see postings)
+        ts_writer.parquet(os.path.join(out_dir, "term_stats"))
+    else:
+        ts_writer.partitionBy("bucket").parquet(
+            os.path.join(out_dir, "term_stats")
+        )
     _phase("term_stats")
 
     agg = docmeta_w.agg(
@@ -535,7 +593,7 @@ def build_index(
     # written driver-side next to the stats table (not part of the stats
     # contract read_index consumers rely on)
     with open(os.path.join(out_dir, "build_metrics.json"), "w") as f:
-        _json.dump({"phase_s": phase_s}, f)
+        _json.dump({"phase_s": phase_s, "fused_commit": commit_info}, f)
     stats["phase_s"] = phase_s
     return stats
 
@@ -581,111 +639,13 @@ def write_packed_postings(
     span = BLOCK_SPAN
 
     def pack_partition(batches):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        from .codec import varint_encode_raw
 
         batches = list(batches)
         if not batches:
             return
         tbl = pa.Table.from_batches(batches).combine_chunks()
-        if tbl.num_rows == 0:
-            return
-        docs = tbl["doc_id"].to_numpy()
-        tfs = tbl["tf"].to_numpy().astype(np.int64, copy=False)
-        dlqs = tbl["dlq"].to_numpy().astype(np.int64, copy=False)
-        buckets = tbl["bucket"].to_numpy()
-        dict_enc = tbl["term"].chunk(0).dictionary_encode()
-        codes = dict_enc.indices.to_numpy()
-        terms_dict = dict_enc.dictionary
-        blk = docs // span
-        # group boundaries on the (term, blk) sorted stream
-        boundary = np.empty(len(docs), dtype=bool)
-        boundary[0] = True
-        np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
-        boundary[1:] |= blk[1:] != blk[:-1]
-        starts = np.flatnonzero(boundary)
-        counts = np.diff(np.append(starts, len(docs)))
-        # delta-encode doc ids with a reset at every group start
-        deltas = np.empty_like(docs)
-        deltas[0] = docs[0]
-        np.subtract(docs[1:], docs[:-1], out=deltas[1:])
-        deltas[starts] = docs[starts]
-        # one vectorized varint pass over the whole partition per stream,
-        # plus one over the per-group counts (the frame headers)
-        fbuf, flen = varint_encode_raw(counts.astype(np.uint64))
-        fcum = np.cumsum(flen)  # frame bytes through group g, inclusive
-
-        def framed(buf: np.ndarray, blen: np.ndarray):
-            """Splice per-group varint(n) headers into the contiguous
-            payload buffer -> (values uint8[], group offsets int64[G+1])."""
-            plen = np.add.reduceat(blen, starts)
-            goff = np.empty(len(starts) + 1, dtype=np.int64)
-            goff[0] = 0
-            np.cumsum(flen + plen, out=goff[1:])
-            out = np.empty(int(goff[-1]), dtype=np.uint8)
-            # frame header bytes: group g's header starts at goff[g]
-            foff = fcum - flen  # frame bytes before group g
-            out[np.repeat(goff[:-1] - foff, flen) + np.arange(len(fbuf))] = fbuf
-            # payload bytes: shift each byte right by the headers at/before
-            # its group (payloads are contiguous in group order already)
-            out[np.repeat(fcum, plen) + np.arange(len(buf))] = buf
-            return out, goff
-
-        d_out, d_off = framed(*varint_encode_raw(deltas.astype(np.uint64)))
-        t_out, t_off = framed(*varint_encode_raw(tfs.astype(np.uint64)))
-        q_out, q_off = framed(*varint_encode_raw(dlqs.astype(np.uint64)))
-        max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
-        min_dlq = np.minimum.reduceat(dlqs, starts).astype(np.int32)
-        sum_tf = np.add.reduceat(tfs, starts)
-        term_col = pc.take(terms_dict, pa.array(codes[starts]))
-        if term_col.type != pa.string():  # e.g. useLargeVarTypes sessions
-            term_col = term_col.cast(pa.string())
-        blk_col = blk[starts]
-        bucket_col = buckets[starts].astype(np.int32, copy=False)
-
-        def bin_col(out: np.ndarray, goff: np.ndarray, g0: int, g1: int):
-            off32 = (goff[g0 : g1 + 1] - goff[g0]).astype(np.int32)
-            vals = np.ascontiguousarray(out[goff[g0] : goff[g1]])
-            return pa.Array.from_buffers(
-                pa.binary(), g1 - g0,
-                [None, pa.py_buffer(off32), pa.py_buffer(vals)],
-            )
-
-        # chunk the emit so every BinaryArray stays under int32 offsets
-        # (a partition's framed stream can pass 2 GiB at production scale)
-        ngroups = len(starts)
-        cap = _PACK_EMIT_CAP
-        g0 = 0
-        while g0 < ngroups:
-            g1 = ngroups
-            for off in (d_off, t_off, q_off):
-                if off[g1] - off[g0] > cap:
-                    g1 = min(
-                        g1, int(np.searchsorted(off, off[g0] + cap) - 1)
-                    )
-            g1 = max(g1, g0 + 1)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    term_col.slice(g0, g1 - g0),
-                    pa.array(blk_col[g0:g1], type=pa.int64()),
-                    pa.array(counts[g0:g1].astype(np.int32), type=pa.int32()),
-                    bin_col(d_out, d_off, g0, g1),
-                    bin_col(t_out, t_off, g0, g1),
-                    bin_col(q_out, q_off, g0, g1),
-                    pa.array(max_tf[g0:g1], type=pa.int32()),
-                    pa.array(min_dlq[g0:g1], type=pa.int32()),
-                    pa.array(sum_tf[g0:g1], type=pa.int64()),
-                    pa.array(bucket_col[g0:g1], type=pa.int32()),
-                ],
-                names=[
-                    "term", "blk", "n", "docs", "tfs", "dlqs",
-                    "max_tf", "min_dlq", "sum_tf", "bucket",
-                ],
-            )
-            g0 = g1
+        yield from _pack_table_batches(tbl, span)
 
     src = perdoc
     if "bucket" not in src.columns:
@@ -719,6 +679,334 @@ def write_packed_postings(
     packed.write.mode("overwrite").option(
         "parquet.writer.version", "v2"
     ).partitionBy("bucket").parquet(os.path.join(out_dir, "packed"))
+
+
+def _pack_table_batches(tbl, span: int):
+    """Core packer: one sorted (term, doc_id) partition as a pa.Table with
+    columns (term, doc_id, tf, dlq, bucket) -> RecordBatches of packed
+    blocks (PACKED_SCHEMA + bucket). Shared by the two-pass path
+    (write_packed_postings) and the fused single-pass writer — the whole
+    partition is varint-encoded in a handful of numpy passes, no per-group
+    Python objects (see write_packed_postings docstring)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import varint_encode_raw
+
+    if tbl.num_rows == 0:
+        return
+    docs = tbl["doc_id"].to_numpy()
+    tfs = tbl["tf"].to_numpy().astype(np.int64, copy=False)
+    dlqs = tbl["dlq"].to_numpy().astype(np.int64, copy=False)
+    buckets = tbl["bucket"].to_numpy()
+    dict_enc = tbl["term"].chunk(0).dictionary_encode()
+    codes = dict_enc.indices.to_numpy()
+    terms_dict = dict_enc.dictionary
+    blk = docs // span
+    # group boundaries on the (term, blk) sorted stream
+    boundary = np.empty(len(docs), dtype=bool)
+    boundary[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=boundary[1:])
+    boundary[1:] |= blk[1:] != blk[:-1]
+    starts = np.flatnonzero(boundary)
+    counts = np.diff(np.append(starts, len(docs)))
+    # delta-encode doc ids with a reset at every group start
+    deltas = np.empty_like(docs)
+    deltas[0] = docs[0]
+    np.subtract(docs[1:], docs[:-1], out=deltas[1:])
+    deltas[starts] = docs[starts]
+    # one vectorized varint pass over the whole partition per stream,
+    # plus one over the per-group counts (the frame headers)
+    fbuf, flen = varint_encode_raw(counts.astype(np.uint64))
+    fcum = np.cumsum(flen)  # frame bytes through group g, inclusive
+
+    def framed(buf: np.ndarray, blen: np.ndarray):
+        """Splice per-group varint(n) headers into the contiguous
+        payload buffer -> (values uint8[], group offsets int64[G+1])."""
+        plen = np.add.reduceat(blen, starts)
+        goff = np.empty(len(starts) + 1, dtype=np.int64)
+        goff[0] = 0
+        np.cumsum(flen + plen, out=goff[1:])
+        out = np.empty(int(goff[-1]), dtype=np.uint8)
+        # frame header bytes: group g's header starts at goff[g]
+        foff = fcum - flen  # frame bytes before group g
+        out[np.repeat(goff[:-1] - foff, flen) + np.arange(len(fbuf))] = fbuf
+        # payload bytes: shift each byte right by the headers at/before
+        # its group (payloads are contiguous in group order already)
+        out[np.repeat(fcum, plen) + np.arange(len(buf))] = buf
+        return out, goff
+
+    d_out, d_off = framed(*varint_encode_raw(deltas.astype(np.uint64)))
+    t_out, t_off = framed(*varint_encode_raw(tfs.astype(np.uint64)))
+    q_out, q_off = framed(*varint_encode_raw(dlqs.astype(np.uint64)))
+    max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    min_dlq = np.minimum.reduceat(dlqs, starts).astype(np.int32)
+    sum_tf = np.add.reduceat(tfs, starts)
+    term_col = pc.take(terms_dict, pa.array(codes[starts]))
+    if term_col.type != pa.string():  # e.g. useLargeVarTypes sessions
+        term_col = term_col.cast(pa.string())
+    blk_col = blk[starts]
+    bucket_col = buckets[starts].astype(np.int32, copy=False)
+
+    def bin_col(out: np.ndarray, goff: np.ndarray, g0: int, g1: int):
+        off32 = (goff[g0 : g1 + 1] - goff[g0]).astype(np.int32)
+        vals = np.ascontiguousarray(out[goff[g0] : goff[g1]])
+        return pa.Array.from_buffers(
+            pa.binary(), g1 - g0,
+            [None, pa.py_buffer(off32), pa.py_buffer(vals)],
+        )
+
+    # chunk the emit so every BinaryArray stays under int32 offsets
+    # (a partition's framed stream can pass 2 GiB at production scale)
+    ngroups = len(starts)
+    cap = _PACK_EMIT_CAP
+    g0 = 0
+    while g0 < ngroups:
+        g1 = ngroups
+        for off in (d_off, t_off, q_off):
+            if off[g1] - off[g0] > cap:
+                g1 = min(
+                    g1, int(np.searchsorted(off, off[g0] + cap) - 1)
+                )
+        g1 = max(g1, g0 + 1)
+        yield pa.RecordBatch.from_arrays(
+            [
+                term_col.slice(g0, g1 - g0),
+                pa.array(blk_col[g0:g1], type=pa.int64()),
+                pa.array(counts[g0:g1].astype(np.int32), type=pa.int32()),
+                bin_col(d_out, d_off, g0, g1),
+                bin_col(t_out, t_off, g0, g1),
+                bin_col(q_out, q_off, g0, g1),
+                pa.array(max_tf[g0:g1], type=pa.int32()),
+                pa.array(min_dlq[g0:g1], type=pa.int32()),
+                pa.array(sum_tf[g0:g1], type=pa.int64()),
+                pa.array(bucket_col[g0:g1], type=pa.int32()),
+            ],
+            names=[
+                "term", "blk", "n", "docs", "tfs", "dlqs",
+                "max_tf", "min_dlq", "sum_tf", "bucket",
+            ],
+        )
+        g0 = g1
+
+
+_LINEAGE_SCHEMA = (
+    "part_id int, bucket int, n_rows long, n_groups long, flat_bytes long, "
+    "packed_bytes long, flat_file string, packed_file string, secs double"
+)
+
+# parquet column encodings for the fused pyarrow writer — the same layout
+# Spark's v2 writer picks (measured: DELTA_BINARY_PACKED on the sorted int
+# columns is the 29% index-size win documented in BENCH.md); `term` keeps
+# dictionary encoding (few distinct values per sorted run).
+_FLAT_ENCODINGS = {
+    "doc_id": "DELTA_BINARY_PACKED",
+    "tf": "DELTA_BINARY_PACKED",
+    "dlq": "DELTA_BINARY_PACKED",
+    "positions.list.element": "DELTA_BINARY_PACKED",
+}
+_PACKED_ENCODINGS = {
+    "blk": "DELTA_BINARY_PACKED",
+    "n": "DELTA_BINARY_PACKED",
+    "max_tf": "DELTA_BINARY_PACKED",
+    "min_dlq": "DELTA_BINARY_PACKED",
+    "sum_tf": "DELTA_BINARY_PACKED",
+}
+
+
+def _fused_postings_writer(out_dir: str, span: int):
+    """mapInArrow generator: consume ONE sorted (bucket | term, doc_id)
+    partition and write BOTH of its durable forms — the flat-postings
+    part-file and the packed-blocks part-file — directly with pyarrow's
+    C++ parquet writer, emitting a single per-partition lineage row.
+
+    Why: the two-pass build paid (a) a JVM parquet encode of the full flat
+    stream, then (b) a second job that re-read + re-decoded that table
+    just to pack it. Fusing both writes into the one pass that already
+    holds the sorted stream removes the entire re-read and one full
+    columnar encode/decode cycle of the build's biggest table.
+
+    The exchange hash-partitions on (bucket, salt), so one task partition
+    can hold SEVERAL buckets (hash collisions are expected, not an
+    error); the partition is sorted bucket-first, so each bucket is one
+    contiguous run — the writer slices per run and emits one flat/packed
+    file pair + one lineage row per (partition, bucket), never assuming
+    a single bucket per task.
+
+    Commit protocol (Iceberg-shaped, SURVEY.md §4.1 segments_N analog):
+    files are written to dot-prefixed temp names (invisible to Spark's
+    reader) and atomically `os.replace`d to DETERMINISTIC final names
+    (`part-{partitionId:05d}` inside `bucket=N/`, unique because a
+    partition writes at most one file per bucket). A retried/speculative
+    attempt re-derives
+    byte-identical content from the same sorted partition, so any winner
+    of the rename race is correct. The driver then reconciles the
+    directory tree against the collected lineage rows (`_commit_fused`):
+    leftover temp files from dead attempts are removed, missing files
+    fail the build loudly, and the file list is committed as
+    `_manifest.json` (underscore-prefixed — ignored by Spark's reader).
+    NOTE: atomic rename is a POSIX/HDFS property; on object stores run
+    `build_index(..., fused=False)` (the committer-backed two-pass path).
+
+    Memory: one partition's batches are held (the packer is
+    partition-level already); size n_parts so a partition fits a worker,
+    exactly as the two-pass packer required.
+    """
+
+    def run(batches):
+        import time as _time
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        t0 = _time.perf_counter()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        acc = []
+        n_rows = 0
+        for rb in batches:
+            if rb.num_rows:
+                acc.append(rb)
+                n_rows += rb.num_rows
+
+        def lineage(bucket, b_rows, n_groups, fb, pb, ff, pf):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array([pid], pa.int32()),
+                    pa.array([bucket], pa.int32()),
+                    pa.array([b_rows], pa.int64()),
+                    pa.array([n_groups], pa.int64()),
+                    pa.array([fb], pa.int64()),
+                    pa.array([pb], pa.int64()),
+                    pa.array([ff], pa.string()),
+                    pa.array([pf], pa.string()),
+                    pa.array(
+                        [round(_time.perf_counter() - t0, 3)], pa.float64()
+                    ),
+                ],
+                names=[
+                    "part_id", "bucket", "n_rows", "n_groups", "flat_bytes",
+                    "packed_bytes", "flat_file", "packed_file", "secs",
+                ],
+            )
+
+        if n_rows == 0:
+            yield lineage(None, 0, 0, 0, 0, None, None)
+            return
+
+        tbl = pa.Table.from_batches(acc).combine_chunks()
+        del acc
+
+        def write_one(table_dir, bucket, out_tbl, encodings):
+            d = os.path.join(out_dir, table_dir, f"bucket={bucket}")
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"part-{pid:05d}.snappy.parquet")
+            tmp = os.path.join(d, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+            pq.write_table(
+                out_tbl, tmp, compression="snappy", version="2.6",
+                data_page_version="2.0", use_dictionary=["term"],
+                column_encoding=encodings,
+            )
+            os.replace(tmp, final)
+            return final, os.path.getsize(final)
+
+        # one contiguous run per bucket (partition is sorted bucket-first)
+        bkt = tbl["bucket"].to_numpy()
+        run_starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        run_ends = np.r_[run_starts[1:], len(bkt)]
+        for s, e in zip(run_starts, run_ends):
+            bucket = int(bkt[s])
+            sub = tbl.slice(int(s), int(e - s))
+            flat_file, flat_bytes = write_one(
+                "postings", bucket,
+                sub.select(["doc_id", "dlq", "term", "tf", "positions"]),
+                _FLAT_ENCODINGS,
+            )
+            pk = pa.Table.from_batches(
+                list(
+                    _pack_table_batches(
+                        sub.select(["term", "doc_id", "tf", "dlq", "bucket"]),
+                        span,
+                    )
+                )
+            ).drop_columns(["bucket"])
+            packed_file, packed_bytes = write_one(
+                "packed", bucket, pk, _PACKED_ENCODINGS
+            )
+            yield lineage(
+                bucket, int(e - s), pk.num_rows, flat_bytes, packed_bytes,
+                flat_file, packed_file,
+            )
+
+    return run
+
+
+def _commit_fused(out_dir: str, lineage_rows: list) -> dict:
+    """Reconcile postings/ + packed/ trees against the fused job's lineage
+    rows, delete dead-attempt temp files, and write `_manifest.json` per
+    table (file list + per-partition rows). Raises if a manifest file is
+    missing — the fused write is only committed once this passes."""
+    import json
+
+    expected = {"postings": set(), "packed": set()}
+    for r in lineage_rows:
+        if r["flat_file"]:
+            expected["postings"].add(os.path.abspath(r["flat_file"]))
+        if r["packed_file"]:
+            expected["packed"].add(os.path.abspath(r["packed_file"]))
+    for table, exp in expected.items():
+        troot = os.path.join(out_dir, table)
+        found = set()
+        for dirpath, _dirs, files in os.walk(troot):
+            for fn in files:
+                p = os.path.abspath(os.path.join(dirpath, fn))
+                if fn.endswith(".tmp") or fn.startswith("."):
+                    os.remove(p)  # dead task attempt — never committed
+                elif fn.startswith("_"):
+                    continue
+                else:
+                    found.add(p)
+        missing = exp - found
+        if missing:
+            raise RuntimeError(
+                f"fused build commit failed: {table} is missing "
+                f"{sorted(missing)[:3]} (+{max(0, len(missing) - 3)} more)"
+            )
+        orphans = found - exp
+        for p in orphans:  # files no lineage row claims: remove pre-commit
+            os.remove(p)
+        with open(os.path.join(troot, "_manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "files": sorted(os.path.relpath(p, troot) for p in exp),
+                    "partitions": [
+                        {
+                            "part_id": r["part_id"],
+                            "bucket": r["bucket"],
+                            "n_rows": r["n_rows"],
+                            "n_groups": r["n_groups"],
+                            "bytes": r[
+                                "flat_bytes"
+                                if table == "postings"
+                                else "packed_bytes"
+                            ],
+                            "secs": r["secs"],
+                        }
+                        for r in lineage_rows
+                    ],
+                },
+                f,
+            )
+    return {
+        "n_partitions": len(lineage_rows),
+        "n_rows": sum(r["n_rows"] for r in lineage_rows),
+        "flat_bytes": sum(r["flat_bytes"] for r in lineage_rows),
+        "packed_bytes": sum(r["packed_bytes"] for r in lineage_rows),
+    }
 
 
 def read_index(spark: SparkSession, index_dir: str) -> dict:
