@@ -1408,3 +1408,48 @@ REGISTRY_PIPELINE.update(
         "check_index": (q_check_index, SQL_CHECK_INDEX),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer train + encode (pipeline/bpe.py) — the tokenization stage
+# of the training-data tier. Iterative merge learning / ordered merge
+# replay are not ANSI-SQL-expressible -> rows-only entries; the algorithm
+# is pinned by tests/test_bpe.py (paper example, naive-reference
+# differential on randomized corpora, lossless round-trip, determinism).
+# ---------------------------------------------------------------------------
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Sennrich et al. 2016 BPE training: one vocabulary-bounded word-count
+    aggregation + driver-side merge loop. Returns the learned merge table
+    (deterministic: count desc, lexicographic tie-break)."""
+    from .pipeline.bpe import merges_df, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=30)
+    return merges_df(spark, merges).orderBy("rank")
+
+
+def q_bpe_encode_pieces(spark, sf_dir):
+    """BPE encode as a zero-shuffle Arrow-batched narrow map with
+    per-batch word memoization; per-doc word/piece counts for the first
+    20 docs (GPT-2-style lowest-rank-first merge replay)."""
+    from pyspark.sql import functions as F
+
+    from .pipeline.bpe import encode_bpe, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(docs, num_merges=50)
+    return (
+        encode_bpe(docs, merges)
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "n_words", "n_pieces")
+        .orderBy("doc_id")
+    )
+
+
+REGISTRY_PIPELINE.update(
+    {
+        "bpe_train_merges": (q_bpe_train_merges, None),
+        "text_bpe_pieces": (q_bpe_encode_pieces, None),
+    }
+)
