@@ -340,6 +340,83 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_SORTED: dict = {}
+
+
+def _engine_sorted(spark, sf_dir):
+    """Index-SORTED engine (IndexWriterConfig#setIndexSort): documents
+    indexed with sort_by=[("n_chars", "desc")], so dense doc ids are
+    monotone in document length (longest first, url tiebreak)."""
+    if sf_dir in _SORTED:
+        return _SORTED[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from .indexer import build_index, read_index
+
+    d = _docs(spark, sf_dir).select(
+        F.format_string("doc%09d", F.col("doc_id")).alias("url"),
+        "text",
+        "lang",
+        "n_chars",
+    )
+    out = tempfile.mkdtemp(prefix="lss_sorted_idx_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    build_index(
+        spark, d, out, profile="simple", num_buckets=8, quantize=False,
+        sort_by=[("n_chars", "desc")],
+    )
+    idx = read_index(spark, out)
+    idmap = idx["docmeta"].select(
+        F.col("doc_id").alias("_eid"),
+        F.substring("url", 4, 9).cast("long").alias("orig_id"),
+    )
+    _SORTED[sf_dir] = {"index": idx, "idmap": idmap}
+    return _SORTED[sf_dir]
+
+
+def q_engine_sorted_early(spark, sf_dir):
+    """Early-terminated sorted top-k on the REAL sorted index
+    (TopFieldCollector early termination over a setIndexSort segment,
+    LUCENE-6766): the 10 longest documents containing both 'dup' and
+    'vector', found by probing only leading doc-id ranges of the posting
+    lists (operators/sorted_index.py)."""
+    from .operators.sorted_index import assert_index_sorted, early_terminated_topk
+
+    eng = _engine_sorted(spark, sf_dir)
+    assert_index_sorted(eng["index"])
+    top = early_terminated_topk(
+        eng["index"], ["dup", "vector"], k=10, mode="and"
+    )
+    return (
+        top.withColumnRenamed("doc_id", "_eid")
+        .join(F.broadcast(eng["idmap"]), "_eid")
+        .join(
+            _docs(spark, sf_dir).select(
+                F.col("doc_id").alias("orig_id"), "n_chars"
+            ),
+            "orig_id",
+        )
+        .select(F.col("orig_id").alias("doc_id"), "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+
+
+SQL_ENGINE_SORTED_EARLY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (
+  SELECT doc_id FROM tok WHERE term IN ('dup', 'vector')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)
+SELECT d.doc_id, d.n_chars
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+
 REGISTRY_ENGINE: dict[str, tuple] = {
     "streaming_window_counts": (
         q_streaming_window_counts,
@@ -353,4 +430,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_query_parser_sql": (q_engine_query_parser, SQL_ENGINE_QUERY_PARSER),
     "engine_edismax_sql": (q_engine_edismax, SQL_ENGINE_EDISMAX),
     "engine_explain_sql": (q_engine_explain, SQL_ENGINE_EXPLAIN),
+    "engine_sorted_early_sql": (q_engine_sorted_early, SQL_ENGINE_SORTED_EARLY),
 }

@@ -33,15 +33,27 @@ def assign_dense_ids(
     persist_exchange: bool = False,
     cache_registry: list | None = None,
     require_unique: bool = False,
+    order_by: list | None = None,
 ) -> DataFrame:
     """`persist_exchange=True` caches the range-partitioned input so the
     counting pass and the main pass share one exchange — REQUIRED for
     guaranteed-dense ids (see module note) and the right call when `df`
     carries a wide payload (the index build passes text through here).
     The persisted handle is appended to `cache_registry` (if given) so the
-    caller can unpersist when done."""
+    caller can unpersist when done.
+
+    `order_by` (optional, list of sort Columns / column names) assigns ids
+    in THAT total order instead of `key` order — the index-sort hook
+    (Lucene IndexWriterConfig#setIndexSort): build_index passes the sort
+    fields and doc ids come out monotone in them. The caller must make the
+    order total (append `key` as the final tiebreak). Caveat: with a
+    custom order, equal `key` values with different sort values may land
+    in different range partitions, so the `require_unique` per-partition
+    distinct-count check is conservative (it can miss such a duplicate;
+    ids stay dense regardless — the downstream id join is what fans out)."""
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(p, key).withColumn(
+    order = list(order_by) if order_by else [key]
+    ranged = df.repartitionByRange(p, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
     if persist_exchange:
@@ -75,7 +87,7 @@ def assign_dense_ids(
         [(pid, off) for pid, off in offsets.items()],
         "_pid int, _offset long",  # explicit: offsets may be empty (0-row df)
     )
-    w = Window.partitionBy("_pid").orderBy(key)
+    w = Window.partitionBy("_pid").orderBy(*order)
     return (
         ranged.join(F.broadcast(offsets_df), "_pid")
         .withColumn(id_col, F.row_number().over(w) + F.col("_offset") - 1)

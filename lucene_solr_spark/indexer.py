@@ -287,6 +287,7 @@ def build_index(
     doc_base: int = 0,
     quantize: bool = True,
     fused: bool = True,
+    sort_by: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Build the full index under `out_dir` (docmeta/, postings/, term_stats/,
     stats/). Returns collection stats. Idempotent overwrite per table.
@@ -322,6 +323,16 @@ def build_index(
       4. docmeta aggregates field_len from the written postings
          (2-column scan); term_stats aggregates the ~50x-smaller packed
          block metadata.
+
+    `sort_by=[("field", "asc"|"desc"), ...]` is the index sort
+    (IndexWriterConfig#setIndexSort, lucene/core/.../index/IndexWriterConfig
+    ≈L500 / LUCENE-6766): dense doc ids are assigned in (fields..., url)
+    order instead of url order, so doc_id order IS the sort order and
+    sorted top-k queries can early-terminate (operators/sorted_index.py —
+    the TopFieldCollector-on-a-sorted-index analog). The sort fields must
+    be `pages` columns; the sort spec is recorded in stats["index_sort"].
+    Costs nothing extra at build time: it reuses the id-assignment range
+    exchange with different sort keys.
     """
     import shutil
     import time
@@ -344,14 +355,25 @@ def build_index(
     # out the id join — require_unique fails loudly INSIDE the counting
     # pass (which also materializes the pinned exchange, the ids.py
     # determinism requirement) rather than paying a separate full agg job
+    if sort_by:
+        _sort_names = [n for n, _ in sort_by]
+        _sort_order = [
+            F.col(n).desc() if str(d).lower().startswith("d") else F.col(n).asc()
+            for n, d in sort_by
+        ] + [F.col("url").asc()]  # total order: url is the unique tiebreak
+        _ids_in = pages.select("url", *_sort_names)
+    else:
+        _sort_order = None
+        _ids_in = pages.select("url")
     ids_small = assign_dense_ids(
-        pages.select("url"),
+        _ids_in,
         "url",
         partitions=p,
         persist_exchange=True,
         cache_registry=reg,
         require_unique=True,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        order_by=_sort_order,
+    ).select("url", "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     reg.append(ids_small)
     if doc_base:
         ids_small = ids_small.withColumn(
@@ -576,6 +598,8 @@ def build_index(
         "profile": profile,
         "num_buckets": num_buckets,
     }
+    if sort_by:
+        stats["index_sort"] = [[n, d] for n, d in sort_by]
     # stats is ONE row: write it driver-side in the same part-file layout
     # read_index globs (a single-row createDataFrame().write.json() costs a
     # full Spark job — measured ~5s of pure scheduling/committer overhead)
