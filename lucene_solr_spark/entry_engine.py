@@ -340,6 +340,20 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_engine_maxscore(spark, sf_dir):
+    """MAXSCORE dynamic pruning through the real engine
+    (MaxScoreBulkScorer.java: essential/non-essential term partition by
+    global max score vs θ) — must equal the same SQL BM25 sum as WAND on
+    the 3-term disjunction."""
+    eng = _engine(spark, sf_dir)
+    return _to_orig(
+        eng, eng["wand"].search_maxscore(["dup", "vector", "window"], 10)
+    )
+
+
+SQL_ENGINE_MAXSCORE = SQL_ENGINE_SEARCHER_BOOL
+
+
 _SORTED: dict = {}
 
 
@@ -431,4 +445,5 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_edismax_sql": (q_engine_edismax, SQL_ENGINE_EDISMAX),
     "engine_explain_sql": (q_engine_explain, SQL_ENGINE_EXPLAIN),
     "engine_sorted_early_sql": (q_engine_sorted_early, SQL_ENGINE_SORTED_EARLY),
+    "engine_maxscore_sql": (q_engine_maxscore, SQL_ENGINE_MAXSCORE),
 }

@@ -694,11 +694,12 @@ _R03_WINDOW = [
     "span_near_ordered", "span_near_unordered", "span_first", "span_or",
     "span_not", "intervals_ordered", "intervals_ordered_n3",
     "intervals_unordered_n3", "intervals_unordered", "sloppy_phrase_freq",
-    # similarity zoo (boolean_sim stays local-verified — a one-expression
-    # variant redundant with the 7 in-window similarity rows; its slot goes
-    # to the sorted-index early-termination engine claim)
+    # similarity zoo (boolean_sim / classic_tfidf_topk stay local-verified —
+    # one-expression variants redundant with the 7 in-window similarity
+    # rows; their slots go to the two new engine-vs-SQL claims: sorted-index
+    # early termination and MAXSCORE pruning)
     "lm_dirichlet_topk", "lm_jm_topk", "engine_sorted_early_sql",
-    "classic_tfidf_topk",
+    "engine_maxscore_sql",
     "dfr_inl2_topk", "ib_ll_topk", "dfi_chi2_topk", "axiomatic_f2exp_topk",
     # search UX: highlighting, suggest, spellcheck, collectors
     "highlight_snippets", "highlight_passage", "suggest_prefix",

@@ -197,6 +197,35 @@ class WandSearcher:
             score_blk, "doc_id long, score double"
         )
 
+    def _probe_theta(
+        self, meta, blk_ub, idfs, k, mode, n_terms, weights
+    ) -> float:
+        """θ estimation: exactly score only the most promising blocks.
+        Adaptive gating without any extra Spark job: an upper bound on the
+        candidate block count is known driver-side from collection stats
+        (≤ n_docs/span ranges, and ≤ sum of term dfs) — when that bound is
+        small, the probe round trip costs more than decoding everything
+        (like totalHitsThreshold gating WAND activation in Lucene).
+        Returns -inf when probing is skipped or under-filled."""
+        span = _indexer.BLOCK_SPAN
+        max_blocks = (self.n_docs + span - 1) // span
+        if max_blocks <= self.probe_threshold:
+            return -math.inf
+        n_probe = max(2, (k + span - 1) // span + 1)
+        probe_blks = (
+            blk_ub.orderBy(F.desc("sum_ub"), F.asc("blk"))
+            .limit(n_probe)
+            .select("blk")
+        )
+        probe = meta.join(F.broadcast(probe_blks), "blk")
+        top = (
+            self._mask(self._kernel(probe, idfs, k, mode, n_terms, weights))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return top[-1]["score"] if len(top) == k else -math.inf
+
     def search(
         self, terms: list[str], k: int = 10, mode: str = "or"
     ) -> DataFrame:
@@ -226,31 +255,7 @@ class WandSearcher:
         if mode == "and":
             blk_ub = blk_ub.filter(F.col("n_terms_in_blk") == n_terms)
 
-        # θ estimation: exactly score only the most promising blocks.
-        # Adaptive gating without any extra Spark job: an upper bound on the
-        # candidate block count is known driver-side from collection stats
-        # (≤ n_docs/span ranges, and ≤ sum of term dfs) — when that bound is
-        # small, the probe round trip costs more than decoding everything
-        # (like totalHitsThreshold gating WAND activation in Lucene).
-        span = _indexer.BLOCK_SPAN
-        max_blocks = (self.n_docs + span - 1) // span
-        theta = -math.inf
-        if max_blocks > self.probe_threshold:
-            n_probe = max(2, (k + span - 1) // span + 1)
-            probe_blks = (
-                blk_ub.orderBy(F.desc("sum_ub"), F.asc("blk"))
-                .limit(n_probe)
-                .select("blk")
-            )
-            probe = meta.join(F.broadcast(probe_blks), "blk")
-            top = (
-                self._mask(self._kernel(probe, idfs, k, mode, n_terms, weights))
-                .orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k)
-                .collect()
-            )
-            if len(top) == k:
-                theta = top[-1]["score"]
+        theta = self._probe_theta(meta, blk_ub, idfs, k, mode, n_terms, weights)
 
         # survivors stay distributed: semi-join meta against the pruned
         # block metadata. No broadcast hint — post-θ survivors are usually
@@ -307,3 +312,79 @@ class WandSearcher:
             "kept_blocks": agg["kept"] or 0,
             "theta": kth,
         }
+
+    def search_maxscore(
+        self, terms: list[str], k: int = 10, prune_info: dict | None = None
+    ) -> DataFrame:
+        """MAXSCORE top-k disjunction — the OTHER dynamic pruning strategy
+        Lucene ships (lucene/core/.../search/MaxScoreBulkScorer.java ≈L60;
+        Turtle & Flood 1995): terms are partitioned by GLOBAL max score
+        into non-essential (the longest ub-ascending prefix whose summed
+        max scores stay BELOW θ) and essential (the rest); a doc whose
+        postings touch only non-essential terms can score at most that
+        prefix sum < θ, so only blocks containing at least one
+        ESSENTIAL-term posting are decoded.
+
+        Distributed shape mirrors search(): θ from the same block probe,
+        the term partition is computed driver-side from one n_terms-row
+        aggregate (the per-term max block ub — TermStates-sized, not
+        corpus-sized), candidate blocks stay as a distributed semi-join.
+        Where WAND prunes on per-block SUMMED bounds, MAXSCORE prunes on
+        the per-TERM global bound — cheaper bookkeeping, coarser pruning
+        (Lucene picks between them per query for the same reason).
+        Soundness: Σ_{non-essential} gub < θ strictly (the partition loop
+        stops before crossing θ), so pruned docs can't reach θ even on a
+        tie; probed θ <= true k-th score as in search().
+
+        `prune_info={}` receives {"theta", "essential", "non_essential"}.
+        """
+        idfs, weights = self._idfs(terms)
+        spark = self.packed.sparkSession
+        if not idfs:
+            return spark.createDataFrame([], "doc_id long, score double")
+        meta = self._meta_with_ub(idfs, weights).persist()
+        n_terms = len(idfs)
+        blk_ub = meta.groupBy("blk").agg(F.sum("ub").alias("sum_ub"))
+        theta = self._probe_theta(meta, blk_ub, idfs, k, "or", n_terms, weights)
+
+        essential = sorted(idfs)
+        non_essential: list[str] = []
+        if not math.isinf(theta):
+            # per-term global upper bound: max over the term's block ubs —
+            # one tiny aggregate (n_terms rows), the MaxScoreCache analog
+            gub = {
+                r["term"]: float(r["gub"])
+                for r in meta.groupBy("term")
+                .agg(F.max("ub").alias("gub"))
+                .collect()
+            }
+            acc = 0.0
+            ordered = sorted(gub, key=lambda t: (gub[t], t))
+            for t in ordered:
+                if acc + gub[t] < theta:
+                    acc += gub[t]
+                    non_essential.append(t)
+                else:
+                    break
+            essential = [t for t in ordered if t not in set(non_essential)]
+            if not essential:  # probe θ exceeded every bound: top-k is final
+                essential = ordered[-1:]
+        if prune_info is not None:
+            prune_info["theta"] = theta
+            prune_info["essential"] = sorted(essential)
+            prune_info["non_essential"] = sorted(non_essential)
+        if non_essential:
+            ess_blks = (
+                meta.filter(F.col("term").isin(essential))
+                .select("blk")
+                .distinct()
+            )
+            cand = meta.join(ess_blks, "blk", "left_semi")
+        else:
+            cand = meta
+        out = (
+            self._mask(self._kernel(cand, idfs, k, "or", n_terms, weights))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return out

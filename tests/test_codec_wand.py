@@ -142,6 +142,57 @@ def test_wand_equals_exhaustive(spark, wand_index, small_span, terms, mode):
     assert wand == exact
 
 
+@pytest.mark.parametrize(
+    "terms",
+    [
+        ["search"],
+        ["search", "engin"],
+        ["w000001", "w000002", "w000003"],
+        ["search", "nosuchterm"],
+        ["nosuchterm"],
+        ["search", "search", "engin"],  # repeated clause: multiplicity
+    ],
+)
+def test_maxscore_equals_wand_and_exhaustive(spark, wand_index, small_span, terms):
+    from lucene_solr_spark.query import Boolean, Term
+    from lucene_solr_spark.search import Searcher
+    from lucene_solr_spark.wand import WandSearcher
+
+    s = Searcher(wand_index)
+    w = WandSearcher(wand_index)
+    w.probe_threshold = 4  # force the θ-probe/partition path
+    exact = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in s.score_all(Boolean(should=[Term(t) for t in terms]))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    ms = [
+        (r["doc_id"], round(r["score"], 8))
+        for r in w.search_maxscore(terms, 10).collect()
+    ]
+    assert ms == exact
+
+
+def test_maxscore_partitions_terms(spark, wand_index, small_span):
+    """A high-idf rare term + a low-impact term: the low one must land in
+    the non-essential set once θ is known, and results stay exact."""
+    from lucene_solr_spark.wand import WandSearcher
+
+    w = WandSearcher(wand_index)
+    w.probe_threshold = 4
+    info: dict = {}
+    got = w.search_maxscore(["w000001", "search"], 10, prune_info=info).collect()
+    assert len(got) > 0
+    assert info["essential"], info
+    # partition is a disjoint cover of the query terms
+    assert set(info["essential"]) | set(info["non_essential"]) <= {
+        "w000001", "search"
+    }
+    assert not (set(info["essential"]) & set(info["non_essential"]))
+
+
 def test_wand_prunes_blocks(spark, wand_index, small_span):
     from lucene_solr_spark.wand import WandSearcher
 
