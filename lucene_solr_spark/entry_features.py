@@ -717,3 +717,201 @@ REGISTRY_FEATURES.update(
         "monitor_percolate": (q_monitor_match, SQL_MONITOR),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Lucene classification module (lucene/classification/ — SimpleNaiveBayes,
+# KNearestNeighbor, BooleanPerceptron) over the documents table, class =
+# lang. operators/classification.py carries the reference citations.
+# ---------------------------------------------------------------------------
+
+def q_classify_naive_bayes(spark, sf_dir):
+    """SimpleNaiveBayesClassifier: classify docs 0..9 by language using
+    index-derived statistics (add-one-smoothed multinomial NB). Every
+    statistic comes from one vocabulary-sized aggregation; classification
+    is a broadcast join — zero corpus shuffle at serve time."""
+    from .operators.classification import naive_bayes_classify
+
+    d = _docs(spark, sf_dir)
+    tok = _tok(spark, sf_dir)
+    classes = d.select("doc_id", F.col("lang").alias("class"))
+    qtok = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    return naive_bayes_classify(tok, classes, qtok)
+
+
+SQL_CLASSIFY_NB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+cls AS (SELECT doc_id, lang AS class FROM documents),
+t AS (SELECT tok.doc_id, term, class FROM tok JOIN cls USING (doc_id)),
+stats AS (SELECT term, class, count(*) AS tf_wc FROM t GROUP BY term, class),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+priors AS (SELECT class, count(*) AS n_docs, sum(coalesce(dl, 0)) AS n_tokens
+           FROM cls LEFT JOIN dl USING (doc_id) GROUP BY class),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tok),
+n AS (SELECT count(*) AS n FROM documents),
+q AS (SELECT doc_id AS qid, term FROM tok WHERE doc_id < 10),
+qx AS (SELECT qid, term, class FROM q CROSS JOIN (SELECT class FROM priors)),
+liked AS (SELECT qid, qx.term, qx.class, coalesce(stats.tf_wc, 0) AS tf_wc
+          FROM qx LEFT JOIN stats ON stats.term = qx.term AND stats.class = qx.class),
+scored AS (SELECT qid, liked.class,
+                  ln(priors.n_docs / CAST(n.n AS DOUBLE))
+                  + sum(ln((tf_wc + 1.0) / (priors.n_tokens + vocab.v))) AS score
+           FROM liked JOIN priors ON liked.class = priors.class, vocab, n
+           GROUP BY qid, liked.class, priors.n_docs, n.n, vocab.v)
+SELECT qid, class, ROUND(score, 4) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, class) AS rn
+  FROM scored) x
+WHERE rn = 1 ORDER BY qid
+"""
+
+
+def q_classify_knn(spark, sf_dir):
+    """KNearestNeighborClassifier: BM25 top-10 neighbours of docs 0..4
+    (self excluded), class = argmax of summed neighbour scores."""
+    from .operators.classification import knn_classify
+
+    d = _docs(spark, sf_dir)
+    tok = _tok(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = d.count()
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    classes = d.select("doc_id", F.col("lang").alias("class"))
+    qtok = (
+        tok.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    return knn_classify(tok, dl, classes, qtok, n, avgdl, k=10)
+
+
+SQL_CLASSIFY_KNN = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id < 5),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+scored AS (SELECT q.qid, tf.doc_id,
+                  sum(ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))) AS score
+           FROM q JOIN tf USING (term)
+           JOIN dfs ON dfs.term = q.term
+           JOIN dl ON dl.doc_id = tf.doc_id, cstats
+           WHERE tf.doc_id != q.qid
+           GROUP BY q.qid, tf.doc_id),
+topk AS (SELECT qid, doc_id, score FROM (
+           SELECT qid, doc_id, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+           FROM scored) x WHERE rn <= 10),
+votes AS (SELECT qid, d.lang AS class, sum(score) AS vote
+          FROM topk JOIN documents d ON d.doc_id = topk.doc_id
+          GROUP BY qid, d.lang)
+SELECT qid, class, ROUND(vote, 4) AS vote FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY vote DESC, class) AS rn
+  FROM votes) x
+WHERE rn = 1 ORDER BY qid
+"""
+
+
+def q_classify_perceptron(spark, sf_dir):
+    """BooleanPerceptronClassifier (batch/pocket variant, documented
+    deviation): train a binary en-vs-rest perceptron over the term space,
+    classify docs 0..9. Rows-only: the epoch loop is iterative (not
+    ANSI-SQL-expressible); semantics pinned by separable-fixture tests in
+    tests/test_classification.py."""
+    from .operators.classification import perceptron_classify, perceptron_train
+
+    d = _docs(spark, sf_dir)
+    tok = _tok(spark, sf_dir)
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    w = perceptron_train(tok, labels, epochs=3)
+    qtok = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), "term"
+    )
+    return perceptron_classify(tok, w, qtok)
+
+
+REGISTRY_FEATURES.update(
+    {
+        "classify_naive_bayes": (q_classify_naive_bayes, SQL_CLASSIFY_NB),
+        "classify_knn": (q_classify_knn, SQL_CLASSIFY_KNN),
+        "classify_perceptron": (q_classify_perceptron, None),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# TermsComponent full enumeration params + FunctionRangeQuery (frange)
+# ---------------------------------------------------------------------------
+
+def q_terms_enum(spark, sf_dir):
+    """TermsComponent (solr/core/.../component/TermsComponent.java):
+    terms.lower/terms.upper bounds + terms.regex filter over the terms
+    dictionary, returning (term, df, ttf) in index (lexicographic) order —
+    the terms-dict browse surface. Pure aggregation + pushed-down range
+    filter; at scale this hits the bucketed term_stats table, never the
+    postings."""
+    tok = _tok(spark, sf_dir)
+    return (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count("*").alias("ttf"))
+        .filter(
+            (F.col("term") >= "sa") & (F.col("term") < "sz")
+            & F.col("term").rlike("^s[a-z]+$")
+        )
+        .orderBy("term")
+        .limit(20)
+    )
+
+
+SQL_TERMS_ENUM = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tok
+WHERE term >= 'sa' AND term < 'sz' AND regexp_matches(term, '^s[a-z]+$')
+GROUP BY term ORDER BY term LIMIT 20
+"""
+
+
+def q_frange_query(spark, sf_dir):
+    """FunctionRangeQuery / {!frange l=.. u=..} (solr/core/.../search/
+    FunctionRangeQuery.java): filter docs by the VALUE of a function
+    query — here scale(n_chars, 0, 100) in [20, 60] — then return them
+    ordered. The function is a pure Column expression evaluated in the
+    scan; the min/max bind is one map-side-combined aggregate."""
+    d = _docs(spark, sf_dir)
+    mm = d.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    ).first()
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    scaled = (F.col("n_chars") - F.lit(lo)) / F.lit(hi - lo) * F.lit(100.0)
+    return (
+        d.select("doc_id", F.round(scaled, 4).alias("fval"))
+        .filter((F.col("fval") >= 20.0) & (F.col("fval") <= 60.0))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+SQL_FRANGE = """
+WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+s AS (SELECT doc_id,
+             ROUND((n_chars - mm.lo) / CAST(mm.hi - mm.lo AS DOUBLE) * 100.0, 4) AS fval
+      FROM documents, mm)
+SELECT doc_id, fval FROM s WHERE fval >= 20.0 AND fval <= 60.0
+ORDER BY doc_id LIMIT 50
+"""
+
+
+REGISTRY_FEATURES.update(
+    {
+        "terms_enum": (q_terms_enum, SQL_TERMS_ENUM),
+        "frange_query": (q_frange_query, SQL_FRANGE),
+    }
+)

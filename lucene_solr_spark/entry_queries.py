@@ -715,7 +715,11 @@ _R03_WINDOW = [
     # round-3 additions (never driver-witnessed): nested intervals, the
     # DFR/IB matrix + wrappers, offset-faithful highlighter, tree LTR,
     # math evaluators, PQ-ANN, multi-language ID
-    "intervals_nested", "dfr_gb1_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
+    # (dfr_pl2/dfr_ineb2 stay local-verified — config variants of the same
+    # dfr_score expression family as the in-window dfr_gb1; their slots go
+    # to the classification module, a brand-new reference module this round)
+    "intervals_nested", "dfr_gb1_topk", "classify_naive_bayes",
+    "classify_knn",
     "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
     "highlight_unified", "ltr_trees_rescore", "stream_regress",
     "stream_conv", "dedup_simhash_manku",
