@@ -220,7 +220,17 @@ def merge_segments(
     key = f"m{min(units)}" if units else f"m_{new_seg}"
     man["segments"][key] = new_rec
     write_manifest(out_dir, man)
+    # IndexDeletionPolicy: a segment dir still referenced by a RETAINED
+    # commit point must survive the merge so read_segmented(generation=N)
+    # keeps working; expunge_commits() reclaims it when history is pruned
+    from .segments import referenced_segs
+
+    protected = referenced_segs(out_dir) - {
+        r["seg"] for r in live_segments(man)
+    }
     for p in paths:
+        if os.path.basename(p) in protected:
+            continue
         shutil.rmtree(p, ignore_errors=True)
     # full compaction consumed every tombstone (ids are never recycled, so
     # leftover tombstones for already-dropped ids would be harmless — but a

@@ -51,13 +51,118 @@ def read_manifest(out_dir: str) -> dict | None:
         return json.load(f)
 
 
-def write_manifest(out_dir: str, man: dict) -> None:
-    """Atomic commit point (segments_N / Iceberg-snapshot analog)."""
+COMMITS_DIR = "commits"
+DEFAULT_KEEP_COMMITS = 8
+
+
+def _commits_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, COMMITS_DIR)
+
+
+def write_manifest(
+    out_dir: str, man: dict, keep_commits: int = DEFAULT_KEEP_COMMITS
+) -> None:
+    """Atomic commit point (segments_N / Iceberg-snapshot analog).
+
+    Every commit also snapshots itself to commits/manifest_<gen>.json —
+    the Lucene IndexCommit history that SnapshotDeletionPolicy exposes
+    (and the Iceberg snapshot log). The newest `keep_commits` generations
+    are retained (KeepOnlyLastCommitDeletionPolicy is keep_commits=1);
+    `read_segmented(..., generation=N)` opens a retained commit
+    point-in-time, and merge/compaction will NOT delete segment dirs a
+    retained commit still references (IndexDeletionPolicy contract) —
+    `expunge_commits` prunes history and GCs the dirs it released."""
     man = dict(man, generation=man.get("generation", 0) + 1)
     tmp = _manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(man, f, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(out_dir))
+    cdir = _commits_dir(out_dir)
+    os.makedirs(cdir, exist_ok=True)
+    snap = os.path.join(cdir, f"manifest_{man['generation']:09d}.json")
+    tmp2 = snap + ".tmp"
+    with open(tmp2, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    os.replace(tmp2, snap)
+    for old in _commit_files(out_dir)[:-keep_commits]:
+        os.remove(os.path.join(cdir, old))
+
+
+def _commit_files(out_dir: str) -> list[str]:
+    cdir = _commits_dir(out_dir)
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(
+        f
+        for f in os.listdir(cdir)
+        if f.startswith("manifest_") and f.endswith(".json")
+    )
+
+
+def list_commits(out_dir: str) -> list[dict]:
+    """Retained commit points, oldest first: (generation, n_segments,
+    n_docs) — IndexReader.listCommits / the Iceberg snapshot log."""
+    out = []
+    for f in _commit_files(out_dir):
+        with open(os.path.join(_commits_dir(out_dir), f)) as fh:
+            m = json.load(fh)
+        segs = [r for r in m["segments"].values() if r.get("status") == "done"]
+        out.append(
+            {
+                "generation": m["generation"],
+                "n_segments": len(segs),
+                "n_docs": sum(r.get("n_docs", 0) for r in segs),
+            }
+        )
+    return out
+
+
+def read_commit(out_dir: str, generation: int) -> dict:
+    """Load one retained commit's manifest by generation."""
+    p = os.path.join(
+        _commits_dir(out_dir), f"manifest_{generation:09d}.json"
+    )
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"commit generation {generation} not retained in {out_dir} "
+            f"(have: {[c['generation'] for c in list_commits(out_dir)]})"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def referenced_segs(out_dir: str) -> set[str]:
+    """Segment dir names referenced by ANY retained commit — the set an
+    IndexDeletionPolicy must protect from physical deletion."""
+    refs: set[str] = set()
+    for f in _commit_files(out_dir):
+        with open(os.path.join(_commits_dir(out_dir), f)) as fh:
+            m = json.load(fh)
+        refs.update(
+            r["seg"] for r in m["segments"].values() if r.get("status") == "done"
+        )
+    return refs
+
+
+def expunge_commits(out_dir: str, keep: int = 1) -> list[str]:
+    """Prune commit history to the newest `keep` generations and GC the
+    segment dirs only the pruned commits referenced. Returns the deleted
+    dir names. The live manifest's segments are always protected."""
+    import shutil
+
+    before = referenced_segs(out_dir)
+    cdir = _commits_dir(out_dir)
+    for old in _commit_files(out_dir)[:-keep] if keep > 0 else []:
+        os.remove(os.path.join(cdir, old))
+    man = read_manifest(out_dir) or {"segments": {}}
+    keepset = referenced_segs(out_dir) | {
+        r["seg"] for r in man["segments"].values() if r.get("status") == "done"
+    }
+    dropped = []
+    for seg in sorted(before - keepset):
+        shutil.rmtree(os.path.join(out_dir, seg), ignore_errors=True)
+        dropped.append(seg)
+    return dropped
 
 
 def _unit_fingerprint(unit_pages: DataFrame) -> str:
@@ -160,13 +265,34 @@ def _union_read(spark: SparkSession, paths: list[str]) -> DataFrame:
     return out
 
 
-def read_segmented(spark: SparkSession, out_dir: str) -> dict:
+def read_segmented(
+    spark: SparkSession, out_dir: str, generation: int | None = None
+) -> dict:
     """Open a segmented index as one logical index (Searcher/WAND-ready).
 
     term_stats are re-aggregated across segments (exact global df/ttf —
     ExactStatsCache semantics, free because units partition the docs).
+
+    `generation` opens a RETAINED commit point-in-time (DirectoryReader
+    .open(IndexCommit) / Iceberg snapshot read): the segment SET is as of
+    that commit. Caveat (documented): tombstones are a global append-only
+    table without per-commit fencing, so deletes issued after the commit
+    still mask docs in a point-in-time read — ids are never recycled, so
+    this only ever hides later-deleted docs, never resurrects or corrupts.
     """
-    man = read_manifest(out_dir)
+    if generation is not None:
+        man = read_commit(out_dir, generation)
+        missing = [
+            r["seg"]
+            for r in live_segments(man)
+            if not os.path.isdir(os.path.join(out_dir, r["seg"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {generation} references expunged segments: {missing}"
+            )
+    else:
+        man = read_manifest(out_dir)
     if not man:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     segs = live_segments(man)
@@ -243,3 +369,130 @@ def lineage_df(spark: SparkSession, out_dir: str) -> DataFrame:
         "unit int, seg string, status string, n_docs long, sum_ttf long, "
         "wall_s double, attempt int, fingerprint string",
     )
+
+
+def add_indexes(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
+    """IndexWriter.addIndexes: bulk-import every live segment of `src_dir`
+    into `dst_dir` (lucene/core/.../index/IndexWriter.java addIndexes
+    ≈L2900 — the CodecReader overload, which REWRITES incoming segments
+    rebasing doc ids; the Directory overload's file-copy shortcut is
+    impossible here because our ids are globally stable, so colliding
+    unit ranges must genuinely move).
+
+    Rebase: one constant shift K·UNIT_CAPACITY applied to every imported
+    doc_id, with K = max(dst units)+1 − min(src units) — unit structure
+    is preserved and the shifted ranges land strictly above every
+    existing dst unit, so ids stay collision-free and dense-per-unit.
+    Per imported segment: postings/docmeta are rewritten with the shifted
+    id (one narrow map + the same partitioned layout), src tombstones are
+    reclaimed during the rewrite (addIndexes drops deleted docs), packed
+    blocks are re-encoded from the rewritten postings (block keys derive
+    from doc ids), and term_stats re-aggregate from them. Each segment
+    commits atomically — a crash mid-import loses only the in-flight
+    segment, and re-running resumes (same "a<unit>" key check).
+
+    Requires identical analyzer profile and num_buckets (Lucene likewise
+    leaves codec/analyzer compatibility to the caller; bucket values are
+    pmod(xxhash64(term), num_buckets) so a mismatch would mis-place rows).
+    """
+    man = read_manifest(dst_dir)
+    sman = read_manifest(src_dir)
+    if not man or not sman:
+        raise FileNotFoundError("both dst and src must have manifests")
+    if man["profile"] != sman["profile"]:
+        raise ValueError("analyzer profile mismatch")
+    if man["num_buckets"] != sman["num_buckets"]:
+        raise ValueError("num_buckets mismatch")
+    num_buckets = man["num_buckets"]
+    dst_units = {u for r in live_segments(man) for u in r["units"]}
+    src_segs = sorted(live_segments(sman), key=lambda r: min(r["units"]))
+    if not src_segs:
+        return man
+    src_min = min(u for r in src_segs for u in r["units"])
+    shift_units = (max(dst_units, default=-1) + 1) - src_min
+    shift = shift_units * UNIT_CAPACITY
+
+    from .deletes import read_deletes
+
+    sdel = read_deletes(spark, src_dir)
+    # resume/idempotence is keyed on SOURCE identity: the unit shift is
+    # recomputed from the current dst manifest, so after a partial import
+    # the remaining segments get a different shift — the already-imported
+    # ones must be recognized by where they came from, not by unit number
+    already = {
+        r.get("imported_from")
+        for r in man["segments"].values()
+        if r.get("status") == "done"
+    }
+    for rec in src_segs:
+        if f"{src_dir}:{rec['seg']}" in already:
+            continue  # resume: already imported
+        new_units = sorted(u + shift_units for u in rec["units"])
+        key = f"a{new_units[0]}"
+        if rec.get("n_docs", 0) == 0:
+            continue  # empty segment (e.g. an empty build unit): nothing to import
+        seg = f"a_{new_units[0]:05d}"
+        new_dir = os.path.join(dst_dir, seg)
+        src_seg = os.path.join(src_dir, rec["seg"])
+        t0 = time.perf_counter()
+
+        docmeta = spark.read.parquet(os.path.join(src_seg, "docmeta"))
+        if sdel is not None:
+            docmeta = docmeta.join(sdel, "doc_id", "left_anti")
+        docmeta = docmeta.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        if sdel is None:
+            n_docs, sum_ttf = rec["n_docs"], rec["sum_ttf"]
+        else:
+            agg = docmeta.agg(
+                F.count("*").alias("n"), F.sum("field_len").alias("s")
+            ).collect()[0]
+            n_docs, sum_ttf = int(agg["n"]), int(agg["s"] or 0)
+            if n_docs == 0:
+                continue  # every doc tombstoned: reclaimed, nothing to import
+        docmeta.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 1), "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(new_dir, "docmeta"))
+
+        post = spark.read.parquet(os.path.join(src_seg, "postings"))
+        if sdel is not None:
+            post = post.join(sdel, "doc_id", "left_anti")
+        post = post.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+        post.repartition(num_buckets, "bucket").sortWithinPartitions(
+            "term", "doc_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(new_dir, "postings")
+        )
+        rewritten = spark.read.parquet(os.path.join(new_dir, "postings"))
+
+        if os.path.isdir(os.path.join(src_seg, "packed")):
+            from .indexer import write_packed_postings
+
+            write_packed_postings(
+                rewritten.select("term", "doc_id", "tf", "dlq"),
+                new_dir,
+                num_buckets,
+            )
+
+        ts = rewritten.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ttf")
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
+        )
+        ts.repartition(num_buckets, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(new_dir, "term_stats"))
+
+        man = read_manifest(dst_dir)
+        man["segments"][key] = {
+            "seg": seg,
+            "status": "done",
+            "units": new_units,
+            "n_docs": n_docs,
+            "sum_ttf": sum_ttf,
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "attempt": 1,
+            "fingerprint": rec.get("fingerprint"),
+            "imported_from": f"{src_dir}:{rec['seg']}",
+        }
+        write_manifest(dst_dir, man)
+    return read_manifest(dst_dir)
