@@ -679,6 +679,10 @@ from .entry_features import REGISTRY_FEATURES  # noqa: E402
 
 REGISTRY.update(REGISTRY_FEATURES)
 
+from .entry_multifield import REGISTRY_MULTIFIELD  # noqa: E402
+
+REGISTRY.update(REGISTRY_MULTIFIELD)
+
 REGISTRY.update(REGISTRY_RELATIONAL)
 
 # ---------------------------------------------------------------------------
@@ -727,9 +731,16 @@ _R03_WINDOW = [
     # (suggest_fuzzy and stream_norm_cdf stay local-verified to make room —
     # their siblings spellcheck_fuzzy / stream_regress+stream_conv cover the
     # same code paths in the window)
-    # sentinels from the rounds-1/2 witnessed tier
-    "term_query_bm25", "engine_wand_or_sql",
+    # multi-field document model (new this round): cross-field per-term
+    # dismax through the REAL per-field engine indexes — takes the slot of
+    # the twice-witnessed term_query_bm25 sentinel (r1+r2 driver green);
+    # its siblings engine_fielded_term_sql / engine_perfield_sim_sql sit
+    # immediately after the window (local-verified)
+    "engine_dismax_fields_sql",
+    # sentinel from the rounds-1/2 witnessed tier
+    "engine_wand_or_sql",
 ]
-_window = {k: REGISTRY[k] for k in _R03_WINDOW if k in REGISTRY}
+_after_window = ["engine_fielded_term_sql", "engine_perfield_sim_sql"]
+_window = {k: REGISTRY[k] for k in _R03_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}
 REGISTRY = {**_window, **_rest}

@@ -1,0 +1,173 @@
+"""Multi-field document model — Lucene's Document/Field structure.
+
+Lucene keeps ONE inverted index per indexed field: FieldInfos enumerates
+the fields, PerFieldPostingsFormat routes each field's postings to its own
+terms dictionary, norms are per-field arrays, and collection statistics
+(docCount, sumTotalTermFreq, avgFieldLength) are per-field
+(lucene/core/.../index/FieldInfos.java; .../codecs/perfield/
+PerFieldPostingsFormat.java; CollectionStatistics per field in
+IndexSearcher#collectionStatistics).
+
+Spark restatement: one single-field index (indexer.build_index — the full
+proven pipeline: vectorized analysis, one bucket exchange, packed blocks)
+per field under ``out_dir/<field>/``.  The per-field indexes share the
+dense doc-id space FOR FREE: ids.assign_dense_ids mints
+``doc_id = rank of url``, a pure function of the url set, so every
+per-field build over the same corpus produces identical ids (property
+asserted in tests/test_multifield.py).  Per-field stats, norms and
+per-field similarity then fall out of the per-field indexes exactly as in
+Lucene — no cross-field coupling anywhere in the build.
+
+Scale note (10^12 docs): fields build independently (Lucene likewise
+inverts each field of a document separately), so the multi-field build is
+F sequential (or concurrent) runs of the proven single-field plan; no new
+shuffle shape is introduced.  Queries touch only the indexes of the
+fields they reference — a title-only query never scans body postings,
+the analog of Lucene reading only that field's terms dictionary.
+
+Cross-field scoring implemented here:
+
+* ``search_field``           — fielded TermQuery/etc (``title:foo``).
+* ``dismax_fields``          — eDisMax ``qf``: per query term, take the
+  max field score (+ tie * remainder), then sum over terms
+  (DisjunctionMaxQuery per term — ExtendedDismaxQParser's main clause).
+* ``combined_sum_fields``    — per-field similarity sum: each field
+  scored under ITS OWN similarity (PerFieldSimilarityWrapper semantics,
+  .../similarities/PerFieldSimilarityWrapper.java) with per-field
+  collection stats, summed across fields (BooleanQuery of fielded terms).
+
+Every path is a single Spark plan: bucket-pruned postings scans unioned,
+one or two hash aggregations, TakeOrderedAndProject — no driver loops.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .indexer import build_index, read_index
+from .search import Searcher
+
+
+def build_multifield_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    fields: dict,
+    **build_kw,
+) -> dict:
+    """Build one index per field.
+
+    ``docs`` must carry ``url`` (unique doc key) and ``lang``; ``fields``
+    maps field name -> Column expression producing that field's text
+    (e.g. ``{"title": F.col("title"), "body": F.col("text")}``).
+    Returns ``{field: read_index(...)}``.  Doc ids are identical across
+    the per-field indexes (rank-of-url, see module docstring).
+    """
+    out = {}
+    for name, col in fields.items():
+        d = docs.select("url", "lang", col.alias("text"))
+        sub = os.path.join(out_dir, name)
+        build_index(spark, d, sub, **build_kw)
+        out[name] = read_index(spark, sub)
+    return out
+
+
+class MultiFieldSearcher:
+    """Fielded search over per-field indexes sharing one doc-id space.
+
+    ``similarities`` maps field -> similarity name (default "bm25") — the
+    PerFieldSimilarityWrapper hook: each field's scorer uses that field's
+    own collection stats (N_f, avgdl_f) under its own similarity.
+    """
+
+    def __init__(self, indexes: dict, similarities: dict | None = None):
+        sims = similarities or {}
+        self.searchers: dict[str, Searcher] = {
+            f: Searcher(ix, similarity=sims.get(f, "bm25"))
+            for f, ix in indexes.items()
+        }
+
+    def search_field(self, field: str, query, k: int = 10) -> DataFrame:
+        """Fielded query (``title:foo``) — only that field's index is
+        touched, the analog of seeking one field's terms dictionary."""
+        return self.searchers[field].search(query, k, with_fields=False)
+
+    # ---- cross-field leaf frames ------------------------------------------
+    def _term_frames(self, terms, field_boosts) -> list[DataFrame]:
+        """One (doc_id, _qt, score) frame per (present term, field), each a
+        bucket-pruned postings scan scored under the field's similarity."""
+        frames = []
+        for fname, boost in field_boosts.items():
+            s = self.searchers[fname]
+            stats = s._stats_for(list(terms))
+            for t in terms:
+                st = stats.get(t)
+                if st is None:
+                    continue
+                p = s._term_postings(t)
+                sc = s._score_expr(
+                    F.col("tf"), F.col("dlq"), st["df"], float(boost)
+                )
+                frames.append(
+                    p.select(
+                        "doc_id",
+                        F.lit(t).alias("_qt"),
+                        sc.alias("score"),
+                    )
+                )
+        return frames
+
+    def _empty(self) -> DataFrame:
+        return next(iter(self.searchers.values()))._empty()
+
+    def dismax_fields(
+        self, terms: list, qf: dict, k: int = 10, tie: float = 0.0
+    ) -> DataFrame:
+        """eDisMax ``qf``: score(doc) = Σ_term [ max_field(boost_f ·
+        score_f(term)) + tie · (Σ_field − max_field) ]
+        (ExtendedDismaxQParser builds one DisjunctionMaxQuery per query
+        term over the qf fields — solr/.../ExtendedDismaxQParser.java).
+        One plan: union of bucket-pruned scans → (doc, term) dismax agg →
+        doc sum agg → TakeOrderedAndProject."""
+        frames = self._term_frames(terms, qf)
+        if not frames:
+            return self._empty()
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        per_term = (
+            u.groupBy("doc_id", "_qt")
+            .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+            .select(
+                "doc_id",
+                (
+                    F.col("_mx")
+                    + F.lit(float(tie)) * (F.col("_sm") - F.col("_mx"))
+                ).alias("score"),
+            )
+        )
+        return (
+            per_term.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def combined_sum_fields(
+        self, terms: list, field_boosts: dict, k: int = 10
+    ) -> DataFrame:
+        """BooleanQuery of fielded SHOULD terms, each field under its own
+        similarity (PerFieldSimilarityWrapper): score(doc) =
+        Σ_field Σ_term boost_f · sim_f(term, doc)."""
+        frames = self._term_frames(terms, field_boosts)
+        if not frames:
+            return self._empty()
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        return (
+            u.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
