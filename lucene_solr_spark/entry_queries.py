@@ -683,6 +683,10 @@ from .entry_multifield import REGISTRY_MULTIFIELD  # noqa: E402
 
 REGISTRY.update(REGISTRY_MULTIFIELD)
 
+from .entry_payloads import REGISTRY_PAYLOADS  # noqa: E402
+
+REGISTRY.update(REGISTRY_PAYLOADS)
+
 REGISTRY.update(REGISTRY_RELATIONAL)
 
 # ---------------------------------------------------------------------------
@@ -740,7 +744,10 @@ _R03_WINDOW = [
     # sentinel from the rounds-1/2 witnessed tier
     "engine_wand_or_sql",
 ]
-_after_window = ["engine_fielded_term_sql", "engine_perfield_sim_sql"]
+_after_window = [
+    "engine_fielded_term_sql", "engine_perfield_sim_sql",
+    "payload_score_avg", "payload_score_span", "span_payload_check",
+]
 _window = {k: REGISTRY[k] for k in _R03_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}
 REGISTRY = {**_window, **_rest}
