@@ -687,6 +687,10 @@ from .entry_payloads import REGISTRY_PAYLOADS  # noqa: E402
 
 REGISTRY.update(REGISTRY_PAYLOADS)
 
+from .entry_docvalues import REGISTRY_DOCVALUES  # noqa: E402
+
+REGISTRY.update(REGISTRY_DOCVALUES)
+
 REGISTRY.update(REGISTRY_RELATIONAL)
 
 # ---------------------------------------------------------------------------
@@ -747,6 +751,8 @@ _R03_WINDOW = [
 _after_window = [
     "engine_fielded_term_sql", "engine_perfield_sim_sql",
     "payload_score_avg", "payload_score_span", "span_payload_check",
+    "docvalue_update_read", "soft_delete_search",
+    "soft_delete_retention_merge",
 ]
 _window = {k: REGISTRY[k] for k in _R03_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}
