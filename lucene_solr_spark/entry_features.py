@@ -915,3 +915,63 @@ REGISTRY_FEATURES.update(
         "frange_query": (q_frange_query, SQL_FRANGE),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# grouping ngroups + context-filtered suggester (round 3b)
+# ---------------------------------------------------------------------------
+
+def q_group_ngroups(spark, sf_dir):
+    """Solr group.ngroups: for docs matching term 'merge', the matched-doc
+    count and the number of distinct lang groups."""
+    from .operators.collapse import group_ngroups
+
+    d = _docs(spark, sf_dir)
+    hits = d.filter(F.array_contains(F.split("text", " "), "merge"))
+    return group_ngroups(hits.select("doc_id", "lang"), "lang").select(
+        F.col("matches").cast("long").alias("matches"),
+        F.col("ngroups").cast("long").alias("ngroups"),
+    )
+
+
+SQL_GROUP_NGROUPS = """
+WITH hits AS (
+  SELECT doc_id, lang FROM documents
+  WHERE list_contains(string_split(text, ' '), 'merge')
+)
+SELECT count(*) AS matches, count(DISTINCT lang) AS ngroups FROM hits
+"""
+
+
+def q_suggest_context(spark, sf_dir):
+    """ContextSuggestField: prefix 'm' suggestions restricted to context
+    lang='en', ranked by weight (df) desc."""
+    from .operators.search_features import suggest_prefix_context
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("context"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    return suggest_prefix_context(toks, "m", ["en"], k=10).select(
+        "term", F.col("weight").cast("long").alias("weight")
+    )
+
+
+SQL_SUGGEST_CONTEXT = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS weight
+FROM tok WHERE lang = 'en' AND term LIKE 'm%'
+GROUP BY term ORDER BY weight DESC, term LIMIT 10
+"""
+
+REGISTRY_FEATURES.update(
+    {
+        "group_ngroups": (q_group_ngroups, SQL_GROUP_NGROUPS),
+        "suggest_context": (q_suggest_context, SQL_SUGGEST_CONTEXT),
+    }
+)

@@ -1453,3 +1453,74 @@ REGISTRY_PIPELINE.update(
         "text_bpe_pieces": (q_bpe_encode_pieces, None),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# filtered kNN + semantic decontamination (round 3b)
+# ---------------------------------------------------------------------------
+
+def q_ann_filtered(spark, sf_dir):
+    """KnnFloatVectorQuery with a filter (lucene/core/.../search/
+    KnnFloatVectorQuery.java, Lucene 9): top-k nearest AMONG docs passing
+    the metadata filter (label = 3). With a selective filter Lucene falls
+    back to exact search over the filtered subset — which is exactly this
+    plan: pushed-down filter scan -> cosine -> TakeOrderedAndProject."""
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    e = _emb(spark, sf_dir).filter(
+        (F.col("vec_id") != 0) & (F.col("label") == 3)
+    )
+    return SIM.cosine_topk(e, qv, k=10)
+
+
+SQL_ANN_FILTERED = """
+WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0 AND label = 3),
+dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
+         FROM v JOIN q USING (i) GROUP BY v.vec_id)
+SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
+  ORDER BY cosine DESC, vec_id LIMIT 10) t
+"""
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: eval set = vec_id % 50 == 0
+    (broadcast); per corpus vector the max cosine vs any eval vector;
+    top 20 most contaminated."""
+    from .pipeline.decontam import semantic_contamination
+
+    e = _emb(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % 50 == 0)
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    r = semantic_contamination(corpus, ev, threshold=0.99)
+    return r.orderBy(F.desc("max_cos"), F.asc("vec_id")).limit(20)
+
+
+SQL_DECONTAMINATE_SEMANTIC = """
+WITH ev AS (SELECT vec_id AS eid, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 50 = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id % 50 <> 0),
+dots AS (SELECT v.vec_id, ev.eid,
+                sum(v.x * ev.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(ev.x * ev.x) AS e2
+         FROM v JOIN ev USING (i) GROUP BY v.vec_id, ev.eid),
+mx AS (SELECT vec_id, max(dot / (sqrt(n2) * sqrt(e2))) AS max_cos
+       FROM dots GROUP BY vec_id)
+SELECT vec_id, ROUND(max_cos, 4) AS max_cos, max_cos >= 0.99 AS contaminated
+FROM mx ORDER BY ROUND(max_cos, 4) DESC, vec_id LIMIT 20
+"""
+
+REGISTRY_PIPELINE.update(
+    {
+        "ann_filtered_topk": (q_ann_filtered, SQL_ANN_FILTERED),
+        "decontaminate_semantic": (q_decontaminate_semantic, SQL_DECONTAMINATE_SEMANTIC),
+    }
+)

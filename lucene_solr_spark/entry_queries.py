@@ -753,6 +753,8 @@ _after_window = [
     "payload_score_avg", "payload_score_span", "span_payload_check",
     "docvalue_update_read", "soft_delete_search",
     "soft_delete_retention_merge",
+    "group_ngroups", "suggest_context", "ann_filtered_topk",
+    "decontaminate_semantic",
 ]
 _window = {k: REGISTRY[k] for k in _R03_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

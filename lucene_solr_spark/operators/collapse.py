@@ -86,3 +86,15 @@ def diversified_topk(
         .orderBy(*sort_cols)
         .limit(k)
     )
+
+
+def group_ngroups(df: DataFrame, group_field: str) -> DataFrame:
+    """Solr group.ngroups + matches (solr/.../search/grouping/
+    GroupingSpecification, Grouping.java ≈L300): for a match set, the
+    total matched-doc count and the number of distinct groups. One
+    map-side-combined aggregation (count_distinct rewrites to a two-stage
+    partial agg under AQE)."""
+    return df.agg(
+        F.count("*").alias("matches"),
+        F.count_distinct(group_field).alias("ngroups"),
+    )

@@ -697,3 +697,23 @@ def suggest_infix(
         .limit(k)
         .select("suggestion", "weight")
     )
+
+
+def suggest_prefix_context(
+    tokens: DataFrame, prefix: str, contexts: list, k: int = 10
+) -> DataFrame:
+    """ContextSuggestField / ContextQuery (lucene/suggest/.../document/
+    ContextQuery.java): prefix suggestions filtered to the given contexts
+    BEFORE ranking — context is an index-time facet on each suggestion
+    entry; only entries whose context matches contribute weight. Token
+    table must carry a `context` column (e.g. lang)."""
+    return (
+        tokens.filter(
+            F.col("context").isin(list(contexts))
+            & F.col("term").startswith(prefix)
+        )
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+    )

@@ -155,3 +155,44 @@ def duplicate_window_fraction(
             "dup_frac"
         ),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_small: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    n-gram overlap protocol (used alongside it by recent LLM data
+    pipelines: near-duplicates of eval items that share no long n-gram
+    still leak through paraphrase; cosine similarity in embedding space
+    catches them).
+
+    For each corpus vector: max cosine against the (small, broadcast)
+    eval set, plus a `contaminated` flag at ``threshold``. The eval side
+    is broadcast — the 100 TB corpus side is scanned ONCE with per-row
+    cost |eval|·dim inside whole-stage codegen (zip_with/aggregate JVM
+    expressions, no Python); no wide shuffle besides the final per-id
+    max, which is map-side combined."""
+    from .similarity import _dot, _norm, as_double
+
+    ev = eval_small.select(
+        F.col(id_col).alias("_eval_id"),
+        as_double(F.col(vec_col)).alias("_ev"),
+    )
+    v = as_double(F.col(vec_col))
+    cos = _dot(v, F.col("_ev")) / (_norm(v) * _norm(F.col("_ev")))
+    per_pair = corpus.crossJoin(F.broadcast(ev)).select(
+        F.col(id_col), cos.alias("_cos")
+    )
+    return (
+        per_pair.groupBy(id_col)
+        .agg(F.max("_cos").alias("max_cos"))
+        .select(
+            id_col,
+            F.round("max_cos", 4).alias("max_cos"),
+            (F.col("max_cos") >= threshold).alias("contaminated"),
+        )
+    )
