@@ -975,3 +975,38 @@ REGISTRY_FEATURES.update(
         "suggest_context": (q_suggest_context, SQL_SUGGEST_CONTEXT),
     }
 )
+
+
+def q_suggest_free_text(spark, sf_dir):
+    """FreeTextSuggester: complete "hash j" — candidates starting with
+    'j' ranked by the stupid-backoff bigram LM behind context 'hash'."""
+    from .operators.search_features import free_text_suggest
+
+    return free_text_suggest(_tok_pos(spark, sf_dir), "hash j", k=10)
+
+
+SQL_SUGGEST_FREE_TEXT = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+uni AS (SELECT term, count(*) AS c1 FROM tokp GROUP BY term),
+tot AS (SELECT count(*) AS t FROM tokp),
+ctxp AS (SELECT doc_id, pos + 1 AS pos FROM tokp WHERE term = 'hash'),
+cctx AS (SELECT count(*) AS c FROM ctxp),
+big AS (SELECT t.term, count(*) AS c2 FROM tokp t
+        JOIN ctxp USING (doc_id, pos) GROUP BY t.term),
+cand AS (SELECT u.term, u.c1, b.c2 FROM uni u LEFT JOIN big b USING (term)
+         WHERE u.term LIKE 'j%'),
+sc AS (SELECT term,
+              CASE WHEN c2 IS NOT NULL
+                   THEN c2 * 1.0 / (SELECT c FROM cctx)
+                   ELSE 0.4 * c1 / (SELECT t FROM tot) END AS score
+       FROM cand)
+SELECT term, ROUND(score, 6) AS score
+FROM (SELECT * FROM sc ORDER BY score DESC, term LIMIT 10) q
+"""
+
+REGISTRY_FEATURES.update(
+    {"suggest_free_text": (q_suggest_free_text, SQL_SUGGEST_FREE_TEXT)}
+)

@@ -1524,3 +1524,32 @@ REGISTRY_PIPELINE.update(
         "decontaminate_semantic": (q_decontaminate_semantic, SQL_DECONTAMINATE_SEMANTIC),
     }
 )
+
+
+def q_shard_pack(spark, sf_dir):
+    """Token-budget shard packing: greedy serial packing at budget=1000
+    tokens via the distributed two-pass prefix sum (no global window)."""
+    from .pipeline.sampling import pack_shards
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_shards(d, "n_tok", 1000.0).select(
+        "doc_id", F.col("shard").cast("long").alias("shard")
+    )
+
+
+SQL_SHARD_PACK = """
+WITH w AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM w)
+SELECT doc_id, CAST(floor(cum / 1000.0) AS BIGINT) AS shard FROM c
+"""
+
+REGISTRY_PIPELINE.update(
+    {"pipeline_shard_pack": (q_shard_pack, SQL_SHARD_PACK)}
+)

@@ -717,3 +717,46 @@ def suggest_prefix_context(
         .orderBy(F.desc("weight"), F.asc("term"))
         .limit(k)
     )
+
+
+def free_text_suggest(
+    tokens: DataFrame, typed: str, k: int = 10, alpha: float = 0.4
+) -> DataFrame:
+    """FreeTextSuggester (lucene/suggest/.../analyzing/FreeTextSuggester
+    .java): completion from an n-gram language model with "stupid
+    backoff" (Brants et al. 2007; Lucene's ALPHA = 0.4). The typed
+    text's trailing partial token is the prefix to complete; the token
+    before it is the context. Candidates with a (context, w) bigram
+    score c2(ctx,w)/c1(ctx); the rest back off to alpha * c1(w)/T.
+    This is the order-2 chain of Lucene's default trigram model
+    (documented subset). tokens: (doc_id, term, pos)."""
+    parts = [t for t in typed.split(" ") if t]
+    trailing_space = typed.endswith(" ")
+    prefix = "" if trailing_space else parts[-1]
+    ctx = (parts[-1] if trailing_space else (parts[-2] if len(parts) >= 2 else None))
+    uni = tokens.groupBy("term").agg(F.count("*").alias("c1"))
+    total = tokens.count()
+    cand = uni.filter(F.col("term").startswith(prefix)) if prefix else uni
+    if ctx is not None:
+        ctx_pos = tokens.filter(F.col("term") == ctx).select(
+            "doc_id", (F.col("pos") + 1).alias("pos")
+        )
+        c1_ctx = ctx_pos.count()
+        big = (
+            tokens.join(ctx_pos, ["doc_id", "pos"])
+            .groupBy("term")
+            .agg(F.count("*").alias("c2"))
+        )
+        cand = cand.join(big, "term", "left")
+        score = F.when(
+            F.col("c2").isNotNull() & (F.lit(c1_ctx) > 0),
+            F.col("c2") / F.lit(float(max(c1_ctx, 1))),
+        ).otherwise(F.lit(alpha) * F.col("c1") / F.lit(float(total)))
+    else:
+        score = F.col("c1") / F.lit(float(total))
+    return (
+        cand.select("term", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+        .select("term", F.round("score", 6).alias("score"))
+    )

@@ -67,3 +67,53 @@ def unigram_logprob(
         .groupBy("doc_id")
         .agg(F.round(F.avg("logp"), 4).alias("mean_logprob"))
     )
+
+
+def pack_shards(
+    docs: DataFrame,
+    weight_col: str,
+    budget: float,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget shard packing for training export: walk docs in
+    ``id_col`` order and open a new shard whenever the running token
+    count would exceed ``budget`` — deterministic, identical to the
+    serial greedy packing (shard = floor(exclusive-prefix-sum / budget);
+    a doc larger than the budget gets its own shard(s) naturally).
+
+    Scale shape (10^12 docs): NO global single-partition window. Same
+    two-pass device as ids.assign_dense_ids — range-partition by id,
+    one O(p) driver-side offsets collect (per-partition weight totals),
+    then a partition-local cumulative-sum window. Adds column ``shard``.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ranged = docs.repartitionByRange(p, id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = [], 0.0
+    for r in totals:
+        offsets.append((int(r["_pid"]), float(acc)))
+        acc += float(r["w"] or 0.0)
+    off = spark.createDataFrame(offsets or [(0, 0.0)], "_pid int, _off double")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum(weight_col).over(w)
+    cum_excl = F.col("_off") + cum_incl - F.col(weight_col)
+    return (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn("shard", F.floor(cum_excl / F.lit(float(budget))).cast("long"))
+        .drop("_pid", "_off")
+    )
