@@ -1553,3 +1553,106 @@ SELECT doc_id, CAST(floor(cum / 1000.0) AS BIGINT) AS shard FROM c
 REGISTRY_PIPELINE.update(
     {"pipeline_shard_pack": (q_shard_pack, SQL_SHARD_PACK)}
 )
+
+
+# ---------------------------------------------------------------------------
+# vector field stored IN the index (vectors.py — KnnVectorsFormat parity)
+# ---------------------------------------------------------------------------
+
+_VF: dict = {}
+
+
+def _vf_engine(spark, sf_dir):
+    """Once per sf_dir: an index dir with a hyperplane-IVF vector field
+    (doc_id := vec_id) and soft deletes on doc_id % 13 == 0."""
+    if sf_dir in _VF:
+        return _VF[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from .docvalues import soft_delete
+    from .vectors import add_vector_field
+
+    out = tempfile.mkdtemp(prefix="lss_vf_idx_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    add_vector_field(
+        spark,
+        out,
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        field="vec",
+        quantizer="hyperplane",
+        n_planes=_IVF_PLANES,
+        seed=_IVF_SEED,
+        vec_col="embedding",
+    )
+    soft_delete(
+        spark, out,
+        e.filter(F.col("vec_id") % 13 == 0).select(
+            F.col("vec_id").alias("doc_id")
+        ),
+    )
+    _VF[sf_dir] = out
+    return out
+
+
+def q_engine_knn_field(spark, sf_dir):
+    """KnnFloatVectorQuery over a vector field stored IN the index dir:
+    partition-pruned IVF probe (own cell + single-bit multiprobe) over
+    the partitionBy(cell) parquet layout, soft-deleted docs masked
+    (liveDocs), exact cosine within the probed cells."""
+    from .vectors import knn_field_search
+
+    out = _vf_engine(spark, sf_dir)
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    r = knn_field_search(
+        spark, out, "vec", qv, k=10, nprobe=_IVF_PLANES + 1, live=True
+    )
+    return r.withColumnRenamed("doc_id", "vec_id")
+
+
+def _sql_knn_field() -> str:
+    planes = SIM.hyperplane_planes(_IVF_PLANES, _IVF_DIM, _IVF_SEED)
+    vals = ",\n    ".join(
+        f"({pl}, {i + 1}, {planes[pl][i]!r})"
+        for pl in range(_IVF_PLANES)
+        for i in range(_IVF_DIM)
+    )
+    return f"""
+WITH planes(pl, i, p) AS (VALUES
+    {vals}),
+q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0 AND vec_id % 13 <> 0),
+qb AS (SELECT CAST(sum(CASE WHEN dot > 0 THEN 1 << pl ELSE 0 END) AS INT) AS b
+       FROM (SELECT pl, sum(q.x * planes.p) AS dot
+             FROM q JOIN planes ON q.i = planes.i GROUP BY pl) t),
+probes AS (SELECT b FROM qb
+           UNION SELECT xor(b, 1) FROM qb
+           UNION SELECT xor(b, 2) FROM qb
+           UNION SELECT xor(b, 4) FROM qb),
+vb AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << pl ELSE 0 END) AS INT) AS b
+       FROM (SELECT v.vec_id, pl, sum(v.x * planes.p) AS dot
+             FROM v JOIN planes ON v.i = planes.i GROUP BY v.vec_id, pl) t
+       GROUP BY vec_id),
+cand AS (SELECT vec_id FROM vb WHERE b IN (SELECT b FROM probes)),
+dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
+         FROM v JOIN q USING (i)
+         WHERE v.vec_id IN (SELECT vec_id FROM cand)
+         GROUP BY v.vec_id)
+SELECT vec_id, ROUND(cosine, 4) AS cosine FROM (
+  SELECT vec_id, dot / (sqrt(n2) * sqrt(q2)) AS cosine FROM dots
+  ORDER BY cosine DESC, vec_id LIMIT 10) t
+"""
+
+
+SQL_ENGINE_KNN_FIELD = _sql_knn_field()
+
+REGISTRY_PIPELINE.update(
+    {"engine_knn_field_sql": (q_engine_knn_field, SQL_ENGINE_KNN_FIELD)}
+)
