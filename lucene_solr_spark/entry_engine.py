@@ -447,3 +447,53 @@ REGISTRY_ENGINE: dict[str, tuple] = {
     "engine_sorted_early_sql": (q_engine_sorted_early, SQL_ENGINE_SORTED_EARLY),
     "engine_maxscore_sql": (q_engine_maxscore, SQL_ENGINE_MAXSCORE),
 }
+
+
+def q_engine_synonym_rewrite(spark, sf_dir):
+    """Query-time synonym expansion through the REAL engine: parse
+    '"hash join"', expand {hash -> merge} (query_parser.expand_synonyms),
+    yielding MultiPhrase(((hash|merge), join)) — the exact-semantics
+    query-time path that index-time graph flattening cannot give — then
+    score with the per-slot position-union matcher."""
+    from .query_parser import expand_synonyms, parse_classic
+
+    eng = _engine(spark, sf_dir)
+    q = parse_classic('"hash join"', profile="simple")
+    q2 = expand_synonyms(q, {"hash": ["merge"]})
+    return _to_orig(eng, eng["searcher"].search(q2, 10, with_fields=False))
+
+
+# identical semantics to SQL_ENGINE_MULTI_PHRASE (the rewrite must produce
+# exactly that query), restated independently so the entry stands alone
+SQL_ENGINE_SYNONYM_REWRITE = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+p1 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term IN ('hash', 'merge')),
+p2 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term = 'join'),
+d1 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'hash'),
+d2 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'merge'),
+d3 AS (SELECT count(DISTINCT doc_id) AS df FROM tokp WHERE term = 'join'),
+ptf AS (SELECT p1.doc_id, count(*) AS tf
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        GROUP BY p1.doc_id),
+idf AS (SELECT ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5))
+             + ln(1 + (cstats.n - d2.df + 0.5) / (d2.df + 0.5))
+             + ln(1 + (cstats.n - d3.df + 0.5) / (d3.df + 0.5)) AS v
+        FROM cstats, d1, d2, d3),
+scored AS (
+  SELECT ptf.doc_id,
+         idf.v * ptf.tf / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))
+           AS score
+  FROM ptf, dl, cstats, idf WHERE dl.doc_id = ptf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+REGISTRY_ENGINE.update(
+    {"engine_synonym_rewrite_sql": (q_engine_synonym_rewrite, SQL_ENGINE_SYNONYM_REWRITE)}
+)

@@ -755,7 +755,7 @@ _after_window = [
     "soft_delete_retention_merge",
     "group_ngroups", "suggest_context", "ann_filtered_topk",
     "decontaminate_semantic", "suggest_free_text", "pipeline_shard_pack",
-    "engine_knn_field_sql",
+    "engine_knn_field_sql", "engine_synonym_rewrite_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R03_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

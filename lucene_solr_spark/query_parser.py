@@ -362,3 +362,55 @@ def parse_edismax(
             )
         )
     return rewrite(b)
+
+
+def expand_synonyms(q, synonyms: dict) -> "Query":
+    """Query-time synonym expansion (lucene/analysis/.../synonym/
+    SynonymGraphFilter applied at QUERY time + QueryBuilder's graph query
+    construction): Term(t) with synonyms becomes SynonymQuery(t, syns...)
+    (summed tf, max df — SynonymQuery.java), and Phrase(t1..tn) becomes
+    MultiPhraseQuery with a per-slot alternative set. Unlike index-time
+    stacking (which FlattenGraphFilter makes lossy — analysis.py), the
+    query-time rewrite preserves exact phrase semantics: this is the path
+    Lucene documentation recommends for multi-token-safe synonyms.
+
+    ``synonyms``: term -> list of single-token synonyms (symmetric
+    application is the caller's choice, as in Solr's expand=true/false)."""
+    from .query import (
+        Boolean,
+        Boost,
+        ConstantScore,
+        MultiPhrase,
+        Phrase,
+        Synonym,
+        Term,
+    )
+
+    def slot(t: str) -> tuple:
+        return tuple([t] + list(synonyms.get(t, ())))
+
+    if isinstance(q, Term):
+        alts = slot(q.term)
+        if len(alts) == 1:
+            return q
+        return Synonym(terms=alts, boost=q.boost)
+    if isinstance(q, Phrase) and q.slop == 0:
+        if not any(t in synonyms for t in q.terms):
+            return q
+        return MultiPhrase(
+            slots=tuple(slot(t) for t in q.terms), boost=q.boost
+        )
+    if isinstance(q, Boolean):
+        return Boolean(
+            must=[expand_synonyms(c, synonyms) for c in q.must],
+            should=[expand_synonyms(c, synonyms) for c in q.should],
+            must_not=[expand_synonyms(c, synonyms) for c in q.must_not],
+            filter=[expand_synonyms(c, synonyms) for c in q.filter],
+            min_should_match=q.min_should_match,
+            boost=q.boost,
+        )
+    if isinstance(q, Boost):
+        return Boost(expand_synonyms(q.child, synonyms), q.boost)
+    if isinstance(q, ConstantScore):
+        return ConstantScore(expand_synonyms(q.child, synonyms), q.boost)
+    return q

@@ -220,3 +220,29 @@ def test_end_to_end_matches_hand_ast(spark):
     want = [(r.doc_id, round(r.score, 6))
             for r in s.search(hand, 10).collect()]
     assert got == want and len(got) > 0
+
+
+def test_expand_synonyms_term_and_phrase():
+    from lucene_solr_spark.query import (
+        Boolean, MultiPhrase, Phrase, Synonym, Term,
+    )
+    from lucene_solr_spark.query_parser import expand_synonyms
+
+    syn = {"fast": ["quick", "rapid"], "hash": ["merge"]}
+    assert expand_synonyms(Term("fast"), syn) == Synonym(
+        terms=("fast", "quick", "rapid"), boost=1.0
+    )
+    # no synonyms -> unchanged
+    t = Term("slow")
+    assert expand_synonyms(t, syn) is t
+    assert expand_synonyms(Phrase(("hash", "join")), syn) == MultiPhrase(
+        slots=(("hash", "merge"), ("join",)), boost=1.0
+    )
+    # sloppy phrases are left alone (no positional-union sloppy matcher)
+    p = Phrase(("hash", "join"), slop=2)
+    assert expand_synonyms(p, syn) is p
+    # recursion through Boolean preserves structure
+    b = Boolean(must=[Term("fast")], should=[Phrase(("hash", "join"))])
+    out = expand_synonyms(b, syn)
+    assert isinstance(out.must[0], Synonym)
+    assert isinstance(out.should[0], MultiPhrase)
