@@ -693,6 +693,10 @@ REGISTRY.update(REGISTRY_DOCVALUES)
 
 REGISTRY.update(REGISTRY_RELATIONAL)
 
+from .entry_round3c import REGISTRY_R3C  # noqa: E402
+
+REGISTRY.update(REGISTRY_R3C)
+
 # ---------------------------------------------------------------------------
 # Driver-evidence window rotation (round 3). The correctness driver checks
 # only the FIRST 50 registry entries per round; rounds 1-2 witnessed the

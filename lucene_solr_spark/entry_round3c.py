@@ -1,0 +1,292 @@
+"""Round-3c breadth entries: remaining Lucene/Solr surface rows.
+
+Each entry pairs a Spark plan with a DuckDB SQL oracle under the same
+hash-match discipline as entry_queries.py (identical column names, floats
+rounded to 4 after ordering, doc_id tiebreaks).
+
+Rows covered here (SURVEY.md §3 references):
+  * WildcardQuery / RegexpQuery — MultiTermQuery rewrites over the terms
+    dictionary (lucene/core/.../WildcardQuery.java, RegexpQuery.java);
+    PrefixQuery was witnessed in rounds 1-2, these are the two remaining
+    members of the automaton-rewrite family.
+  * facet.range `other=all` — the before/after/between buckets Solr emits
+    next to the histogram (RangeFacetProcessor.java `FacetRangeOther`).
+  * ToParentBlockJoinQuery ScoreMode.Avg — the total-mode row was
+    witnessed; avg exercises the remaining aggregation branch.
+  * sortMissingLast — TopFieldCollector missing-value ordering
+    (SchemaField sortMissingLast=true; Lucene SortField.setMissingValue).
+  * group.facet — Solr grouped faceting: per facet value, the number of
+    DISTINCT groups containing it (Grouping.java groupFacet path).
+  * termfreq()/docfreq()/idf() function queries — Solr's index-stat value
+    sources (TermFreqValueSource.java family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .entry_queries import _docs, _tok
+from .operators import joins as J
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# WildcardQuery: pattern `s?a*` compiled to an anchored regex over the
+# terms dict, then a semi-join back to postings (constant-score rewrite).
+# ---------------------------------------------------------------------------
+def q_wildcard_query(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    m = (
+        tok.filter(F.col("term").rlike("^s.a.*$"))
+        .select("doc_id")
+        .distinct()
+    )
+    return m.select("doc_id", F.lit(1.0).alias("score")).orderBy("doc_id")
+
+
+SQL_WILDCARD_QUERY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE regexp_matches(term, '^s.a.*$') ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# RegexpQuery: user-supplied regex, anchored per Lucene semantics
+# (RegexpQuery matches the WHOLE term). Pattern kept in the common
+# RE2/Java-regex subset so both engines agree.
+# ---------------------------------------------------------------------------
+def q_regexp_query(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    m = (
+        tok.filter(F.col("term").rlike("^(jo|so)[a-z]+$"))
+        .select("doc_id")
+        .distinct()
+    )
+    return m.agg(F.count("*").alias("n_docs"))
+
+
+SQL_REGEXP_QUERY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT count(*) AS n_docs FROM (
+  SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, '^(jo|so)[a-z]+$')
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# facet.range other=all over documents.n_chars: histogram buckets labeled
+# by start plus before/after/between rows, one sorted frame.
+# ---------------------------------------------------------------------------
+def q_facet_range_other(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    start, end, gap = 100.0, 200.0, 25.0
+    col = F.col("n_chars").cast("double")
+    bucket = F.when(col < start, F.lit("before")).when(
+        col >= end, F.lit("after")
+    ).otherwise(
+        F.format_string(
+            "b_%04d",
+            (F.floor((col - F.lit(start)) / F.lit(gap)) * F.lit(gap)
+             + F.lit(start)).cast("int"),
+        )
+    )
+    hist = d.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("count"))
+    between = d.filter((col >= start) & (col < end)).agg(
+        F.lit("between").alias("bucket"), F.count("*").alias("count")
+    )
+    return hist.unionByName(between).orderBy("bucket")
+
+
+SQL_FACET_RANGE_OTHER = """
+WITH base AS (
+  SELECT CASE
+    WHEN n_chars < 100 THEN 'before'
+    WHEN n_chars >= 200 THEN 'after'
+    ELSE printf('b_%04d', CAST(floor((n_chars - 100) / 25.0) * 25 + 100 AS INT))
+  END AS bucket
+  FROM documents
+),
+hist AS (SELECT bucket, count(*) AS count FROM base GROUP BY bucket),
+btw AS (
+  SELECT 'between' AS bucket, count(*) AS count FROM documents
+  WHERE n_chars >= 100 AND n_chars < 200
+)
+SELECT bucket, count FROM hist
+UNION ALL SELECT bucket, count FROM btw
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# ToParentBlockJoinQuery ScoreMode.Avg
+# ---------------------------------------------------------------------------
+def q_block_join_score_avg(spark, sf_dir):
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    parents = J.block_join_parent(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        o,
+        "o_orderkey",
+        F.col("l_quantity") >= 49,
+        F.col("l_quantity"),
+        "avg",
+    )
+    return (
+        parents.orderBy(F.desc("score"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("score").cast("double"), 4).alias("score"),
+            "n_children",
+        )
+    )
+
+
+SQL_BLOCK_JOIN_SCORE_AVG = """
+SELECT o_orderkey, ROUND(CAST(score AS DOUBLE), 4) AS score, n_children FROM (
+  SELECT l_orderkey AS o_orderkey, avg(l_quantity) AS score,
+         count(*) AS n_children
+  FROM lineitem WHERE l_quantity >= 49 GROUP BY 1) t
+WHERE o_orderkey IN (SELECT o_orderkey FROM orders)
+ORDER BY score DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# sortMissingLast: sort by a nullable key, nulls forced last, doc_id tiebreak
+# (missing lang='en' docs modeled via NULLIF so the fixture has real nulls).
+# ---------------------------------------------------------------------------
+def q_sort_missing_last(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    key = F.expr("nullif(lang, 'en')")
+    return (
+        d.select("doc_id", key.alias("sort_key"))
+        .orderBy(F.col("sort_key").asc_nulls_last(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SORT_MISSING_LAST = """
+SELECT doc_id, nullif(lang, 'en') AS sort_key FROM documents
+ORDER BY sort_key ASC NULLS LAST, doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# group.facet: per facet value (source), count of DISTINCT groups (lang)
+# containing at least one doc with that value.
+# ---------------------------------------------------------------------------
+def q_group_facet(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.col("source").alias("facet_value"))
+        .agg(F.countDistinct("lang").alias("ngroups"))
+        .orderBy(F.desc("ngroups"), F.asc("facet_value"))
+        .limit(20)
+    )
+
+
+SQL_GROUP_FACET = """
+SELECT source AS facet_value, count(DISTINCT lang) AS ngroups
+FROM documents GROUP BY source
+ORDER BY ngroups DESC, facet_value ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# termfreq()/docfreq()/idf() function queries: index-stat value sources
+# surfaced as sortable columns (classic idf = 1 + ln(N/(df+1))).
+# ---------------------------------------------------------------------------
+def q_function_termfreq(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    n_docs = tok.select("doc_id").distinct().count()
+    df_ = tok.filter(F.col("term") == "merge").select("doc_id").distinct().count()
+    idf = 1.0 + __import__("math").log(n_docs / (df_ + 1.0))
+    tf = (
+        tok.filter(F.col("term") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("termfreq"))
+    )
+    return (
+        tf.select(
+            "doc_id",
+            "termfreq",
+            F.lit(df_).cast("bigint").alias("docfreq"),
+            F.round(F.lit(idf), 4).alias("idf"),
+        )
+        .orderBy(F.desc("termfreq"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_FUNCTION_TERMFREQ = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+d AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge'),
+tf AS (SELECT doc_id, count(*) AS termfreq FROM tok
+       WHERE term = 'merge' GROUP BY doc_id)
+SELECT tf.doc_id, tf.termfreq, CAST(d.df AS BIGINT) AS docfreq,
+       ROUND(1.0 + ln(n.n_docs / (d.df + 1.0)), 4) AS idf
+FROM tf, n, d
+ORDER BY termfreq DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed search: per-shard top-k + TopDocs.merge == global top-k
+# (lucene/core/.../TopDocs.java merge; Solr distributed search with global
+# IDF — scores use COLLECTION stats, shards only partition the postings).
+# The oracle is the plain GLOBAL top-10: the claim is that the sharded
+# plan reproduces it exactly.
+# ---------------------------------------------------------------------------
+def q_sharded_topk_merge(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .entry_queries import _term_scores
+
+    scored = _term_scores(spark, sf_dir, "dup").withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    per_shard = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    return (
+        per_shard.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _sql_sharded_topk_merge() -> str:
+    from .entry_queries import _SQL_TOK, _sql_term_scores
+
+    return f"""
+WITH {_SQL_TOK},
+{_sql_term_scores("dup")}
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+REGISTRY_R3C = {
+    "wildcard_query": (q_wildcard_query, SQL_WILDCARD_QUERY),
+    "regexp_query": (q_regexp_query, SQL_REGEXP_QUERY),
+    "facet_range_other": (q_facet_range_other, SQL_FACET_RANGE_OTHER),
+    "block_join_score_avg": (q_block_join_score_avg, SQL_BLOCK_JOIN_SCORE_AVG),
+    "sort_missing_last": (q_sort_missing_last, SQL_SORT_MISSING_LAST),
+    "group_facet": (q_group_facet, SQL_GROUP_FACET),
+    "function_termfreq": (q_function_termfreq, SQL_FUNCTION_TERMFREQ),
+    "sharded_topk_merge": (q_sharded_topk_merge, _sql_sharded_topk_merge()),
+}
