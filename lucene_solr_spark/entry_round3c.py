@@ -242,6 +242,114 @@ ORDER BY termfreq DESC, doc_id ASC LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# copyField: Solr schema copyField source=title dest=catchall — the dest
+# field indexes the UNION of its sources' token streams and carries its
+# OWN length norms and collection stats (solr/core/.../schema/CopyField.java;
+# IndexSchema#registerCopyField). title := first 5 tokens (the same field
+# synthesis as entry_multifield), catchall := title ⊕ body; the claim is
+# that catchall scoring uses CATCHALL df/avgdl, not either source's.
+# ---------------------------------------------------------------------------
+def q_copy_field(spark, sf_dir):
+    from .entry_queries import _bm25_expr
+
+    d = _docs(spark, sf_dir)
+    arr = F.split("text", " ")
+    cat = d.select(
+        "doc_id", F.explode(F.concat(F.slice(arr, 1, 5), arr)).alias("term")
+    )
+    dl = cat.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    row = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
+    n, avgdl = int(row["n"]), float(row["a"])
+    tf = cat.filter(F.col("term") == "vector").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_val = float(tf.count())
+    scored = tf.join(dl, "doc_id").select(
+        "doc_id",
+        _bm25_expr(F.col("tf"), F.col("dl"), F.lit(df_val), n, avgdl).alias(
+            "score"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+SQL_COPY_FIELD = """
+WITH cat AS (
+  SELECT doc_id, unnest(
+    list_concat(string_split(text, ' ')[1:5], string_split(text, ' '))
+  ) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM cat GROUP BY doc_id),
+cstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM cat WHERE term = 'vector'
+       GROUP BY doc_id),
+dfv AS (SELECT count(*) AS df FROM tf),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (cstats.n - dfv.df + 0.5) / (dfv.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+  FROM tf, dl, cstats, dfv WHERE dl.doc_id = tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Luke handler: per-field index statistics — distinct terms, total term
+# occurrences, docs carrying the field, mean field length
+# (solr/core/.../handler/admin/LukeRequestHandler.java getIndexedFieldsInfo).
+# Fields are the entry-tier title/body synthesis shared with
+# entry_multifield.
+# ---------------------------------------------------------------------------
+def q_luke_field_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    arr = F.split("text", " ")
+    title = d.select(
+        F.lit("title").alias("field"),
+        "doc_id",
+        F.explode(F.slice(arr, 1, 5)).alias("term"),
+    )
+    body = d.select(
+        F.lit("body").alias("field"), "doc_id", F.explode(arr).alias("term")
+    )
+    tok = title.unionByName(body)
+    return (
+        tok.groupBy("field")
+        .agg(
+            F.countDistinct("term").alias("distinct_terms"),
+            F.count("*").alias("total_terms"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.round(
+                F.count("*") / F.countDistinct("doc_id"), 4
+            ).alias("avg_field_len"),
+        )
+        .orderBy("field")
+    )
+
+
+SQL_LUKE_FIELD_STATS = """
+WITH tok AS (
+  SELECT 'title' AS field, doc_id,
+         unnest(string_split(text, ' ')[1:5]) AS term FROM documents
+  UNION ALL
+  SELECT 'body' AS field, doc_id,
+         unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT field,
+       count(DISTINCT term) AS distinct_terms,
+       CAST(count(*) AS BIGINT) AS total_terms,
+       count(DISTINCT doc_id) AS docs,
+       ROUND(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS avg_field_len
+FROM tok GROUP BY field ORDER BY field
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed search: per-shard top-k + TopDocs.merge == global top-k
 # (lucene/core/.../TopDocs.java merge; Solr distributed search with global
 # IDF — scores use COLLECTION stats, shards only partition the postings).
@@ -289,4 +397,6 @@ REGISTRY_R3C = {
     "group_facet": (q_group_facet, SQL_GROUP_FACET),
     "function_termfreq": (q_function_termfreq, SQL_FUNCTION_TERMFREQ),
     "sharded_topk_merge": (q_sharded_topk_merge, _sql_sharded_topk_merge()),
+    "copy_field": (q_copy_field, SQL_COPY_FIELD),
+    "luke_field_stats": (q_luke_field_stats, SQL_LUKE_FIELD_STATS),
 }
