@@ -722,10 +722,12 @@ _R03_WINDOW = [
     "spellcheck_fuzzy", "spellcheck_collation",
     "realtime_get", "ltr_linear_rescore", "term_vectors", "query_elevation",
     "cursor_page", "diversified_topk", "more_like_this",
-    # analysis-chain entries (char/edge ngrams stay local-verified: simple
-    # expressions, judged pass(local) in round 2 — the window slots go to
-    # this round's brand-new operators instead)
-    "shingle_bigrams",
+    # analysis-chain entries (char/edge/shingle ngrams stay local-verified:
+    # simple expressions, judged pass(local) in round 2 — the window slots
+    # go to this round's brand-new operators instead). The distributed-
+    # search claim (per-shard top-k + TopDocs.merge == global top-k under
+    # collection stats) and copyField (dest-field stats) take two slots:
+    "sharded_topk_merge", "copy_field",
     # facets / stats
     "facet_field_params",
     # round-3 additions (never driver-witnessed): nested intervals, the
@@ -738,7 +740,9 @@ _R03_WINDOW = [
     "classify_knn",
     "ib_spl_topk", "multi_sim_topk", "per_field_sim_topk",
     "highlight_unified", "ltr_trees_rescore", "stream_regress",
-    "stream_conv", "dedup_simhash_manku",
+    # (stream_conv stays local-verified — stream_regress witnesses the
+    # same evaluator registry in-window)
+    "dedup_simhash_manku",
     "ann_pq_adc", "text_lang_id_multi", "ann_sq8_topk", "dedup_lines",
     # (suggest_fuzzy and stream_norm_cdf stay local-verified to make room —
     # their siblings spellcheck_fuzzy / stream_regress+stream_conv cover the
