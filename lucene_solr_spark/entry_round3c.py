@@ -388,6 +388,123 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
 
+# ---------------------------------------------------------------------------
+# Parallel-SQL tier breadth: TPC-H Q1/Q3 shapes through the DataFrame API
+# (the reference's SQLHandler surface is analytic SQL over the engine's
+# tables; Q1 = scan+agg with map-side partial aggregation, Q3 = 3-way
+# join + agg + top-k). Money columns use the repo's exact-cents
+# discipline (per-row round to cents -> BIGINT sum) so both engines sum
+# integers; averages derive from those exact sums.
+# ---------------------------------------------------------------------------
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("bigint")  # noqa: E731
+    f = li.filter(F.col("l_shipdate") <= "1998-09-02")
+    g = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("_bp"),
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("_dp"),
+        F.sum(
+            cents(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            )
+        ).alias("_ch"),
+        F.sum(cents(F.col("l_discount"))).alias("_dc"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (F.col("_bp") / 100.0).alias("sum_base_price"),
+        (F.col("_dp") / 100.0).alias("sum_disc_price"),
+        (F.col("_ch") / 100.0).alias("sum_charge"),
+        F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("_bp") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        F.round(F.col("_dc") / 100.0 / F.col("count_order"), 4).alias(
+            "avg_disc"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_charge,
+       ROUND(sum(CAST(l_quantity AS BIGINT)) * 1.0 / count(*), 4) AS avg_qty,
+       ROUND(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4)
+         AS avg_price,
+       ROUND(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*), 4)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.filter(F.col("l_shipdate") > "1996-06-30")
+        .join(
+            o.filter(F.col("o_orderdate") < "1996-06-30"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    g = j.groupBy(
+        "l_orderkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+        "o_orderpriority",
+    ).agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    return g.orderBy(
+        F.desc("revenue"), F.asc("o_orderdate_epoch"), F.asc("l_orderkey")
+    ).limit(10)
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate_epoch, o_orderpriority
+ORDER BY revenue DESC, o_orderdate_epoch, l_orderkey LIMIT 10
+"""
+
+
 REGISTRY_R3C = {
     "wildcard_query": (q_wildcard_query, SQL_WILDCARD_QUERY),
     "regexp_query": (q_regexp_query, SQL_REGEXP_QUERY),
@@ -399,4 +516,6 @@ REGISTRY_R3C = {
     "sharded_topk_merge": (q_sharded_topk_merge, _sql_sharded_topk_merge()),
     "copy_field": (q_copy_field, SQL_COPY_FIELD),
     "luke_field_stats": (q_luke_field_stats, SQL_LUKE_FIELD_STATS),
+    "tpch_q1_pricing_summary": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_shipping_priority": (q_tpch_q3, SQL_TPCH_Q3),
 }
