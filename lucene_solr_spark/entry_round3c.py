@@ -389,6 +389,32 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
 
 
 # ---------------------------------------------------------------------------
+# SpanPositionRangeQuery: spans of a term with position in [start, end) —
+# SpanFirstQuery is the start=0 special case, already witnessed; this row
+# exercises the general range branch.
+# ---------------------------------------------------------------------------
+def q_span_position_range(spark, sf_dir):
+    from .operators.spans import span_position_range
+
+    return span_position_range(_tok(spark, sf_dir), "order", 5, 15).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SPAN_POSITION_RANGE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_spans FROM tok
+WHERE term = 'order' AND pos >= 5 AND pos < 15
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Parallel-SQL tier breadth: TPC-H Q1/Q3 shapes through the DataFrame API
 # (the reference's SQLHandler surface is analytic SQL over the engine's
 # tables; Q1 = scan+agg with map-side partial aggregation, Q3 = 3-way
@@ -518,4 +544,5 @@ REGISTRY_R3C = {
     "luke_field_stats": (q_luke_field_stats, SQL_LUKE_FIELD_STATS),
     "tpch_q1_pricing_summary": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_shipping_priority": (q_tpch_q3, SQL_TPCH_Q3),
+    "span_position_range": (q_span_position_range, SQL_SPAN_POSITION_RANGE),
 }

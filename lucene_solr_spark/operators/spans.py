@@ -71,6 +71,25 @@ def span_first(tokens: DataFrame, term: str, end: int) -> DataFrame:
     )
 
 
+def span_position_range(
+    tokens: DataFrame, term: str, start: int, end: int
+) -> DataFrame:
+    """SpanPositionRangeQuery (lucene/core/.../spans/
+    SpanPositionRangeQuery.java ≈L35): spans of `term` whose position lies
+    in [start, end); span_first is the start=0 special case
+    (SpanFirstQuery extends SpanPositionRangeQuery). Returns per-doc count
+    of in-range spans."""
+    return (
+        tokens.filter(
+            (F.col("term") == term)
+            & (F.col("pos") >= start)
+            & (F.col("pos") < end)
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
 def span_or(tokens: DataFrame, terms: list[str]) -> DataFrame:
     """SpanOrQuery (SpanOrQuery.java ≈L40): union of sub-spans — here the
     merged position stream of several terms; returns per-doc span count
