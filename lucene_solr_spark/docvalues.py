@@ -91,12 +91,23 @@ def latest_dv(
     spark: SparkSession, out_dir: str, field: str
 ) -> DataFrame | None:
     """(doc_id, value) of the LATEST update per doc for ``field``
-    (max-seq-wins — ReadersAndUpdates picks the highest delGen)."""
+    (max-seq-wins — ReadersAndUpdates picks the highest delGen).
+
+    A single generation can carry two rows for one doc_id (caller
+    submitted duplicates in one batch); they share the seq, so the plain
+    (doc_id, max seq) join would fan out and resolve_docvalues would
+    duplicate base rows. Dedupe with a deterministic max(value) tiebreak
+    within the winning generation — DataFrames carry no row order, so
+    "last submitted wins" is not definable; max is stable across runs."""
     u = read_dv_updates(spark, out_dir, field)
     if u is None:
         return None
     mx = u.groupBy("doc_id").agg(F.max("seq").alias("seq"))
-    return u.join(mx, ["doc_id", "seq"]).select("doc_id", "value")
+    return (
+        u.join(mx, ["doc_id", "seq"])
+        .groupBy("doc_id")
+        .agg(F.max("value").alias("value"))
+    )
 
 
 def resolve_docvalues(

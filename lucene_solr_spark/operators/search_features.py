@@ -732,8 +732,18 @@ def free_text_suggest(
     (documented subset). tokens: (doc_id, term, pos)."""
     parts = [t for t in typed.split(" ") if t]
     trailing_space = typed.endswith(" ")
-    prefix = "" if trailing_space else parts[-1]
-    ctx = (parts[-1] if trailing_space else (parts[-2] if len(parts) >= 2 else None))
+    if not parts:
+        # empty / whitespace-only input: no prefix, no context — fall
+        # through to the unigram top-k (FreeTextSuggester returns the
+        # highest-weight completions when nothing is typed).
+        prefix, ctx = "", None
+    else:
+        prefix = "" if trailing_space else parts[-1]
+        ctx = (
+            parts[-1]
+            if trailing_space
+            else (parts[-2] if len(parts) >= 2 else None)
+        )
     uni = tokens.groupBy("term").agg(F.count("*").alias("c1"))
     total = tokens.count()
     cand = uni.filter(F.col("term").startswith(prefix)) if prefix else uni

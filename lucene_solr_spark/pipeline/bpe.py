@@ -151,11 +151,41 @@ def train_bpe(
     max_words: int = 100_000,
     min_pair_count: int = 2,
 ) -> list[tuple[str, str]]:
-    """Distributed word counting + driver-side merge learning."""
-    wc = [
-        (r["word"], r["count"])
-        for r in word_counts(docs, text_col, max_words).collect()
-    ]
+    """Distributed word counting + driver-side merge learning.
+
+    The vocab collect is capped at ``max_words``; per the "no silent
+    caps" rule the full (vocab-sized, map-side-combined) aggregate is
+    persisted once so the same pass yields both the top-``max_words``
+    rows and the count of distinct words the cap dropped
+    (``metrics.CAP_METRICS['train_bpe.vocab']``)."""
+    from pyspark import StorageLevel
+
+    from .metrics import record_cap
+
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("word")
+    )
+    wc_all = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_vocab = wc_all.count()
+        top = (
+            wc_all.orderBy(F.col("count").desc(), F.col("word").asc())
+            .limit(max_words)
+            .collect()
+        )
+    finally:
+        wc_all.unpersist()
+    record_cap(
+        "train_bpe.vocab", kept=len(top),
+        dropped=max(0, n_vocab - len(top)), max_words=max_words,
+    )
+    wc = [(r["word"], r["count"]) for r in top]
     return learn_bpe(wc, num_merges, min_pair_count)
 
 

@@ -78,6 +78,15 @@ def pq_train(
         .limit(sample_rows)
         .collect()
     )
+    # "no silent caps": count(*) over the source is footer-metadata cheap
+    # on parquet (no columns projected) and says what the sample cut.
+    from .metrics import record_cap
+
+    n_total = emb.count()
+    record_cap(
+        "pq_train.sample", kept=len(rows),
+        dropped=max(0, n_total - len(rows)), sample_rows=sample_rows,
+    )
     x = np.asarray([r["v"] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:

@@ -75,6 +75,7 @@ def pack_shards(
     budget: float,
     id_col: str = "doc_id",
     partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Token-budget shard packing for training export: walk docs in
     ``id_col`` order and open a new shard whenever the running token
@@ -86,14 +87,27 @@ def pack_shards(
     two-pass device as ids.assign_dense_ids — range-partition by id,
     one O(p) driver-side offsets collect (per-partition weight totals),
     then a partition-local cumulative-sum window. Adds column ``shard``.
+
+    CORRECTNESS — the offsets pass and the window pass must observe the
+    SAME physical range partitioning (repartitionByRange re-samples its
+    boundaries on each execution; see ids.py module note). The exchange
+    is therefore persisted (MEMORY_AND_DISK) before the totals collect;
+    the handle is appended to ``cache_registry`` (if given) so the caller
+    can unpersist after materializing the result — otherwise it stays
+    pinned until session end, which is safe but holds memory.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     spark = docs.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
-    ranged = docs.repartitionByRange(p, id_col).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        docs.repartitionByRange(p, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(ranged)
     totals = (
         ranged.groupBy("_pid")
         .agg(F.sum(weight_col).alias("w"))
@@ -104,6 +118,12 @@ def pack_shards(
     for r in totals:
         offsets.append((int(r["_pid"]), float(acc)))
         acc += float(r["w"] or 0.0)
+    # "no silent caps": this collect is O(partitions) by construction —
+    # record its size (dropped is structurally 0) so a 100 TB run's log
+    # shows the driver-side footprint of the manifest.
+    from .metrics import record_cap
+
+    record_cap("pack_shards.offsets", kept=len(offsets), dropped=0, partitions=p)
     off = spark.createDataFrame(offsets or [(0, 0.0)], "_pid int, _off double")
     w = (
         Window.partitionBy("_pid")

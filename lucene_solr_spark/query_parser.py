@@ -380,6 +380,7 @@ def expand_synonyms(q, synonyms: dict) -> "Query":
         Boolean,
         Boost,
         ConstantScore,
+        DisMax,
         MultiPhrase,
         Phrase,
         Synonym,
@@ -413,4 +414,12 @@ def expand_synonyms(q, synonyms: dict) -> "Query":
         return Boost(expand_synonyms(q.child, synonyms), q.boost)
     if isinstance(q, ConstantScore):
         return ConstantScore(expand_synonyms(q.child, synonyms), q.boost)
+    if isinstance(q, DisMax):
+        # parse_edismax output trees are DisMax-rooted; without this
+        # branch synonym expansion silently skipped eDisMax queries.
+        return DisMax(
+            children=[expand_synonyms(c, synonyms) for c in q.children],
+            tie_breaker=q.tie_breaker,
+            boost=q.boost,
+        )
     return q

@@ -127,8 +127,14 @@ def _probe_cells(meta: dict, query_vec: list, nprobe: int) -> list[int]:
     planes = np.asarray(meta["planes"], dtype=np.float64)
     n_planes = planes.shape[0]
     cell = sum((1 << i) for i in range(n_planes) if float(planes[i] @ q) > 0)
-    # own cell + single-bit multiprobe neighbors, capped at nprobe
-    return ([cell] + [cell ^ (1 << i) for i in range(n_planes)])[:nprobe]
+    # own cell + single-bit multiprobe neighbors, capped at nprobe.
+    # Flip order matters when nprobe < n_planes+1: probe the cells across
+    # the hyperplanes the query is CLOSEST to first (smallest |margin| =
+    # most likely to hide true neighbors — Lv et al. 2007 multi-probe
+    # LSH), not fixed bit order.
+    margins = np.abs(planes @ q)
+    flips = [int(i) for i in np.argsort(margins, kind="stable")]
+    return ([cell] + [cell ^ (1 << i) for i in flips])[:nprobe]
 
 
 def knn_field_search(
