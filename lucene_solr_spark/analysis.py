@@ -272,7 +272,7 @@ def analyze_flat(texts, profile: str = "en"):
     return row_idx[keep], terms[keep], pos[keep], field_len
 
 
-def analyze_flat_grouped(texts, profile: str = "en"):
+def analyze_flat_grouped(texts, profile: str = "en", return_codes: bool = False):
     """Batch analysis + map-side per-(row, term) aggregation — the DWPT
     in-RAM inversion (TermsHashPerField#add): tf and sorted positions are
     computed HERE, before any shuffle, so the index build never shuffles
@@ -294,6 +294,14 @@ def analyze_flat_grouped(texts, profile: str = "en"):
       pos_offsets int64[g+1] — group i's positions = values[off[i]:off[i+1]]
                                (exactly an Arrow ListArray, zero-copy)
       field_len   int64[n]   — emitted-token count per row
+
+    ``return_codes=True`` returns
+    (grp_row, grp_code, term_dict, grp_tf, pos_values, pos_offsets,
+    field_len) instead — grp_code int64[g] indexes into term_dict
+    object[u] (the batch's distinct analyzed terms). The block-grouped
+    index build regroups by (code, doc-block) in integer space and only
+    materializes one term string per OUTPUT group, so it takes the codes
+    directly rather than paying a second factorize over grp_term.
     """
     import itertools
 
@@ -305,6 +313,9 @@ def analyze_flat_grouped(texts, profile: str = "en"):
         row_idx, terms, pos, field_len = analyze_flat(texts, profile)
         if len(row_idx) == 0:
             empty = np.empty(0, dtype=np.int64)
+            if return_codes:
+                return (row_idx, empty, np.empty(0, dtype=object), empty,
+                        empty, np.zeros(1, np.int64), field_len)
             return row_idx, terms, empty, empty, np.zeros(1, np.int64), field_len
         codes, uniq = pd.factorize(terms)
         key = row_idx * np.int64(len(uniq)) + codes
@@ -316,6 +327,9 @@ def analyze_flat_grouped(texts, profile: str = "en"):
         starts = np.flatnonzero(boundary)
         tf = np.diff(np.append(starts, len(k)))
         offsets = np.append(starts, len(k))
+        if return_codes:
+            return (r[starts], c[starts].astype(np.int64),
+                    np.asarray(uniq, dtype=object), tf, p, offsets, field_len)
         return r[starts], uniq[c[starts]], tf, p, offsets, field_len
 
     s = pd.Series(texts, dtype=object).fillna("")
@@ -325,6 +339,11 @@ def analyze_flat_grouped(texts, profile: str = "en"):
     total = int(counts.sum())
     empty = np.empty(0, dtype=np.int64)
     if total == 0:
+        if return_codes:
+            return (
+                empty, empty, np.empty(0, dtype=object), empty, empty,
+                np.zeros(1, np.int64), np.zeros(n, dtype=np.int64),
+            )
         return (
             empty, np.empty(0, dtype=object), empty, empty,
             np.zeros(1, np.int64), np.zeros(n, dtype=np.int64),
@@ -363,6 +382,11 @@ def analyze_flat_grouped(texts, profile: str = "en"):
         ri, sc, ps = row_idx[keep], scode[keep], pos[keep]
         field_len = np.bincount(ri, minlength=n).astype(np.int64)
     if len(ri) == 0:
+        if return_codes:
+            return (
+                empty, empty, np.empty(0, dtype=object), empty, empty,
+                np.zeros(1, np.int64), field_len,
+            )
         return (
             empty, np.empty(0, dtype=object), empty, empty,
             np.zeros(1, np.int64), field_len,
@@ -389,6 +413,9 @@ def analyze_flat_grouped(texts, profile: str = "en"):
     offsets = np.append(starts, len(g))
     gg = g[starts]
     grp_row = gg // n_stems
+    if return_codes:
+        return (grp_row, gg - grp_row * n_stems,
+                np.asarray(stem_uniq, dtype=object), tf, p, offsets, field_len)
     grp_term = np.asarray(stem_uniq, dtype=object)[gg - grp_row * n_stems]
     return grp_row, grp_term, tf, p, offsets, field_len
 

@@ -232,6 +232,180 @@ DOCMETA_SCHEMA = (
     "doc_id long, url string, lang string, field_len int, norm_byte int, dlq int"
 )
 
+# one row per (term, doc-range block) partial group: entry e of the group is
+# (doc_id = blk*BLOCK_SPAN + doc_offs[e], tf = tfs[e], dlq = dlqs[e]) and its
+# positions are the next tfs[e] values of the group-concatenated `poss`
+GROUPED_SCHEMA = (
+    "term string, blk long, doc_offs array<int>, tfs array<int>, "
+    "dlqs array<int>, poss array<int>"
+)
+
+
+def _analyzer_grouped_gen(profile: str, quantize: bool, span: int):
+    """mapInArrow generator: (doc_id, url, lang, text) batches -> ONE row
+    per (term, doc-range block) seen in the batch, postings packed into
+    arrays (GROUPED_SCHEMA).
+
+    WHY (round-4 headline): the per-(term, doc) stream paid ~86 B of
+    UnsafeRow/shuffle overhead per ~25 B posting through the build's one
+    wide exchange — 133.8M rows at sf1.0, where exchange + JVM sort had
+    become the binding constraint (BENCH.md decomposition). Grouping
+    map-side by (term, blk) is the block-granularity combiner: on
+    doc-contiguous batches it collapses the stream ~50x (measured on the
+    fixture corpus at blk=4096), so the exchange moves packed array
+    payloads instead of per-posting row overhead and the JVM sorts ~50x
+    fewer rows. This is Lucene's own layering: the DWPT inversion already
+    happens map-side (analyze_flat_grouped); this extends it to the
+    postings-block granularity of Lucene84PostingsWriter BEFORE the
+    shuffle instead of after.
+
+    A (term, blk) group MAY span batches or input partitions (partial
+    groups). The fused writer merges partials after the exchange
+    (_explode_grouped) — map-side grouping is a pure combiner, never a
+    correctness assumption. Collapse quality depends on batch
+    doc-locality, which build_index guarantees with a doc_id range
+    exchange ahead of the analyzer.
+
+    The regroup runs in integer code space: the kernel returns per-batch
+    term codes (analyze_flat_grouped(return_codes=True)), the (code, blk)
+    key is one int64, and term strings materialize once per OUTPUT group.
+    """
+    import pyarrow as pa
+
+    from .analysis import analyze_flat_grouped
+    from .norms import LENGTH_TABLE, int_to_byte4
+
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("blk", pa.int64()),
+            ("doc_offs", pa.list_(pa.int32())),
+            ("tfs", pa.list_(pa.int32())),
+            ("dlqs", pa.list_(pa.int32())),
+            ("poss", pa.list_(pa.int32())),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for rb in batches:
+            idx = {n: i for i, n in enumerate(rb.schema.names)}
+            texts = rb.column(idx["text"]).to_pandas()
+            grp_row, gcode, tdict, tf, pos_vals, pos_off, field_len = (
+                analyze_flat_grouped(texts, profile, return_codes=True)
+            )
+            g = len(grp_row)
+            if g == 0:
+                continue
+            doc_ids = rb.column(idx["doc_id"]).to_numpy()
+            nb = int_to_byte4(field_len)
+            dlq_row = LENGTH_TABLE[nb] if quantize else field_len
+            doc = doc_ids[grp_row]
+            blkv = doc // span
+            # regroup (row, term) -> (term code, blk) on one int64 key;
+            # secondary doc sort makes each group's entries doc-ascending
+            ublk, blk_inv = np.unique(blkv, return_inverse=True)
+            key = gcode * np.int64(len(ublk)) + blk_inv
+            order = np.lexsort((doc, key))
+            ko = key[order]
+            boundary = np.empty(g, dtype=bool)
+            boundary[0] = True
+            np.not_equal(ko[1:], ko[:-1], out=boundary[1:])
+            starts = np.flatnonzero(boundary)
+            sizes = np.diff(np.append(starts, g))
+            loff = pa.array(
+                np.concatenate(([0], np.cumsum(sizes))).astype(np.int32)
+            )
+            # gather each entry's positions into the new entry order
+            # (entry e's positions = pos_vals[pos_off[e] : pos_off[e+1]],
+            # and len == tf[e] by construction)
+            lens = tf[order]
+            src = pos_off[:-1][order]
+            total_p = int(lens.sum())
+            out_excl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idxp = np.repeat(src - out_excl, lens) + np.arange(total_p)
+            poff = pa.array(
+                np.concatenate(
+                    ([0], np.cumsum(np.add.reduceat(lens, starts)))
+                ).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(tdict[gcode[order][starts]], pa.string()),
+                    pa.array(ublk[blk_inv[order][starts]], pa.int64()),
+                    pa.ListArray.from_arrays(
+                        loff,
+                        pa.array((doc - blkv * span).astype(np.int32)[order]),
+                    ),
+                    pa.ListArray.from_arrays(
+                        loff, pa.array(tf[order].astype(np.int32))
+                    ),
+                    pa.ListArray.from_arrays(
+                        loff,
+                        pa.array(dlq_row[grp_row][order].astype(np.int32)),
+                    ),
+                    pa.ListArray.from_arrays(
+                        poff, pa.array(pos_vals[idxp].astype(np.int32))
+                    ),
+                ],
+                schema=schema,
+            )
+
+    return gen
+
+
+def _explode_grouped(sub, span: int):
+    """One sorted (term, blk) run of GROUPED rows (a single bucket's slice
+    of a fused-writer partition) -> entry-level numpy arrays sorted by
+    (term, doc_id). Merges partial (term, blk) groups that arrived from
+    different map partitions/batches (the JVM sort makes equal (term, blk)
+    keys adjacent but interleaves their entries in arbitrary partial
+    order) and re-gathers each entry's positions.
+
+    Returns (terms_dict, code_ent, doc, tf, dlq, pos_lens, pos_vals):
+    terms_dict is the run's distinct-term dictionary (pa.StringArray),
+    code_ent int indexes entries into it, pos_vals is the concatenated
+    positions in entry order with per-entry lengths pos_lens (== tf)."""
+    import numpy as np
+
+    denc = sub["term"].chunk(0).dictionary_encode()
+    codes_g = denc.indices.to_numpy()
+    tdict = denc.dictionary
+    blk_g = sub["blk"].to_numpy()
+    dl = sub["doc_offs"].chunk(0)
+    sizes = dl.value_lengths().to_numpy().astype(np.int64)
+    offs_flat = dl.flatten().to_numpy().astype(np.int64)
+    tf_flat = sub["tfs"].chunk(0).flatten().to_numpy()
+    dlq_flat = sub["dlqs"].chunk(0).flatten().to_numpy()
+    poss_flat = sub["poss"].chunk(0).flatten().to_numpy()
+    n_grp = len(blk_g)
+    ent_gid = np.repeat(np.arange(n_grp, dtype=np.int64), sizes)
+    doc = blk_g[ent_gid] * span + offs_flat
+    # run id over (term, blk) equality — partials of one group share a run
+    run_b = np.empty(n_grp, dtype=bool)
+    run_b[0] = True
+    run_b[1:] = (codes_g[1:] != codes_g[:-1]) | (blk_g[1:] != blk_g[:-1])
+    runid = np.cumsum(run_b) - 1
+    order = np.lexsort((doc, runid[ent_gid]))
+    # positions: groups (and entries within a group) are stored in order,
+    # so the global exclusive cumsum of tf IS each entry's source offset
+    csum = np.concatenate(([0], np.cumsum(tf_flat.astype(np.int64))))
+    lens = tf_flat[order].astype(np.int64)
+    src = csum[:-1][order]
+    total_p = int(csum[-1])
+    out_excl = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idxp = np.repeat(src - out_excl, lens) + np.arange(total_p)
+    return (
+        tdict,
+        codes_g[ent_gid][order],
+        doc[order],
+        tf_flat[order],
+        dlq_flat[order],
+        lens,
+        poss_flat[idxp],
+    )
+
 
 def analyzed_flat(
     pages: DataFrame,
@@ -381,78 +555,60 @@ def build_index(
         )
     id_side = F.broadcast(ids_small) if n_pages <= 20_000_000 else ids_small
     with_ids = pages.select("url", "lang", "text").join(id_side, "url")
-    # Analyzer parallelism rides the parquet split count. Small corpora
-    # (bench/test scale) can land on a handful of row groups — a 100k-doc
-    # corpus is ~13 splits, so 2/3 of a 32-core box idles through the
-    # build's dominant phase. One cheap exchange restores full fan-out;
-    # the condition is never true at production scale (a 100 TB corpus is
-    # millions of splits >> cores), so no text shuffle is added there.
-    if pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        with_ids = with_ids.repartition(p)
     _phase("ids")
 
     # ---- ONE analyzer pass, fused straight into the postings exchange -----
-    # narrow pipeline: parquet scan -> analyzer (map-side DWPT inversion,
-    # 5 slim columns) -> bucket exchange -> sorted postings write. No
-    # intermediate staging table: the WRITTEN postings are the durable form
-    # of the analyzer output, and the one other consumer (docmeta's
-    # field_len = sum(tf) per doc) reads them back as a 2-column columnar
-    # scan — round 1 staged this to parquet first, paying one extra full
-    # write + read of the 40M-row flat table per build.
-    perdoc = with_ids.mapInArrow(
-        _analyzer_gen(profile, quantize, "perdoc"), PERDOC_SCHEMA
-    )
-
-    # ---- flat postings ----------------------------------------------------
-    # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED into each
-    # posting row — the Spark analog of Lucene's doc-local norms array read.
-    # (term, doc) aggregation already happened MAP-SIDE inside the analyzer
-    # (the DWPT inversion), so no token-level shuffle exists. The remaining
-    # skew surface is the bucket exchange (a bucket holding several Zipf
-    # head terms); salting splits each bucket's stream by doc-range —
-    # block-aligned, so packed (term, blk) groups stay whole (SURVEY.md
-    # §5.3 item 6). salt=0 auto-sizes to keep every core busy.
+    # narrow pipeline: parquet scan -> analyzer (map-side DWPT inversion +
+    # block-granularity combiner) -> slim grouped stream -> bucket exchange
+    # -> sorted postings write. No intermediate staging table: the WRITTEN
+    # postings are the durable form of the analyzer output, and the one
+    # other consumer (docmeta's field_len = sum(tf) per doc) reads them
+    # back as a 2-column columnar scan.
+    #
+    # Skew note: the remaining skew surface is the bucket exchange (a
+    # bucket holding several Zipf head terms); salting splits each
+    # bucket's stream by doc-range — block-aligned, so packed (term, blk)
+    # groups land in one partition (SURVEY.md §5.3 item 6). salt=0
+    # auto-sizes to keep every core busy.
     par = max(spark.sparkContext.defaultParallelism, 1)
     if salt == 0:
         salt = max(1, (2 * par) // max(num_buckets, 1))
-    postings = perdoc.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
-    )
-    part_keys = [F.col("bucket")]
-    n_parts = num_buckets
-    if salt > 1:
-        # exact integer division: `/` is double division and disagrees with
-        # floor at doc_id >= 2^53 block boundaries (streaming doc_base is
-        # (1<<20 + epoch) * 2^33), which would split a (term, blk) group
-        # across salt partitions -> duplicate packed rows
-        part_keys.append(
-            F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
-        )
-        n_parts = num_buckets * salt
-    # THE one wide exchange of the build: (bucket, salt) partition +
-    # (term, doc_id) sort, written straight to the postings table.
-    # `bucket` leads the sort so the child ordering already satisfies the
-    # dynamic-partition write's required ordering — otherwise FileFormatWriter
-    # inserts its own sort on the partition columns, whose stability over the
-    # (term, doc_id) order is not a contract the packed read-back may rely on.
-    # Parquet v2 data pages turn on DELTA_BINARY_PACKED for the sorted
-    # int columns: doc_id alone is ~60% of flat-postings bytes as plain
-    # int64, and v2 cuts the whole index ~29% (1.4G -> 988M at sf1.0)
-    # with build time and query p50 unchanged (measured both ways,
-    # BENCH.md). Per-write option — the user's session conf is untouched.
-    sorted_stream = postings.repartition(n_parts, *part_keys).sortWithinPartitions(
-        "bucket", "term", "doc_id"
-    )
+    bucket_col = F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int")
     commit_info = None
     if packed and fused:
-        # single pass: analyzer -> exchange/sort -> per-partition pyarrow
-        # write of flat + packed, manifest-committed from the collected
-        # lineage rows (docstring of _fused_postings_writer)
+        # Block-locality exchange: the map-side (term, blk) combiner in
+        # _analyzer_grouped_gen collapses ~50x ONLY when an analyzer batch
+        # sees doc-contiguous rows; the raw corpus scan order is
+        # uncorrelated with url rank (doc_id), so range-partition the
+        # corpus by doc_id first. Cost: one text shuffle (~corpus bytes,
+        # 2.5 GB at sf1.0) + the range sampling pass; gain: the wide
+        # postings exchange + JVM sort shrink ~50x (15 GB of UnsafeRow
+        # traffic at sf1.0 -> array-packed group rows). At 100 TB the
+        # trade improves further: text bytes grow linearly while the
+        # postings exchange's per-row overhead was the superlinear-cost
+        # term (sort is O(n log n) in ROWS).
+        grouped = with_ids.repartitionByRange(p, "doc_id").mapInArrow(
+            _analyzer_grouped_gen(profile, quantize, BLOCK_SPAN),
+            GROUPED_SCHEMA,
+        ).withColumn("bucket", bucket_col)
+        g_keys = [F.col("bucket")]
+        n_parts = num_buckets
+        if salt > 1:
+            g_keys.append(F.pmod(F.col("blk"), F.lit(salt)))
+            n_parts = num_buckets * salt
+        # THE one wide exchange of the build: (bucket, salt-of-blk)
+        # partition + (term, blk) GROUP-level sort — ~50x fewer rows than
+        # the per-posting sort this replaces. Partial groups of one
+        # (term, blk) land adjacent; the writer merges them
+        # (_explode_grouped) and writes both durable forms per bucket run.
+        sorted_groups = grouped.repartition(n_parts, *g_keys).sortWithinPartitions(
+            "bucket", "term", "blk"
+        )
         for t in ("postings", "packed"):
             shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
         lineage = [
             r.asDict()
-            for r in sorted_stream.mapInArrow(
+            for r in sorted_groups.mapInArrow(
                 _fused_postings_writer(out_dir, BLOCK_SPAN), _LINEAGE_SCHEMA
             ).collect()
         ]
@@ -465,6 +621,47 @@ def build_index(
             commit_info = _commit_fused(out_dir, lineage)
             _phase("analyze_postings_packed")
     if not (packed and fused):
+        # committer-backed two-pass path (object stores / packed=False):
+        # per-(term, doc) rows through the exchange, exactly the round-3
+        # layout. Small corpora can land on a handful of parquet row
+        # groups; one cheap exchange restores analyzer fan-out.
+        src = with_ids
+        if pages.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+            src = src.repartition(p)
+        perdoc = src.mapInArrow(
+            _analyzer_gen(profile, quantize, "perdoc"), PERDOC_SCHEMA
+        )
+        # dlq (SmallFloat-decoded quantized doc length) is DENORMALIZED
+        # into each posting row — the Spark analog of Lucene's doc-local
+        # norms array read. (term, doc) aggregation already happened
+        # MAP-SIDE inside the analyzer, so no token-level shuffle exists.
+        postings = perdoc.withColumn("bucket", bucket_col)
+        part_keys = [F.col("bucket")]
+        n_parts = num_buckets
+        if salt > 1:
+            # exact integer division: `/` is double division and disagrees
+            # with floor at doc_id >= 2^53 block boundaries (streaming
+            # doc_base is (1<<20 + epoch) * 2^33), which would split a
+            # (term, blk) group across salt partitions -> duplicate packed
+            # rows
+            part_keys.append(
+                F.pmod(F.expr(f"doc_id DIV {BLOCK_SPAN}"), F.lit(salt))
+            )
+            n_parts = num_buckets * salt
+        # (bucket, salt) partition + (term, doc_id) sort, written straight
+        # to the postings table. `bucket` leads the sort so the child
+        # ordering already satisfies the dynamic-partition write's required
+        # ordering — otherwise FileFormatWriter inserts its own sort on the
+        # partition columns, whose stability over the (term, doc_id) order
+        # is not a contract the packed read-back may rely on. Parquet v2
+        # data pages turn on DELTA_BINARY_PACKED for the sorted int
+        # columns: doc_id alone is ~60% of flat-postings bytes as plain
+        # int64, and v2 cuts the whole index ~29% (1.4G -> 988M at sf1.0)
+        # with build time and query p50 unchanged (measured both ways,
+        # BENCH.md). Per-write option — the user's session conf untouched.
+        sorted_stream = postings.repartition(
+            n_parts, *part_keys
+        ).sortWithinPartitions("bucket", "term", "doc_id")
         if n_pages == 0:
             # partitionBy on 0 rows writes NO files (unreadable table);
             # an unpartitioned empty write keeps the schema — `bucket`
@@ -708,15 +905,13 @@ def write_packed_postings(
 def _pack_table_batches(tbl, span: int):
     """Core packer: one sorted (term, doc_id) partition as a pa.Table with
     columns (term, doc_id, tf, dlq, bucket) -> RecordBatches of packed
-    blocks (PACKED_SCHEMA + bucket). Shared by the two-pass path
-    (write_packed_postings) and the fused single-pass writer — the whole
-    partition is varint-encoded in a handful of numpy passes, no per-group
-    Python objects (see write_packed_postings docstring)."""
+    blocks (PACKED_SCHEMA + bucket). Used by the two-pass path
+    (write_packed_postings); the fused writer calls the shared array-level
+    kernel (_pack_sorted_arrays) directly — it already holds the exploded
+    arrays. The whole partition is varint-encoded in a handful of numpy
+    passes, no per-group Python objects (see write_packed_postings
+    docstring)."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from .codec import varint_encode_raw
 
     if tbl.num_rows == 0:
         return
@@ -727,6 +922,23 @@ def _pack_table_batches(tbl, span: int):
     dict_enc = tbl["term"].chunk(0).dictionary_encode()
     codes = dict_enc.indices.to_numpy()
     terms_dict = dict_enc.dictionary
+    yield from _pack_sorted_arrays(
+        terms_dict, codes, docs, tfs, dlqs, buckets, span
+    )
+
+
+def _pack_sorted_arrays(terms_dict, codes, docs, tfs, dlqs, buckets, span: int):
+    """Array-level packer kernel: entry arrays sorted by (term, doc_id)
+    (term given as codes into terms_dict) -> PACKED_SCHEMA + bucket
+    RecordBatches. See _pack_table_batches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import varint_encode_raw
+
+    if len(docs) == 0:
+        return
     blk = docs // span
     # group boundaries on the (term, blk) sorted stream
     boundary = np.empty(len(docs), dtype=bool)
@@ -840,16 +1052,24 @@ _PACKED_ENCODINGS = {
 
 
 def _fused_postings_writer(out_dir: str, span: int):
-    """mapInArrow generator: consume ONE sorted (bucket | term, doc_id)
-    partition and write BOTH of its durable forms — the flat-postings
-    part-file and the packed-blocks part-file — directly with pyarrow's
-    C++ parquet writer, emitting a single per-partition lineage row.
+    """mapInArrow generator: consume ONE sorted (bucket | term, blk)
+    partition of GROUPED_SCHEMA rows (block-granularity partial groups
+    from _analyzer_grouped_gen) and write BOTH of its durable forms — the
+    flat-postings part-file and the packed-blocks part-file — directly
+    with pyarrow's C++ parquet writer, emitting a single per-partition
+    lineage row. Partial (term, blk) groups are merged and exploded to
+    entry level in numpy (_explode_grouped); the flat file's row order
+    and byte layout are IDENTICAL to the two-pass per-(term, doc) path
+    (pinned by tests/test_fused_build.py's table-equality oracle).
 
     Why: the two-pass build paid (a) a JVM parquet encode of the full flat
     stream, then (b) a second job that re-read + re-decoded that table
     just to pack it. Fusing both writes into the one pass that already
     holds the sorted stream removes the entire re-read and one full
-    columnar encode/decode cycle of the build's biggest table.
+    columnar encode/decode cycle of the build's biggest table. The
+    round-4 grouped input additionally moves the explode from the JVM
+    exchange (where each posting was an 86-B-overhead UnsafeRow) to a
+    numpy repeat inside this writer.
 
     The exchange hash-partitions on (bucket, salt), so one task partition
     can hold SEVERAL buckets (hash collisions are expected, not an
@@ -884,6 +1104,7 @@ def _fused_postings_writer(out_dir: str, span: int):
 
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
@@ -945,15 +1166,69 @@ def _fused_postings_writer(out_dir: str, span: int):
         for s, e in zip(run_starts, run_ends):
             bucket = int(bkt[s])
             sub = tbl.slice(int(s), int(e - s))
+            tdict, code_e, doc_e, tf_e, dlq_e, plen_e, pos_e = (
+                _explode_grouped(sub, span)
+            )
+            n_ent = len(doc_e)
+            # flat batches, chunked so every ListArray/BinaryArray stays
+            # under int32 offsets (same cap discipline as the packer)
+            p_off = np.concatenate(([0], np.cumsum(plen_e)))
+            flat_batches = []
+            e0 = 0
+            while e0 < n_ent:
+                e1 = n_ent
+                if p_off[e1] - p_off[e0] > _PACK_EMIT_CAP // 4:
+                    e1 = max(
+                        e0 + 1,
+                        int(
+                            np.searchsorted(
+                                p_off, p_off[e0] + _PACK_EMIT_CAP // 4
+                            )
+                            - 1
+                        ),
+                    )
+                positions = pa.ListArray.from_arrays(
+                    pa.array((p_off[e0 : e1 + 1] - p_off[e0]).astype("int32")),
+                    pa.array(pos_e[int(p_off[e0]) : int(p_off[e1])]),
+                )
+                flat_batches.append(
+                    pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(doc_e[e0:e1], pa.int64()),
+                            pa.array(dlq_e[e0:e1].astype("int32")),
+                            pc.take(tdict, pa.array(code_e[e0:e1])),
+                            pa.array(tf_e[e0:e1].astype("int32")),
+                            positions,
+                        ],
+                        names=["doc_id", "dlq", "term", "tf", "positions"],
+                    )
+                )
+                e0 = e1
             flat_file, flat_bytes = write_one(
                 "postings", bucket,
-                sub.select(["doc_id", "dlq", "term", "tf", "positions"]),
+                pa.Table.from_batches(
+                    flat_batches,
+                    schema=pa.schema(
+                        [
+                            ("doc_id", pa.int64()),
+                            ("dlq", pa.int32()),
+                            ("term", pa.string()),
+                            ("tf", pa.int32()),
+                            ("positions", pa.list_(pa.int32())),
+                        ]
+                    ),
+                ),
                 _FLAT_ENCODINGS,
             )
             pk = pa.Table.from_batches(
                 list(
-                    _pack_table_batches(
-                        sub.select(["term", "doc_id", "tf", "dlq", "bucket"]),
+                    _pack_sorted_arrays(
+                        tdict,
+                        code_e,
+                        doc_e,
+                        tf_e.astype(np.int64),
+                        dlq_e.astype(np.int64),
+                        np.full(n_ent, bucket, dtype=np.int32),
                         span,
                     )
                 )
@@ -962,7 +1237,7 @@ def _fused_postings_writer(out_dir: str, span: int):
                 "packed", bucket, pk, _PACKED_ENCODINGS
             )
             yield lineage(
-                bucket, int(e - s), pk.num_rows, flat_bytes, packed_bytes,
+                bucket, n_ent, pk.num_rows, flat_bytes, packed_bytes,
                 flat_file, packed_file,
             )
 
