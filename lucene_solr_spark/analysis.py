@@ -4,10 +4,13 @@ pipeline" that determines every downstream number (tf, df, doc length).
 Reference parity (SURVEY.md §3.2):
   * StandardTokenizer — UAX#29 word break, maxTokenLength=255
     (lucene/core/src/java/org/apache/lucene/analysis/standard/
-     StandardTokenizer.java ≈L40). We implement the UAX#29 subset exercised
-    by the corpus: ALPHANUM runs joined across MidNumLet ('.', ''') between
-    word chars and MidNum (',') between digits, ExtendNumLet ('_') joining,
-    CJK ideographs as single-char tokens, >255-char tokens split.
+     StandardTokenizer.java ≈L40). Round 4: the full Unicode 9.0
+    word-break property table for the mid-token classes — MidLetter,
+    MidNum, MidNumLet, Single/Double_Quote with the Hebrew WB7a-c rules,
+    ExtendNumLet via \\w, Katakana WB13 runs, ideographs/Hiragana as
+    single-char tokens, >255-char tokens split. See the class tables at
+    TOKEN_RE below; positional rules are enforced with one-char
+    lookarounds (the regex restatement of the JFlex DFA states).
   * EnglishPossessiveFilter — strip trailing 's (.../en/
     EnglishPossessiveFilter.java ≈L40)
   * LowerCaseFilter (.../analysis/LowerCaseFilter.java ≈L30)
@@ -38,14 +41,56 @@ from .porter import porter_stem
 
 MAX_TOKEN_LENGTH = 255
 
-# CJK ideograph ranges tokenized one-char-per-token (UAX#29 / StandardTokenizer
-# IDEOGRAPHIC type).
-_CJK_CLASS = "⺀-⻿㐀-䶿一-鿿豈-﫿぀-ヿ"
-# word char = \w minus CJK (so CJK is handled by the single-char branch)
+# ---------------------------------------------------------------------------
+# UAX#29 word-break property table (Unicode 9.0 WordBreakProperty.txt — the
+# version StandardTokenizerImpl.jflex is generated from in Lucene 7/8).
+# Round 4 ports the full mid-token classes; previously only ['\u2019.] between
+# word chars and ',' between digits were modeled.
+# ---------------------------------------------------------------------------
+# Hiragana: no WB rule binds it — one char per token (same as IDEOGRAPHIC).
+_HIRA = "\u3041-\u309f"
+# Katakana (incl. phonetic extensions + halfwidth): WB13 binds runs.
+_KATA = "\u30a0-\u30ff\u31f0-\u31ff\uff66-\uff9f"
+# CJK ideographs tokenized one-char-per-token (IDEOGRAPHIC type).
+_IDEO = "\u2e80-\u2eff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_CJK_CLASS = _IDEO + _HIRA + _KATA  # chars excluded from word runs
+# MidLetter (WB6/7 with ALetter on both sides): middle dot, ano teleia,
+# Hebrew gershayim, hyphenation point, vertical/small/fullwidth colon.
+# ASCII ':' is NOT MidLetter since Unicode 6.1.
+_MIDLETTER = "\u00b7\u0387\u05f4\u2027\ufe13\ufe55\uff1a"
+# MidNum (WB11/12, Numeric both sides): comma/semicolon family + Arabic
+# separators + fraction slash. '.' is MidNumLet, not MidNum.
+_MIDNUM = ",;\u037e\u0589\u060c\u060d\u066c\u07f8\u2044\ufe10\ufe14\ufe50\ufe54\uff0c\uff1b"
+# MidNumLet (letter-letter OR digit-digit): full stop + quote-like dots.
+_MIDNUMLET = ".\u2018\u2019\u2024\ufe52\uff07\uff0e"
+# Single_Quote joins like MidNumLet (MidNumLetQ) + WB7a trailing after Hebrew.
+# Hebrew_Letter: letters + Yiddish digraphs + geresh U+05F3 (ALetter there).
+_HEBREW = "\u05d0-\u05ea\u05ef-\u05f3"
+
+# word char = \w minus ideographs/kana (those take the single-char/run branch)
 _W = rf"(?:(?![{_CJK_CLASS}])\w)"
+# UAX#29 word = word-char run, extendable across a mid-token char when the
+# IMMEDIATELY adjacent chars satisfy the class's rule:
+#   WB6/WB7:   ALetter  (MidLetter | MidNumLetQ) ALetter
+#   WB11/WB12: Numeric  (MidNum   | MidNumLetQ) Numeric
+#   WB7b/WB7c: Hebrew_Letter Double_Quote Hebrew_Letter   (e.g. \u05e6\u05d4"\u05dc)
+#   WB7a:      Hebrew_Letter Single_Quote  (trailing, kept on the token)
+# ALetter\u00d7Numeric adjacency (WB9/WB10) and ExtendNumLet '_' (WB13a/b)
+# need no separator handling — both live inside \w. Lookbehinds check the
+# char before the separator (always a word char here, never ideo/kana).
+_UAX_WORD = (
+    rf"{_W}+"
+    rf"(?:(?:"
+    rf"(?<=[^\W\d_])[{_MIDLETTER}{_MIDNUMLET}'](?=(?![\d_]){_W})"
+    rf"|(?<=\d)[{_MIDNUM}{_MIDNUMLET}'](?=\d)"
+    rf"|(?<=[{_HEBREW}])\"(?=[{_HEBREW}])"
+    rf"){_W}+)*"
+    rf"(?:(?<=[{_HEBREW}])')?"
+)
 TOKEN_RE = re.compile(
-    rf"[{_CJK_CLASS}]"  # single CJK ideograph
-    rf"|{_W}+(?:['’.]{_W}+|(?<=\d),\d+)*"
+    rf"[{_KATA}]+"          # WB13: katakana runs bind
+    rf"|[{_IDEO}{_HIRA}]"   # ideograph / hiragana: one char per token
+    rf"|{_UAX_WORD}"
 )
 
 _POSSESSIVE_RE = re.compile(r"['’][sS]$")
@@ -157,10 +202,18 @@ _LONG_TOKEN_RE = re.compile(r"\w{256}")
 _CHAIN_MEMO: dict[str, dict] = {"en": {}, "english": {}, "standard": {}, "simple": {}}
 
 # ASCII fast path: on pure-ASCII rows (str.isascii, a C check) the CJK
-# alternative and the per-char (?!CJK) lookahead in TOKEN_RE are dead weight
-# — this explicit-class twin is ~3x faster and provably identical on ASCII
-# input (\w == [0-9A-Za-z_], '’' unreachable).
-_ASCII_TOKEN_RE = re.compile(r"[0-9A-Za-z_]+(?:['.][0-9A-Za-z_]+|(?<=\d),\d+)*")
+# alternatives and the per-char (?!CJK) lookahead in TOKEN_RE are dead
+# weight — this explicit-class twin is ~3x faster and provably identical
+# on ASCII input: the ASCII members of the UAX#29 mid classes are
+# MidNumLetQ = ['.]  (letter-letter or digit-digit) and MidNum = [,;]
+# (digit-digit only); MidLetter and the Hebrew quote rules have no ASCII
+# members (':' left MidLetter in Unicode 6.1). Equivalence is pinned by a
+# randomized differential test (tests/test_analysis.py).
+_ASCII_TOKEN_RE = re.compile(
+    r"[0-9A-Za-z_]+"
+    r"(?:(?:(?<=[A-Za-z])['.](?=[A-Za-z])|(?<=\d)[.,;'](?=\d))"
+    r"[0-9A-Za-z_]+)*"
+)
 
 
 def _tokenize_rows(s, profile: str):

