@@ -497,3 +497,113 @@ FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
 REGISTRY_ENGINE.update(
     {"engine_synonym_rewrite_sql": (q_engine_synonym_rewrite, SQL_ENGINE_SYNONYM_REWRITE)}
 )
+
+
+def q_engine_edismax_pf23(spark, sf_dir):
+    """eDisMax pf2/pf3 shingled phrase boosts through the real engine
+    (solr ExtendedDismaxQParser#addShingledPhraseQueries): user query
+    'dup vector merge', every adjacent bigram added as a slop-0 phrase
+    SHOULD clause boosted 1.5 and the trigram boosted 1.25; all boosts
+    sit outside the mm boolean (`+(main) pf2 pf2 pf3`). Oracle: sum of
+    the three term BM25 scores + boosted phrase scores (phrase idf = sum
+    of constituent idfs, phrase tf = adjacency count)."""
+    from .query_parser import parse_edismax
+
+    eng = _engine(spark, sf_dir)
+    q = parse_edismax(
+        "dup vector merge", profile="simple", pf2=1.5, pf3=1.25
+    )
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+def _sql_phrase2(name: str, t1: str, t2: str, boost: float, d1: str, d2: str) -> str:
+    return (
+        f"{name}tf AS (SELECT a.doc_id, count(*) AS tf FROM tokp a "
+        f"JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        f"WHERE a.term = '{t1}' AND b.term = '{t2}' GROUP BY a.doc_id),\n"
+        f"{name} AS (SELECT {name}tf.doc_id, {boost} * "
+        f"(ln(1 + (cstats.n - {d1}.df + 0.5) / ({d1}.df + 0.5)) + "
+        f"ln(1 + (cstats.n - {d2}.df + 0.5) / ({d2}.df + 0.5))) * {name}tf.tf "
+        f"/ ({name}tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score "
+        f"FROM {name}tf, dl, cstats, {d1}, {d2} WHERE dl.doc_id = {name}tf.doc_id)"
+    )
+
+
+SQL_ENGINE_EDISMAX_PF23 = f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+{_sql_scores(3, "merge")},
+{_sql_phrase2("b12", "dup", "vector", 1.5, "d1", "d2")},
+{_sql_phrase2("b23", "vector", "merge", 1.5, "d2", "d3")},
+tritf AS (SELECT a.doc_id, count(*) AS tf FROM tokp a
+          JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tokp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+          WHERE a.term = 'dup' AND b.term = 'vector' AND c.term = 'merge'
+          GROUP BY a.doc_id),
+tri AS (SELECT tritf.doc_id, 1.25 *
+          (ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5))
+         + ln(1 + (cstats.n - d2.df + 0.5) / (d2.df + 0.5))
+         + ln(1 + (cstats.n - d3.df + 0.5) / (d3.df + 0.5))) * tritf.tf
+          / (tritf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+        FROM tritf, dl, cstats, d1, d2, d3 WHERE dl.doc_id = tritf.doc_id),
+u AS (SELECT doc_id, score FROM s1 UNION ALL SELECT doc_id, score FROM s2
+      UNION ALL SELECT doc_id, score FROM s3
+      UNION ALL SELECT doc_id, score FROM b12
+      UNION ALL SELECT doc_id, score FROM b23
+      UNION ALL SELECT doc_id, score FROM tri),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_engine_edismax_bqbf(spark, sf_dir):
+    """eDisMax bq (additive boost query) + bf (boost function) through
+    the real engine (ExtendedDismaxQParser#getBoostQueries /
+    #getBoostFunctions): user query 'dup vector' with
+    bq = merge^0.5 (ADDS 0.5x merge's BM25, unlike multiplicative Boost)
+    and bf = recip(doc_id, 1, 100, 100) == 100/(100+doc_id), a freshness-
+    style FunctionScore over docmeta. Matching stays governed by the
+    required user query: `+(dup vector) bq bf`."""
+    from .query import Boost, Term
+    from .query_parser import parse_edismax
+
+    eng = _engine(spark, sf_dir)
+    q = parse_edismax(
+        "dup vector", profile="simple",
+        bq=Boost(Term("merge"), 0.5),
+        bf="100.0 / (100.0 + doc_id)",
+    )
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_EDISMAX_BQBF = f"""
+WITH {_TOK},
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+{_sql_scores(3, "merge")},
+m AS (SELECT doc_id, sum(score) AS score
+      FROM (SELECT doc_id, score FROM s1
+            UNION ALL SELECT doc_id, score FROM s2) u GROUP BY doc_id),
+g AS (SELECT m.doc_id,
+             m.score + coalesce(0.5 * s3.score, 0)
+                     + 100.0 / (100.0 + m.doc_id) AS score
+      FROM m LEFT JOIN s3 ON m.doc_id = s3.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+REGISTRY_ENGINE.update(
+    {
+        "engine_edismax_pf23_sql": (q_engine_edismax_pf23, SQL_ENGINE_EDISMAX_PF23),
+        "engine_edismax_bqbf_sql": (q_engine_edismax_bqbf, SQL_ENGINE_EDISMAX_BQBF),
+    }
+)

@@ -1010,3 +1010,57 @@ FROM (SELECT * FROM sc ORDER BY score DESC, term LIMIT 10) q
 REGISTRY_FEATURES.update(
     {"suggest_free_text": (q_suggest_free_text, SQL_SUGGEST_FREE_TEXT)}
 )
+
+
+def q_highlight_unified_simple(spark, sf_dir):
+    """UnifiedHighlighter, SIMPLE-profile tier WITH a full DuckDB oracle
+    (round-4 VERDICT item 10): the simple tokenizer ([a-z0-9]+ runs over
+    lowercased text) IS SQL-expressible, and on the space-separated
+    documents fixture the offset-faithful snippet fold over original
+    bytes equals the window's tokens joined by single spaces with
+    <em></em> around matches — so snippet, passage score AND window
+    choice are all value-hashed against SQL. The english-profile tier
+    (highlight_unified) stays rows-only: Porter isn't SQL."""
+    from .operators.search_features import highlight_unified
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    out = highlight_unified(
+        d, "doc_id", "text", "dup", profile="simple", window=12
+    )
+    return out.orderBy("doc_id").limit(20)
+
+
+SQL_HIGHLIGHT_UNIFIED_SIMPLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+tokp AS (SELECT doc_id,
+                unnest(string_split(text, ' ')) AS term,
+                generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+         FROM d),
+tok AS (SELECT doc_id, term, pos, pos // 12 AS win FROM tokp),
+m AS (SELECT * FROM tok WHERE term = 'dup'),
+dfv AS (SELECT count(DISTINCT doc_id) AS df FROM m),
+nd AS (SELECT count(*) AS n FROM d),
+ptf AS (SELECT doc_id, win, count(*) AS tf FROM m GROUP BY doc_id, win),
+ps AS (SELECT doc_id, win,
+              ln(1 + (nd.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                * tf / (tf + 1.2) AS pscore
+       FROM ptf, dfv, nd),
+best AS (SELECT doc_id, win, pscore FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY pscore DESC, win ASC) AS rn
+           FROM ps) WHERE rn = 1),
+snip AS (SELECT t.doc_id,
+                string_agg(
+                  CASE WHEN t.term = 'dup'
+                       THEN '<em>' || t.term || '</em>' ELSE t.term END,
+                  ' ' ORDER BY t.pos) AS snippet
+         FROM tok t JOIN best b ON t.doc_id = b.doc_id AND t.win = b.win
+         GROUP BY t.doc_id)
+SELECT b.doc_id, ROUND(b.pscore, 4) AS pscore, s.snippet
+FROM best b JOIN snip s USING (doc_id)
+ORDER BY b.doc_id LIMIT 20
+"""
+
+REGISTRY_FEATURES["highlight_unified_simple"] = (
+    q_highlight_unified_simple, SQL_HIGHLIGHT_UNIFIED_SIMPLE,
+)

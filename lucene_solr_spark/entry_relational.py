@@ -1718,3 +1718,156 @@ ORDER BY dim, count DESC, facet_value ASC
 
 REGISTRY_RELATIONAL["graph_shortest_path"] = (q_bfs_levels, SQL_BFS_LEVELS)
 REGISTRY_RELATIONAL["drill_sideways"] = (q_drill_sideways, SQL_DRILL_SIDEWAYS)
+
+
+# --------------------------------------------------------------------------
+# round-4 math-evaluator long tail (operators/matheval.py additions)
+# --------------------------------------------------------------------------
+
+def q_stream_transpose(spark, sf_dir):
+    """matrix()/transpose() evaluators: transpose the first 4 embedding
+    rows, emitted exploded as (i, j, x) scalars (output[i][j] == input
+    row j's component i) so the value hash covers every cell."""
+    from .operators import matheval as ME
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    t = ME.transpose_matrix(emb, "embedding", "vec_id")
+    return (
+        t.select("i", F.posexplode("row").alias("j", "x"))
+        .select("i", "j", F.round("x", 4).alias("x"))
+        .orderBy("i", "j")
+    )
+
+
+SQL_STREAM_TRANSPOSE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings WHERE vec_id < 4),
+r AS (SELECT vec_id, i, x,
+             row_number() OVER (PARTITION BY i ORDER BY vec_id) - 1 AS j
+      FROM e)
+SELECT i, j, ROUND(x, 4) AS x FROM r ORDER BY i, j
+"""
+
+
+def q_stream_unitize(spark, sf_dir):
+    """unit()/unitize() evaluator: L2-normalize each embedding, exploded
+    to (vec_id, i, u) scalars."""
+    from .operators import matheval as ME
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 6)
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                ME.unitize_col(F.col("embedding").cast("array<double>"))
+            ).alias("i", "u"),
+        )
+        .select("vec_id", "i", F.round("u", 6).alias("u"))
+        .orderBy("vec_id", "i")
+    )
+
+
+SQL_STREAM_UNITIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings WHERE vec_id < 6),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id)
+SELECT e.vec_id, e.i, ROUND(e.x / n.nrm, 6) AS u
+FROM e JOIN n USING (vec_id) ORDER BY e.vec_id, e.i
+"""
+
+
+def q_stream_predict(spark, sf_dir):
+    """predict() on a stored regression model: fit OLS of
+    l_extendedprice ~ l_quantity (regress_stream), bind the two scalar
+    coefficients (model state, the documented scalar collect), then
+    apply predict_col over the stream."""
+    from .operators import matheval as ME
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = ME.regress_stream(li, "l_quantity", "l_extendedprice").first()
+    pred = ME.predict_col(
+        F.col("l_quantity").cast("double"), m["slope"], m["intercept"]
+    )
+    return (
+        li.filter((F.col("l_orderkey") <= 160) & (F.col("l_linenumber") == 1))
+        .select(
+            "l_orderkey",
+            F.round(pred, 4).alias("predicted"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_STREAM_PREDICT = """
+WITH m AS (
+  SELECT covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity) AS slope,
+         avg(l_extendedprice)
+           - covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)
+             * avg(l_quantity) AS intercept
+  FROM lineitem)
+SELECT l_orderkey,
+       ROUND(m.slope * l_quantity + m.intercept, 4) AS predicted
+FROM lineitem, m
+WHERE l_orderkey <= 160 AND l_linenumber = 1
+ORDER BY l_orderkey
+"""
+
+
+def q_stream_expon_cdf(spark, sf_dir):
+    """exponentialDistribution(rate=0.02).cumulativeProbability(value):
+    closed-form Column, identical arithmetic in the oracle."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.expon_cdf_col(F.col("value").cast("double"), 0.02), 8
+        ).alias("cdf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_EXPON_CDF = """
+SELECT event_id, ROUND(1.0 - exp(-0.02 * value), 8) AS cdf
+FROM events WHERE event_id < 20 ORDER BY event_id
+"""
+
+
+def q_stream_poisson_pmf(spark, sf_dir):
+    """poissonDistribution(3.0).probability(k), k = event_id % 8 —
+    exact factorial in a long on both sides."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.poisson_pmf_col((F.col("event_id") % 8).cast("int"), 3.0), 8
+        ).alias("pmf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_POISSON_PMF = """
+SELECT event_id,
+       ROUND(exp(-3.0) * pow(3.0, CAST(event_id % 8 AS DOUBLE))
+             / CAST(factorial(CAST(event_id % 8 AS INT)) AS DOUBLE), 8) AS pmf
+FROM events WHERE event_id < 20 ORDER BY event_id
+"""
+
+REGISTRY_RELATIONAL.update(
+    {
+        "stream_matrix_transpose": (q_stream_transpose, SQL_STREAM_TRANSPOSE),
+        "stream_unitize": (q_stream_unitize, SQL_STREAM_UNITIZE),
+        "stream_predict": (q_stream_predict, SQL_STREAM_PREDICT),
+        "stream_expon_cdf": (q_stream_expon_cdf, SQL_STREAM_EXPON_CDF),
+        "stream_poisson_pmf": (q_stream_poisson_pmf, SQL_STREAM_POISSON_PMF),
+    }
+)

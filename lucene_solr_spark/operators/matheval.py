@@ -344,3 +344,50 @@ def norm_pdf_col(x: Column, mu: float = 0.0, sigma: float = 1.0) -> Column:
     return F.exp(F.lit(-0.5) * z * z) / F.lit(
         float(sigma) * math.sqrt(2.0 * math.pi)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 long tail: matrix evaluators, stored-model predict, more
+# distributions (solr/solrj .../io/eval/{TransposeEvaluator,
+# UnitEvaluator, PredictEvaluator, ExponentialDistributionEvaluator,
+# PoissonDistributionEvaluator}.java)
+# ---------------------------------------------------------------------------
+
+def transpose_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """matrix()/transpose(): rows of array<double> -> the transposed
+    matrix as (i, row) where row[j] = input row j's component i. Fully
+    distributed: posexplode to (id, i, x), hash-shuffle on the dimension
+    index i (dims spread over the cluster; no driver materialization),
+    order each output row by the stable input id. At 10^12 rows a full
+    transpose is only meaningful dimension-wise — which is exactly this
+    shape (one output row per DIMENSION, the statistics-evaluator use)."""
+    e = df.select(id_col, F.posexplode(vec_col).alias("i", "x"))
+    return e.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("x")))),
+            lambda s: s["x"],
+        ).alias("row")
+    )
+
+
+def unitize_col(v: Column) -> Column:
+    """unitize(): v / ||v||_2 as a Column over array<double>."""
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / n)
+
+
+def expon_cdf_col(x: Column, rate: float) -> Column:
+    """exponentialDistribution(rate).cumulativeProbability(x)."""
+    return F.lit(1.0) - F.exp(-F.lit(float(rate)) * x)
+
+
+def poisson_pmf_col(k: Column, lam: float) -> Column:
+    """poissonDistribution(lam).probability(k) for integer k <= 20
+    (factorial stays exact in a long; the evaluator's supported range)."""
+    return (
+        F.exp(F.lit(-float(lam)))
+        * F.pow(F.lit(float(lam)), k.cast("double"))
+        / F.factorial(k).cast("double")
+    )

@@ -163,6 +163,9 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    max_brute_cells: int = 5_000_000,
+    n_planes: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-space decontamination — the semantic complement of the
     n-gram overlap protocol (used alongside it by recent LLM data
@@ -171,11 +174,27 @@ def semantic_contamination(
     catches them).
 
     For each corpus vector: max cosine against the (small, broadcast)
-    eval set, plus a `contaminated` flag at ``threshold``. The eval side
-    is broadcast — the 100 TB corpus side is scanned ONCE with per-row
-    cost |eval|·dim inside whole-stage codegen (zip_with/aggregate JVM
+    eval set, plus a `contaminated` flag at ``threshold``.
+
+    Brute/ANN crossover: the default plan is a broadcast nested loop —
+    the 100 TB corpus side is scanned ONCE with per-row cost |eval|·dim
+    multiply-adds inside whole-stage codegen (zip_with/aggregate JVM
     expressions, no Python); no wide shuffle besides the final per-id
-    max, which is map-side combined."""
+    max, which is map-side combined. That is the right plan while
+    |eval| · dim <= ``max_brute_cells`` (default 5e6 ≈ a 5k-item eval set
+    at dim 1024, single-digit µs/row). BEYOND the cap (say a 10^6-row
+    eval set) the per-row loop dominates the scan, so the function
+    automatically switches to the hyperplane-LSH gated path: bucket
+    corpus and eval vectors on sign(plane·v), single-bit multiprobe on
+    the (small) eval side, cosine only within candidate buckets, per-id
+    max, then a left join so no-candidate corpus rows keep their row
+    (max_cos null, contaminated false) — the same bucket shape as
+    similarity.embedding_cosine_near_dups. The gated path is exact for
+    the `contaminated` flag with high probability (near-dups at
+    threshold >= ~0.9 collide in the probed buckets) but approximate for
+    max_cos on far-away rows; which path ran is recorded in
+    metrics.CAP_METRICS['semantic_contamination.path']."""
+    from .metrics import record_cap
     from .similarity import _dot, _norm, as_double
 
     ev = eval_small.select(
@@ -183,16 +202,80 @@ def semantic_contamination(
         as_double(F.col(vec_col)).alias("_ev"),
     )
     v = as_double(F.col(vec_col))
-    cos = _dot(v, F.col("_ev")) / (_norm(v) * _norm(F.col("_ev")))
-    per_pair = corpus.crossJoin(F.broadcast(ev)).select(
-        F.col(id_col), cos.alias("_cos")
+    dim = int(
+        corpus.select(F.size(vec_col).alias("d")).limit(1).first()["d"]
+    )
+    n_eval = eval_small.count()
+    flag = lambda c: (F.col(c) >= threshold).alias("contaminated")  # noqa: E731
+    if n_eval * dim <= max_brute_cells:
+        record_cap(
+            "semantic_contamination.path", kept=n_eval, dropped=0,
+            path="brute", cells=n_eval * dim,
+        )
+        cos = _dot(v, F.col("_ev")) / (_norm(v) * _norm(F.col("_ev")))
+        per_pair = corpus.crossJoin(F.broadcast(ev)).select(
+            F.col(id_col), cos.alias("_cos")
+        )
+        return (
+            per_pair.groupBy(id_col)
+            .agg(F.max("_cos").alias("max_cos"))
+            .select(
+                id_col, F.round("max_cos", 4).alias("max_cos"),
+                flag("max_cos"),
+            )
+        )
+    # ---- LSH-gated path (|eval|·dim above the brute crossover) ----------
+    import numpy as np
+
+    record_cap(
+        "semantic_contamination.path", kept=n_eval, dropped=0,
+        path="lsh", cells=n_eval * dim, n_planes=n_planes,
+    )
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_of(col):
+        b = F.lit(0)
+        for i in range(n_planes):
+            p = F.array(*[F.lit(float(x)) for x in planes[i]])
+            b = b + F.when(_dot(col, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return b
+
+    cb = corpus.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_bkt", bucket_of(F.col("_v"))
+    )
+    ev_probes = (
+        ev.withColumn("_b0", bucket_of(F.col("_ev")))
+        .select(
+            "_ev",
+            F.explode(
+                F.array(
+                    F.col("_b0"),
+                    *[
+                        F.col("_b0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ).alias("_bkt"),
+        )
+    )
+    cos = _dot(F.col("_v"), F.col("_ev")) / (
+        _norm(F.col("_v")) * _norm(F.col("_ev"))
+    )
+    best = (
+        cb.join(F.broadcast(ev_probes), "_bkt")
+        .select(F.col(id_col), cos.alias("_cos"))
+        .groupBy(id_col)
+        .agg(F.max("_cos").alias("max_cos"))
     )
     return (
-        per_pair.groupBy(id_col)
-        .agg(F.max("_cos").alias("max_cos"))
+        corpus.select(id_col)
+        .join(best, id_col, "left")
         .select(
             id_col,
             F.round("max_cos", 4).alias("max_cos"),
-            (F.col("max_cos") >= threshold).alias("contaminated"),
+            F.coalesce(F.col("max_cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )

@@ -131,6 +131,20 @@ class DisMax(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScore(Query):
+    """FunctionQuery (lucene/queries/function/FunctionQuery.java; Solr's
+    `bf` boost-function param): matches every document with
+    score = boost * expr(docmeta columns). `expr` is a Spark SQL scalar
+    expression over docmeta columns (doc_id, field_len, lang, ...), e.g.
+    Solr recip(x,m,a,b) == "a / (m * x + b)". Used as an additive SHOULD
+    sibling of a required user query (ExtendedDismaxQParser wraps as
+    `+(main) (bf)`), never alone as the match-all it would otherwise be."""
+
+    expr: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class LangFilter(Query):
     """Solr `fq=lang:x`-style metadata filter composed with a scored query."""
 

@@ -311,6 +311,12 @@ def parse_edismax(
     tie: float = 0.0,
     phrase_boost: float = 0.0,
     phrase_slop: int = 0,
+    pf2: float = 0.0,
+    ps2: int = 0,
+    pf3: float = 0.0,
+    ps3: int = 0,
+    bq: "Query | None" = None,
+    bf: str | None = None,
 ) -> Query:
     """eDisMax-style user-query parsing (solr/search/ExtendedDismaxQParser
     ≈L200): forgiving end-user syntax — bare words become SHOULD clauses
@@ -319,6 +325,20 @@ def parse_edismax(
     step), and when `phrase_boost` > 0 the whole query is re-added as a
     sloppy phrase SHOULD clause (the `pf`/`ps` params), rewarding docs
     where the terms appear together.
+
+    Round-4 param surface (ExtendedDismaxQParser#addShingledPhraseQueries
+    / #getBoostQueries / #getBoostFunctions):
+      pf2/ps2 — every adjacent BIGRAM of the non-negated query terms is
+        added as a slop-ps2 phrase SHOULD clause boosted by pf2;
+      pf3/ps3 — same for adjacent TRIGRAMS;
+      bq — an extra Query whose score ADDS to matching docs (additive,
+        unlike Boost which multiplies);
+      bf — a boost function: Spark SQL scalar expression over docmeta
+        columns, wrapped as FunctionScore (Solr recip(x,m,a,b) ==
+        "a / (m * x + b)").
+    All boost clauses sit OUTSIDE the mm-governed boolean as optional
+    siblings of the REQUIRED user query — `+(main) pf pf2 pf3 bq bf` —
+    so they never affect matching, only ranking.
 
     The engine scores ONE text field, so the per-field dismax of `qf`
     degenerates to that field; `tie` is accepted for API parity and used
@@ -349,18 +369,32 @@ def parse_edismax(
             b.must_not.append(q)
         else:
             b.should.append(q)
+    extras: list[Query] = []
     if phrase_boost > 0 and len(all_terms) > 1:
         # pf sits OUTSIDE the mm-governed boolean (ExtendedDismaxQParser
         # adds the phrase query as a sibling optional clause of the main
         # query, so mm never counts it)
-        return rewrite(
-            Boolean(
-                must=[rewrite(b)],
-                should=[
-                    Boost(Phrase(tuple(all_terms), slop=phrase_slop), phrase_boost)
-                ],
-            )
+        extras.append(
+            Boost(Phrase(tuple(all_terms), slop=phrase_slop), phrase_boost)
         )
+    if pf2 > 0 and len(all_terms) >= 2:
+        extras.extend(
+            Boost(Phrase(tuple(all_terms[i : i + 2]), slop=ps2), pf2)
+            for i in range(len(all_terms) - 1)
+        )
+    if pf3 > 0 and len(all_terms) >= 3:
+        extras.extend(
+            Boost(Phrase(tuple(all_terms[i : i + 3]), slop=ps3), pf3)
+            for i in range(len(all_terms) - 2)
+        )
+    if bq is not None:
+        extras.append(bq)
+    if bf is not None:
+        from .query import FunctionScore
+
+        extras.append(FunctionScore(expr=bf))
+    if extras:
+        return rewrite(Boolean(must=[rewrite(b)], should=extras))
     return rewrite(b)
 
 

@@ -37,6 +37,7 @@ from .query import (
     MatchAll,
     MultiPhrase,
     Phrase,
+    FunctionScore,
     Prefix,
     Query,
     Regexp,
@@ -231,6 +232,16 @@ class Searcher:
             return self.docmeta.select(
                 "doc_id", F.lit(float(q.boost)).alias("score")
             )
+
+        if isinstance(q, FunctionScore):
+            # FunctionQuery: every doc matches; score = boost * expr over
+            # docmeta columns (a narrow projection, no postings touched)
+            score = (
+                (F.expr(q.expr) * F.lit(float(q.boost)))
+                if scored
+                else F.lit(0.0)
+            )
+            return self.docmeta.select("doc_id", score.alias("score"))
 
         if isinstance(q, Boost):
             child = self._compile(q.child, stats, scored)

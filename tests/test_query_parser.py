@@ -246,3 +246,32 @@ def test_expand_synonyms_term_and_phrase():
     out = expand_synonyms(b, syn)
     assert isinstance(out.must[0], Synonym)
     assert isinstance(out.should[0], MultiPhrase)
+
+
+def test_edismax_pf23_bq_bf_tree():
+    """Round-4 param surface: pf2/pf3 shingled phrase boosts, additive bq,
+    FunctionScore bf — all optional siblings of the required user query."""
+    from lucene_solr_spark.query import (
+        Boolean,
+        Boost,
+        FunctionScore,
+        Phrase,
+        Term,
+    )
+    from lucene_solr_spark.query_parser import parse_edismax
+
+    q = parse_edismax(
+        "dup vector merge", profile="simple", pf2=1.5, pf3=1.25,
+        bq=Boost(Term("join"), 0.5), bf="100.0 / (100.0 + doc_id)",
+    )
+    assert isinstance(q, Boolean) and len(q.must) == 1
+    shoulds = q.should
+    assert Boost(Phrase(("dup", "vector")), 1.5) in shoulds
+    assert Boost(Phrase(("vector", "merge")), 1.5) in shoulds
+    assert Boost(Phrase(("dup", "vector", "merge")), 1.25) in shoulds
+    assert Boost(Term("join"), 0.5) in shoulds
+    assert FunctionScore(expr="100.0 / (100.0 + doc_id)") in shoulds
+    # negated terms never feed the shingles
+    q2 = parse_edismax("dup -vector merge", profile="simple", pf2=2.0)
+    pairs = [c for c in q2.should if isinstance(c, Boost)]
+    assert pairs == [Boost(Phrase(("dup", "merge")), 2.0)]
