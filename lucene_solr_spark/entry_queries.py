@@ -759,6 +759,12 @@ _after_window = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "boolean_sim", "classic_tfidf_topk", "dfr_pl2_topk", "dfr_ineb2_topk",
     "shingle_bigrams", "char_ngrams", "edge_ngrams", "suggest_fuzzy",
+    # round-4 additions (post-rotation): eDisMax boost surface, simple-
+    # profile highlighter oracle, matheval matrix/distribution tail
+    "engine_edismax_pf23_sql", "engine_edismax_bqbf_sql",
+    "highlight_unified_simple", "stream_matrix_transpose",
+    "stream_unitize", "stream_predict", "stream_expon_cdf",
+    "stream_poisson_pmf",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}
