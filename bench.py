@@ -127,21 +127,26 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "wand_or_top10",
         lambda: wand.search(["search", "engin", "index"], 10).collect(),
     )
+    # NB: Term/Phrase take ANALYZED terms — the en profile stems
+    # "engine" -> "engin". Rounds 1-3 passed the surface form, so the
+    # second clause was vacuous (phrase matched nothing; AND was
+    # degenerate). Fixed round 4 — r04 phrase/bool rows measure real
+    # work and are NOT comparable to earlier rounds (BENCH.md note).
     timed(
         "bool_and_top10",
         lambda: searcher.search(
-            Boolean(must=[Term("search"), Term("engine")]), 10
+            Boolean(must=[Term("search"), Term("engin")]), 10
         ).collect(),
     )
     timed(
         "bool_or_top10",
         lambda: searcher.search(
-            Boolean(should=[Term("search"), Term("engine"), Term("index")]), 10
+            Boolean(should=[Term("search"), Term("engin"), Term("index")]), 10
         ).collect(),
     )
     timed(
         "phrase_top10",
-        lambda: searcher.search(Phrase(["search", "engine"]), 10).collect(),
+        lambda: searcher.search(Phrase(["search", "engin"]), 10).collect(),
     )
     timed("prefix_count", lambda: searcher.count(Prefix("w0001")))
 

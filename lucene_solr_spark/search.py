@@ -453,14 +453,58 @@ class Searcher:
             "doc_id", F.lit(float(boost) if scored else 0.0).alias("score")
         )
 
+    def _lead_filter(self, q: Boolean, stats: dict) -> DataFrame | None:
+        """ConjunctionDISI lead-iterator prefilter (ConjunctionDISI.java
+        ≈L50: the conjunction advances by the SPARSEST iterator, so the
+        other clauses only ever visit its doc ids). When a must-Term's df
+        is both small in absolute terms and far below the other clauses'
+        (the stats are already bound driver-side — no extra job), return
+        its doc-id set to semi-join every other clause's scan BEFORE the
+        union exchange: the wide clauses' posting rows drop at the scan
+        instead of riding the shuffle. Broadcast is safe by the df cap."""
+        if len(q.must) + len(q.filter) < 2:
+            return None
+        dfs = [
+            (stats[c.term]["df"], c.term)
+            for c in q.must + q.filter
+            if isinstance(c, Term) and c.term in stats
+        ]
+        if not dfs:
+            return None
+        lead_df, lead_term = min(dfs)
+        others = [d for d, _ in dfs if d != lead_df] + [
+            self.n_docs
+            for c in q.must + q.filter
+            if not isinstance(c, Term)
+        ]
+        # worth it only when the lead is selective (small enough to
+        # broadcast) AND at least 8x sparser than the widest clause —
+        # otherwise the extra lead scan outweighs the shuffled-row savings
+        if lead_df > 100_000 or (others and lead_df * 8 > max(others)):
+            return None
+        return F.broadcast(
+            self._term_postings(lead_term).select("doc_id")
+        )
+
     def _compile_boolean(self, q: Boolean, stats: dict, scored: bool) -> DataFrame:
+        # Every _compile branch emits AT MOST ONE row per doc_id (Term =
+        # one posting row; Synonym/DisMax/nested Boolean aggregate;
+        # Phrase joins doc-distinct sides; multi-term/ConstantScore
+        # dropDuplicates; MatchAll/FunctionScore scan docmeta). The
+        # clause-match counters below are therefore plain SUMs — a
+        # count_distinct here would force Catalyst's two-exchange
+        # distinct-aggregate plan for zero semantic gain.
         parts = []
         n_must = len(q.must) + len(q.filter)
-        for i, c in enumerate(q.must):
+        lead = self._lead_filter(q, stats) if n_must >= 2 else None
+
+        def gate(df: DataFrame) -> DataFrame:
+            return df if lead is None else df.join(lead, "doc_id", "left_semi")
+
+        for c in q.must:
             parts.append(
-                self._compile(c, stats, scored)
+                gate(self._compile(c, stats, scored))
                 .withColumn("_must", F.lit(1))
-                .withColumn("_cid", F.lit(i))
             )
         for i, c in enumerate(q.filter):
             # filter clauses are non-scoring -> cacheable (LRUQueryCache
@@ -474,16 +518,14 @@ class Searcher:
                 ).withColumn("score", F.lit(0.0))
             else:
                 matched = self._compile(c, stats, scored=False)
+            parts.append(gate(matched).withColumn("_must", F.lit(1)))
+        for c in q.should:
+            # result docs must match every MUST clause, so the lead gate
+            # is sound for SHOULD contributions too (they only ever add
+            # score to docs already inside the lead's doc set)
             parts.append(
-                matched
-                .withColumn("_must", F.lit(1))
-                .withColumn("_cid", F.lit(1000 + i))
-            )
-        for i, c in enumerate(q.should):
-            parts.append(
-                self._compile(c, stats, scored)
+                gate(self._compile(c, stats, scored))
                 .withColumn("_must", F.lit(0))
-                .withColumn("_cid", F.lit(2000 + i))
             )
         if not parts:
             return self._empty()
@@ -492,8 +534,8 @@ class Searcher:
             u = u.unionByName(p)
         agg = u.groupBy("doc_id").agg(
             F.sum("score").alias("_s"),
-            F.count_distinct(F.when(F.col("_must") == 1, F.col("_cid"))).alias("_nm"),
-            F.count_distinct(F.when(F.col("_must") == 0, F.col("_cid"))).alias("_ns"),
+            F.sum("_must").alias("_nm"),
+            F.sum(1 - F.col("_must")).alias("_ns"),
         )
         cond = F.col("_nm") == n_must
         msm = q.min_should_match

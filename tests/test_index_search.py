@@ -265,3 +265,31 @@ def test_dense_ids_require_unique_passes_and_stays_dense(spark):
     out = assign_dense_ids(df, "url", partitions=4, require_unique=True)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == list(range(57))
+
+
+def test_lead_filter_fires_and_matches_oracle(searcher, oracle):
+    """ConjunctionDISI lead-iterator prefilter (search.py:_lead_filter):
+    pick a rare term (df 1..5) from term_stats and AND it with the head
+    term 'search' — the >=8x df gap forces the gate; top-k must stay
+    rank- and score-identical with the exhaustive oracle."""
+    from pyspark.sql import functions as F
+
+    head_df = searcher._stats_for(["search"])["search"]["df"]
+    rare = (
+        searcher.index["term_stats"]
+        .filter((F.col("df") >= 1) & (F.col("df") * 8 <= F.lit(head_df)))
+        .orderBy("df", "term")
+        .select("term")
+        .first()
+    )
+    assert rare is not None, "corpus should contain a rare term"
+    q = Q.Boolean(must=[Q.Term(rare["term"]), Q.Term("search")])
+    bound = searcher._stats_for([c.term for c in q.must])
+    assert searcher._lead_filter(q, bound) is not None, "gate must fire"
+    assert_topk_match(searcher, oracle, q)
+    # and a SHOULD contribution on top of the gated musts
+    q2 = Q.Boolean(
+        must=[Q.Term(rare["term"]), Q.Term("search")],
+        should=[Q.Term("data")],
+    )
+    assert_topk_match(searcher, oracle, q2)
