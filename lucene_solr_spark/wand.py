@@ -57,6 +57,7 @@ class WandSearcher:
     def __init__(self, index: dict):
         if "packed" not in index:
             raise ValueError("index has no packed postings (build with packed=True)")
+        self._index = index  # scorer-selection fallback needs the flat tables
         self.packed: DataFrame = index["packed"]
         self.term_stats: DataFrame = index["term_stats"]
         # liveDocs mask (segments with uncompacted delete-by-query
@@ -226,6 +227,42 @@ class WandSearcher:
         )
         return top[-1]["score"] if len(top) == k else -math.inf
 
+    def _dense_all_terms(self, uniq_terms: list[str]) -> bool:
+        """Scorer selection (BooleanWeight#scorer ≈L300 picks
+        BooleanScorer vs WANDScorer per query shape; WANDScorer's
+        block-max skipping only pays when some clause is sparse): when
+        EVERY query term's df is large enough that essentially every
+        doc-range block contains every term (df >= 8 * n_blocks means
+        >= 8 postings per block on average), per-block sum_ub is nearly
+        uniform, θ prunes nothing, and the probe + Python decode kernel
+        are pure overhead over the flat JVM disjunction — measured at
+        sf1.0 (3 head terms): θ kept 245/245 blocks, WAND path ~4 s vs
+        flat path ~0.9 s for rank-identical results. Dense-only queries
+        therefore fall back to the flat scorer; any query with one
+        sparse term keeps block-max (where it wins). Driver-side test —
+        uses only the already-bound TermStates, no extra job."""
+        span = _indexer.BLOCK_SPAN
+        n_blocks = max(1, (self.n_docs + span - 1) // span)
+        cache = self._term_states
+        return all(
+            (cache.get(t) or 0) >= 8 * n_blocks for t in uniq_terms
+        )
+
+    def _flat_fallback(
+        self, weights: dict[str, int], k: int, mode: str
+    ) -> DataFrame:
+        """Flat-postings JVM scorer for dense queries: same scores, same
+        tie-break, no Python stage (WAND==exhaustive is a test invariant).
+        A repeated query term is a repeated clause (its multiplicity in
+        `weights`), exactly the kernel's w-multiplier semantics."""
+        from .query import Boolean, Term
+        from .search import Searcher
+
+        s = self.__dict__.setdefault("_flat_searcher", Searcher(self._index))
+        clauses = [Term(t) for t, w in weights.items() for _ in range(w)]
+        q = Boolean(must=clauses) if mode == "and" else Boolean(should=clauses)
+        return s.search(q, k, with_fields=False).select("doc_id", "score")
+
     def search(
         self, terms: list[str], k: int = 10, mode: str = "or"
     ) -> DataFrame:
@@ -242,6 +279,10 @@ class WandSearcher:
         spark = self.packed.sparkSession
         if not idfs or (mode == "and" and len(idfs) < len(set(terms))):
             return spark.createDataFrame([], "doc_id long, score double")
+        if self.deletes is None and self._dense_all_terms(list(idfs)):
+            # deletes force the kernel's mask-aware path; without them the
+            # flat scorer is rank+score identical and has no Python stage
+            return self._flat_fallback(weights, k, mode)
         meta = self._meta_with_ub(idfs, weights).persist()
         n_terms = len(idfs)
 

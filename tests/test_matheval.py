@@ -166,3 +166,108 @@ def test_norm_cdf_accuracy(spark):
     for r in rows:
         exact = 0.5 * (1 + math.erf(r["x"] / math.sqrt(2)))
         assert r["c"] == pytest.approx(exact, abs=2e-7), r["x"]
+
+
+def test_spearman_mannwhitney_golden(spark):
+    """Hand-computed golden values with TIES (the avg-rank branch)."""
+    from lucene_solr_spark.operators.matheval import (
+        mann_whitney_u_stream,
+        spearman_corr_stream,
+    )
+
+    # x = [1,2,2,3], y = [10,20,30,30]: avg ranks
+    # rx = [1, 2.5, 2.5, 4], ry = [1, 2, 3.5, 3.5] -> pearson(rx, ry)
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 30.0)], ["x", "y"]
+    )
+    got = spearman_corr_stream(df, "x", "y").first()["spearman"]
+    import statistics as st
+
+    rx, ry = [1, 2.5, 2.5, 4], [1, 2, 3.5, 3.5]
+    mx, my = st.mean(rx), st.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert got == pytest.approx(num / den, rel=1e-9)
+
+    # Mann-Whitney: g1=[1,2], g2=[2,3] pooled ranks [1, 2.5, 2.5, 4]
+    # R1 = 3.5, U1 = 3.5 - 3 = 0.5 ; R2 = 6.5, U2 = 6.5 - 3 = 3.5 -> U=0.5
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)], ["g", "v"]
+    )
+    u = mann_whitney_u_stream(df2, "g", "v", "a", "b").first()["u"]
+    assert u == pytest.approx(0.5)
+
+
+def test_distributions_and_ebe_columns(spark):
+    from lucene_solr_spark.operators.matheval import (
+        binomial_pmf_col,
+        dot_product_col,
+        ebe_add_col,
+        ebe_multiply_col,
+        geometric_pmf_col,
+        uniform_cdf_col,
+    )
+
+    df = spark.createDataFrame([(3, 150.0)], ["k", "x"])
+    r = df.select(
+        binomial_pmf_col(F.col("k"), 10, 0.4).alias("b"),
+        geometric_pmf_col(F.col("k"), 0.25).alias("g"),
+        uniform_cdf_col(F.col("x"), 100.0, 300.0).alias("u"),
+        uniform_cdf_col(F.col("x"), 200.0, 300.0).alias("u0"),
+        uniform_cdf_col(F.col("x"), 0.0, 100.0).alias("u1"),
+    ).first()
+    assert r["b"] == pytest.approx(120 * 0.4**3 * 0.6**7, rel=1e-12)
+    assert r["g"] == pytest.approx(0.75**3 * 0.25, rel=1e-12)
+    assert r["u"] == pytest.approx(0.25)
+    assert r["u0"] == 0.0  # clamped below
+    assert r["u1"] == 1.0  # clamped above
+
+    dv = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"]
+    )
+    r2 = dv.select(
+        ebe_add_col(F.col("a"), F.col("b")).alias("s"),
+        ebe_multiply_col(F.col("a"), F.col("b")).alias("p"),
+        dot_product_col(F.col("a"), F.col("b")).alias("d"),
+    ).first()
+    assert r2["s"] == [5.0, 7.0, 9.0]
+    assert r2["p"] == [4.0, 10.0, 18.0]
+    assert r2["d"] == pytest.approx(32.0)
+
+
+def test_zscores_chisq_corrmatrix(spark):
+    from lucene_solr_spark.operators.matheval import (
+        chisquare_dataset_stream,
+        corr_matrix_stream,
+        zscores_stream,
+    )
+
+    df = spark.createDataFrame([(float(v),) for v in (2, 4, 4, 4, 5, 5, 7, 9)], ["v"])
+    z = {r["v"]: r["zscore"] for r in zscores_stream(df, "v").collect()}
+    import statistics as st
+
+    vals = [2, 4, 4, 4, 5, 5, 7, 9]
+    mu, sd = st.mean(vals), st.stdev(vals)
+    assert z[2.0] == pytest.approx((2 - mu) / sd, rel=1e-9)
+    assert z[9.0] == pytest.approx((9 - mu) / sd, rel=1e-9)
+
+    oe = spark.createDataFrame(
+        [(10.0, 8.0), (20.0, 22.0), (30.0, 30.0)], ["o", "e"]
+    )
+    chisq = chisquare_dataset_stream(oe, "o", "e").first()["chisq"]
+    assert chisq == pytest.approx(4.0 / 8 + 4.0 / 22, rel=1e-12)
+
+    m = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.5, -3.0)], ["a", "b", "c"]
+    )
+    cm = {
+        (r["i"], r["j"]): r["corr"]
+        for r in corr_matrix_stream(m, ["a", "b", "c"]).collect()
+    }
+    assert len(cm) == 9
+    assert cm[(0, 0)] == pytest.approx(1.0)
+    assert cm[(0, 2)] == pytest.approx(-1.0)
+    assert cm[(0, 1)] == pytest.approx(cm[(1, 0)])
+    assert 0.99 < cm[(0, 1)] <= 1.0

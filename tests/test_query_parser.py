@@ -275,3 +275,44 @@ def test_edismax_pf23_bq_bf_tree():
     q2 = parse_edismax("dup -vector merge", profile="simple", pf2=2.0)
     pairs = [c for c in q2.should if isinstance(c, Boost)]
     assert pairs == [Boost(Phrase(("dup", "merge")), 2.0)]
+
+
+def test_parse_field_boosts():
+    from lucene_solr_spark.query_parser import parse_field_boosts
+
+    assert parse_field_boosts("title^2 body^0.5") == {"title": 2.0, "body": 0.5}
+    assert parse_field_boosts("body") == {"body": 1.0}
+    assert parse_field_boosts("a^2 a^3") == {"a": 3.0}  # last wins
+    assert parse_field_boosts("") == {}
+
+
+def test_resolve_field_aliases_multiplies_and_adds():
+    from lucene_solr_spark.query_parser import resolve_field_aliases
+
+    # boosts multiply down the alias path
+    out = resolve_field_aliases(
+        {"headline": 1.5}, {"headline": {"title": 2.0}}
+    )
+    assert out == {"title": 3.0}
+    # nested alias -> alias -> field
+    out = resolve_field_aliases(
+        {"a": 2.0}, {"a": {"b": 3.0}, "b": {"title": 0.5}}
+    )
+    assert out == {"title": 3.0}
+    # same real field down two paths: boosts ADD
+    out = resolve_field_aliases(
+        {"x": 1.0, "y": 1.0}, {"x": {"body": 2.0}, "y": {"body": 3.0}}
+    )
+    assert out == {"body": 5.0}
+    # non-aliased fields pass through
+    out = resolve_field_aliases({"body": 1.25}, {})
+    assert out == {"body": 1.25}
+
+
+def test_resolve_field_aliases_cycle_raises():
+    import pytest as _pytest
+
+    from lucene_solr_spark.query_parser import resolve_field_aliases
+
+    with _pytest.raises(ValueError, match="cycle"):
+        resolve_field_aliases({"a": 1.0}, {"a": {"b": 1.0}, "b": {"a": 1.0}})
