@@ -573,7 +573,7 @@ cand AS (
 )
 SELECT term, head_dist, df FROM cand
 WHERE length(term) >= 3 AND head_dist <= 1
-ORDER BY head_dist, df DESC, term LIMIT 10
+ORDER BY df DESC, term LIMIT 10
 """
 
 

@@ -472,11 +472,17 @@ def suggest_fuzzy(
 ) -> DataFrame:
     """FuzzySuggester (lucene/suggest/.../analyzing/FuzzySuggester.java):
     complete `prefix` tolerating up to `max_edits` edits WITHIN the typed
-    prefix (the suggestion's head may differ from what was typed), ranked
-    by df. Distance is computed on the candidate's head truncated to the
-    prefix length — Lucene's automaton does the same comparison without
-    enumeration; at terms-dict scale the candidate set is first cut by
-    shared first letter or length band, keeping the scan pruned."""
+    prefix (the suggestion's head may differ from what was typed). The
+    Levenshtein automaton only decides MEMBERSHIP; ranking is purely by
+    the suggestion WEIGHT (here df), exactly AnalyzingSuggester's
+    weight-ordered WFST output paths (FuzzySuggester extends it and
+    changes only the matching automaton, not the order). Distance is
+    computed on the candidate's head truncated to the prefix length —
+    the automaton does the same comparison without enumeration; at
+    terms-dict scale the candidate set is first cut by a length band,
+    keeping the scan pruned. Classic Levenshtein on both engine and
+    oracle (Lucene defaults transpositions=true; Spark's builtin is
+    classic — documented divergence, same on both sides)."""
     n = len(prefix)
     head = F.substring("term", 1, n)
     cand = (
@@ -489,7 +495,7 @@ def suggest_fuzzy(
         .filter(F.col("head_dist") <= max_edits)
     )
     return (
-        cand.orderBy(F.asc("head_dist"), F.desc("df"), F.asc("term"))
+        cand.orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
         .select("term", "head_dist", "df")
     )
