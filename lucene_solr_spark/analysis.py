@@ -829,3 +829,40 @@ def refined_soundex(term: str) -> str:
             out.append(d)
         last = d
     return "".join(out)
+
+
+def common_grams(
+    tokens: list[str], common_words: set[str] | frozenset[str]
+) -> list[str]:
+    """CommonGramsFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java ≈L50): wherever a token pair involves a common
+    word, emit the joined bigram "a_b" ALONGSIDE the unigrams (the filter
+    sets posIncrement=0 on the gram — here the flat emission order
+    unigram, gram, unigram... mirrors the stream order). Phrase queries on
+    stopword-adjacent pairs then hit single postings instead of two
+    position joins."""
+    out: list[str] = []
+    for i, tok in enumerate(tokens):
+        out.append(tok)
+        if i + 1 < len(tokens) and (
+            tok in common_words or tokens[i + 1] in common_words
+        ):
+            out.append(f"{tok}_{tokens[i + 1]}")
+    return out
+
+
+def path_hierarchy(
+    path: str, delimiter: str = "/", skip: int = 0
+) -> list[str]:
+    """PathHierarchyTokenizer (lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java ≈L40): emit every ancestor prefix of a
+    delimited path — "/a/b/c" -> ["/a", "/a/b", "/a/b/c"]. `skip` drops
+    that many leading components (reference's skip param). Used for
+    drill-down facets over hierarchies (category trees, file paths,
+    URL paths)."""
+    parts = [p for p in path.split(delimiter) if p != ""]
+    parts = parts[skip:]
+    lead = delimiter if path.startswith(delimiter) else ""
+    return [
+        lead + delimiter.join(parts[: i + 1]) for i in range(len(parts))
+    ]

@@ -697,6 +697,10 @@ from .entry_round3c import REGISTRY_R3C  # noqa: E402
 
 REGISTRY.update(REGISTRY_R3C)
 
+from .entry_round4 import REGISTRY_R4  # noqa: E402
+
+REGISTRY.update(REGISTRY_R4)
+
 # ---------------------------------------------------------------------------
 # Driver-evidence window rotation (round 4 — final rotation). The driver
 # checks the FIRST 50 registry entries per round. Rounds 1-3 witnessed 129
@@ -772,6 +776,13 @@ _after_window = [
     "stream_dot_product", "stream_binomial_pmf", "stream_uniform_cdf",
     "stream_geometric_pmf", "stream_spearman", "stream_mann_whitney",
     "stream_chisq_dataset", "stream_corr_matrix",
+    # round-4 third tranche: span containment algebra, WordBreak
+    # spellchecker, BlendedInfix, CommonGrams, PathHierarchy facet,
+    # TPC-H Q5/Q6
+    "span_containing", "span_within", "word_break_suggest",
+    "suggest_blended_infix", "common_grams_index",
+    "path_hierarchy_facet", "tpch_q6_forecast_revenue",
+    "tpch_q5_local_supplier",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1,0 +1,360 @@
+"""Round-4 breadth entries: span containment algebra, WordBreak
+spellchecker, BlendedInfix suggester, CommonGrams, PathHierarchy facets,
+and two more TPC-H shapes through the DataFrame API.
+
+Each entry pairs a Spark plan with a DuckDB SQL oracle under the same
+hash-match discipline as entry_queries.py (identical column names, floats
+rounded after ordering, doc_id tiebreaks).
+
+Rows covered here (SURVEY.md §3 references):
+  * SpanContainingQuery / SpanWithinQuery — the two remaining members of
+    the spans set algebra (lucene/core/.../search/spans/
+    SpanContainingQuery.java, SpanWithinQuery.java): big-encloses-little
+    and little-inside-big.
+  * WordBreakSpellChecker — suggestWordBreaks: split a run-together term
+    into two dictionary words (lucene/suggest/.../spell/
+    WordBreakSpellChecker.java).
+  * BlendedInfixSuggester — POSITION_LINEAR blending of suggestion weight
+    by earliest match position (lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java).
+  * CommonGramsFilter — stopword-adjacent bigram emission
+    (lucene/analysis/common/.../commongrams/CommonGramsFilter.java); the
+    distributed form is a lead() window over the positions view, asserted
+    token-stream-identical to analysis.common_grams in tests.
+  * PathHierarchyTokenizer + hierarchical facet — ancestor-prefix
+    emission (.../path/PathHierarchyTokenizer.java) feeding a drill-down
+    facet count per path prefix.
+  * TPC-H Q5/Q6 — the SQLHandler analytic tier (SURVEY §3.10): Q6 is the
+    pushdown showcase (tight scan filter -> single agg, no shuffle of
+    data columns), Q5 the join-order showcase (5-way join, every dim
+    broadcast, one shuffle on the fact key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .entry_queries import _docs, _tok
+
+_SQL_POS = """
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)"""
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SpanContainingQuery / SpanWithinQuery
+# big = ordered near('big','order', slop=6); little = 'value'
+# ---------------------------------------------------------------------------
+def q_span_containing(spark, sf_dir):
+    from .operators.spans import span_containing
+
+    return span_containing(
+        _tok(spark, sf_dir), ("big", "order", 6), "value"
+    ).orderBy("doc_id")
+
+
+SQL_SPAN_CONTAINING = f"""
+WITH {_SQL_POS},
+bigs AS (
+  SELECT pa.doc_id, pa.pos AS s, pb.pos AS e
+  FROM (SELECT doc_id, pos FROM tok WHERE term = 'big') pa
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = 'order') pb
+    ON pa.doc_id = pb.doc_id
+  WHERE pb.pos > pa.pos AND pb.pos - pa.pos - 1 <= 6
+),
+lit AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'value')
+SELECT b.doc_id, count(*) AS n_spans
+FROM bigs b
+WHERE EXISTS (
+  SELECT 1 FROM lit l
+  WHERE l.doc_id = b.doc_id AND l.p >= b.s AND l.p <= b.e)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+def q_span_within(spark, sf_dir):
+    from .operators.spans import span_within
+
+    return span_within(
+        _tok(spark, sf_dir), ("big", "order", 6), "value"
+    ).orderBy("doc_id")
+
+
+SQL_SPAN_WITHIN = f"""
+WITH {_SQL_POS},
+bigs AS (
+  SELECT pa.doc_id, pa.pos AS s, pb.pos AS e
+  FROM (SELECT doc_id, pos FROM tok WHERE term = 'big') pa
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = 'order') pb
+    ON pa.doc_id = pb.doc_id
+  WHERE pb.pos > pa.pos AND pb.pos - pa.pos - 1 <= 6
+),
+lit AS (SELECT doc_id, pos AS p FROM tok WHERE term = 'value')
+SELECT l.doc_id, count(*) AS n_spans
+FROM lit l
+WHERE EXISTS (
+  SELECT 1 FROM bigs b
+  WHERE b.doc_id = l.doc_id AND l.p >= b.s AND l.p <= b.e)
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker.suggestWordBreaks on 'fastscan'
+# ---------------------------------------------------------------------------
+def q_word_break_suggest(spark, sf_dir):
+    from .operators.search_features import word_break_suggest
+
+    return word_break_suggest(
+        _tok(spark, sf_dir), "fastscan", min_freq=1, min_break_length=2, k=10
+    )
+
+
+SQL_WORD_BREAK = f"""
+WITH {_SQL_POS},
+dic AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  GROUP BY term HAVING count(DISTINCT doc_id) >= 1
+),
+splits AS (
+  SELECT i AS split_at,
+         substring('fastscan', 1, i) AS lft,
+         substring('fastscan', i + 1) AS rgt
+  FROM generate_series(2, len('fastscan') - 2) AS t(i)
+)
+SELECT s.split_at, s.lft AS "left", s.rgt AS "right",
+       dl.df + dr.df AS combined_df
+FROM splits s
+JOIN dic dl ON dl.term = s.lft
+JOIN dic dr ON dr.term = s.rgt
+ORDER BY combined_df DESC, s.split_at LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# BlendedInfixSuggester POSITION_LINEAR on query token 'vector'
+# ---------------------------------------------------------------------------
+def q_suggest_blended_infix(spark, sf_dir):
+    from .operators.search_features import suggest_blended_infix
+
+    return suggest_blended_infix(_tok(spark, sf_dir), "vector", k=10)
+
+
+SQL_BLENDED_INFIX = f"""
+WITH {_SQL_POS},
+per_doc AS (
+  SELECT doc_id,
+         min(CASE WHEN term = 'vector' THEN pos - 1 END) AS min_pos,
+         count(*) AS weight
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, weight, CAST(min_pos AS INT) AS min_pos,
+       round(weight * greatest(0.1, 1.0 - 0.10 * min_pos), 6) AS blended
+FROM per_doc WHERE min_pos IS NOT NULL
+ORDER BY blended DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# CommonGrams: distributed emission via lead() over the positions view.
+# Common set {'a','the'}; returns per-gram corpus counts (top 20).
+# ---------------------------------------------------------------------------
+def q_common_grams_index(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _tok(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("term").over(w)
+    grams = (
+        t.withColumn("nxt", nxt)
+        .filter(
+            F.col("nxt").isNotNull()
+            & (F.col("term").isin("a", "the") | F.col("nxt").isin("a", "the"))
+        )
+        .select(F.concat_ws("_", "term", "nxt").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+SQL_COMMON_GRAMS = f"""
+WITH {_SQL_POS},
+seq AS (
+  SELECT doc_id, term, pos,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tok
+)
+SELECT term || '_' || nxt AS gram, count(*) AS n
+FROM seq
+WHERE nxt IS NOT NULL AND (term IN ('a','the') OR nxt IN ('a','the'))
+GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# PathHierarchyTokenizer + hierarchical drill-down facet. The path is the
+# deterministic '/{lang}/{source}' derivation over documents; the Spark
+# side emits ancestor prefixes generically for ANY depth (transform over
+# a sequence — stays in codegen, no UDF); the oracle unions the two
+# levels this derivation produces.
+# ---------------------------------------------------------------------------
+def q_path_hierarchy_facet(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("/"), "lang", F.lit("/"), "source").alias("path")
+    )
+    parts = F.split(F.col("path"), "/")  # leading '' element from the lead /
+    prefixes = F.transform(
+        F.sequence(F.lit(2), F.size(parts)),
+        lambda i: F.concat(
+            F.lit("/"), F.array_join(F.slice(parts, 2, i - 1), "/")
+        ),
+    )
+    return (
+        d.select(F.explode(prefixes).alias("path_prefix"))
+        .groupBy("path_prefix")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("path_prefix"))
+        .limit(30)
+    )
+
+
+SQL_PATH_HIERARCHY = """
+WITH paths AS (
+  SELECT '/' || lang AS p1, '/' || lang || '/' || source AS p2
+  FROM documents
+),
+pref AS (
+  SELECT p1 AS path_prefix FROM paths
+  UNION ALL
+  SELECT p2 FROM paths
+)
+SELECT path_prefix, count(*) AS n_docs
+FROM pref GROUP BY path_prefix
+ORDER BY n_docs DESC, path_prefix LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 — forecast revenue change: the filter-pushdown showcase (scan
+# with three pushed predicates -> one global agg; no wide exchange at
+# all). Exact-cents discipline as Q1/Q3.
+# ---------------------------------------------------------------------------
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * F.col("l_discount") * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 — local supplier volume: 5-way join where customer and
+# supplier must share a nation. Every dimension side is broadcast
+# (region -> nation -> customer/supplier are all small); the only wide
+# exchange is lineitem x orders on the fact key — the plan that survives
+# a 100x fact-table scale-up.
+# ---------------------------------------------------------------------------
+def q_tpch_q5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    j = (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("n_name").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    return g.orderBy(F.desc("revenue"), F.asc("n_name"))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+REGISTRY_R4 = {
+    "span_containing": (q_span_containing, SQL_SPAN_CONTAINING),
+    "span_within": (q_span_within, SQL_SPAN_WITHIN),
+    "word_break_suggest": (q_word_break_suggest, SQL_WORD_BREAK),
+    "suggest_blended_infix": (q_suggest_blended_infix, SQL_BLENDED_INFIX),
+    "common_grams_index": (q_common_grams_index, SQL_COMMON_GRAMS),
+    "path_hierarchy_facet": (q_path_hierarchy_facet, SQL_PATH_HIERARCHY),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q5_local_supplier": (q_tpch_q5, SQL_TPCH_Q5),
+}

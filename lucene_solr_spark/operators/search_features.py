@@ -776,3 +776,143 @@ def free_text_suggest(
         .limit(k)
         .select("term", F.round("score", 6).alias("score"))
     )
+
+
+def word_break_suggest(
+    tokens: DataFrame,
+    input_term: str,
+    min_freq: int = 1,
+    min_break_length: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../spell/
+    WordBreakSpellChecker.java ≈L100): split a run-together input into
+    two dictionary words. One split point per suggestion (Lucene's
+    maxChanges=1 tier); both halves must exist in the terms dictionary
+    with df >= min_freq and length >= min_break_length. Ranked by
+    combined df desc (Lucene's SuggestMode + freq ordering), split
+    position asc as the tiebreak.
+
+    Spark shape: the split-point table is a tiny literal relation
+    (len(input)-1 rows) built with explode over a lit array; both
+    dictionary probes are joins against the terms aggregate, so the
+    dictionary is scanned once and Catalyst broadcasts the literal side.
+    """
+    n = len(input_term)
+    splits = [
+        (i, input_term[:i], input_term[i:])
+        for i in range(min_break_length, n - min_break_length + 1)
+    ]
+    if not splits:
+        spark = tokens.sparkSession
+        return spark.createDataFrame(
+            [], "split_at int, left string, right string, combined_df bigint"
+        )
+    spark = tokens.sparkSession
+    cand = spark.createDataFrame(splits, ["split_at", "left", "right"])
+    dic = (
+        tokens.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_freq)
+    )
+    lj = cand.join(dic.withColumnRenamed("term", "left"), "left")
+    rj = lj.join(
+        dic.select(
+            F.col("term").alias("right"), F.col("df").alias("df_r")
+        ),
+        "right",
+    )
+    return (
+        rj.select(
+            "split_at",
+            "left",
+            "right",
+            (F.col("df") + F.col("df_r")).alias("combined_df"),
+        )
+        .orderBy(F.desc("combined_df"), F.asc("split_at"))
+        .limit(k)
+    )
+
+
+def word_combine_suggest(
+    tokens: DataFrame,
+    query_terms: list[str],
+    min_freq: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (WordBreakSpellChecker
+    .java ≈L180): for each ADJACENT pair of query terms, suggest the
+    concatenation when it exists in the terms dictionary with df >=
+    min_freq. Ranked by the combination's df desc, pair position asc.
+
+    The pair table is a literal relation (len(query)-1 rows); one join
+    against the terms aggregate resolves every pair in a single pass."""
+    pairs = [
+        (i, query_terms[i], query_terms[i + 1],
+         query_terms[i] + query_terms[i + 1])
+        for i in range(len(query_terms) - 1)
+    ]
+    spark = tokens.sparkSession
+    if not pairs:
+        return spark.createDataFrame(
+            [], "pair_at int, left string, right string, combined string,"
+            " df bigint"
+        )
+    cand = spark.createDataFrame(
+        pairs, ["pair_at", "left", "right", "combined"]
+    )
+    dic = (
+        tokens.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_freq)
+    )
+    return (
+        cand.join(dic.withColumnRenamed("term", "combined"), "combined")
+        .select("pair_at", "left", "right", "combined", "df")
+        .orderBy(F.desc("df"), F.asc("pair_at"))
+        .limit(k)
+    )
+
+
+def suggest_blended_infix(
+    tokens: DataFrame,
+    query: str,
+    k: int = 10,
+    num_factor: int = 10,
+) -> DataFrame:
+    """BlendedInfixSuggester (lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java ≈L60, BlenderType.POSITION_LINEAR): infix
+    suggester whose weight is scaled by WHERE in the suggestion the match
+    occurs — coefficient (1 - 0.10 * min_position) floored at 0.1 (the
+    POSITION_LINEAR calculateCoefficient), so suggestions matching the
+    query token earlier rank higher at equal weight. Suggestions here are
+    documents (weight = doc length as a deterministic stand-in for the
+    stored weight field); the blended score is weight * coefficient.
+
+    Spark shape: one filtered aggregation over the token table (min
+    matching position + doc length per doc) — single exchange, top-k via
+    TakeOrderedAndProject. Lucene over-fetches num_factor * k before
+    re-sorting by blended score; the aggregate computes exact blended
+    scores so the over-fetch is unnecessary (documented simplification,
+    same final top-k)."""
+    hit_pos = F.min(
+        F.when(F.col("term") == query, F.col("pos") - 1)
+    ).alias("min_pos")
+    per_doc = (
+        tokens.groupBy("doc_id")
+        .agg(hit_pos, F.count("*").alias("weight"))
+        .filter(F.col("min_pos").isNotNull())
+    )
+    coef = F.greatest(
+        F.lit(0.1), F.lit(1.0) - F.lit(0.10) * F.col("min_pos")
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "weight",
+            F.col("min_pos").cast("int").alias("min_pos"),
+            F.round(F.col("weight") * coef, 6).alias("blended"),
+        )
+        .orderBy(F.desc("blended"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -121,6 +121,69 @@ def span_not(
     return survivors.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
 
 
+def _near_spans(
+    tokens: DataFrame, term_a: str, term_b: str, slop: int
+) -> DataFrame:
+    """Ordered near spans of (term_a, term_b) within `slop` as explicit
+    (doc_id, s, e) rows — the span enumeration shared by the containing /
+    within algebra (start = pa, end = pb inclusive)."""
+    pa_ = _positions(tokens, term_a, "s")
+    pb = _positions(tokens, term_b, "e")
+    return (
+        pa_.join(pb, "doc_id")
+        .filter((F.col("e") > F.col("s")) & (F.col("e") - F.col("s") - 1 <= slop))
+        .select("doc_id", "s", "e")
+    )
+
+
+def span_containing(
+    tokens: DataFrame,
+    big: tuple[str, str, int],
+    little: str,
+) -> DataFrame:
+    """SpanContainingQuery (lucene/core/.../search/spans/
+    SpanContainingQuery.java ≈L30): spans from `big` that fully enclose a
+    match of `little`. Big spans are ordered-near pairs (a, b, slop);
+    little spans are single-term positions. A big span is emitted at most
+    once no matter how many little spans it encloses (ContainSpans
+    advances big after each emit), hence the semi-join + distinct-span
+    count. All equi-join + range predicates — Catalyst broadcasts the
+    little side when small."""
+    a, b, slop = big
+    bigs = _near_spans(tokens, a, b, slop)
+    lit = _positions(tokens, little, "p")
+    hit = bigs.join(
+        lit,
+        (bigs["doc_id"] == lit["doc_id"])
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_semi",
+    )
+    return hit.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+
+
+def span_within(
+    tokens: DataFrame,
+    big: tuple[str, str, int],
+    little: str,
+) -> DataFrame:
+    """SpanWithinQuery (SpanWithinQuery.java ≈L30): spans from `little`
+    that lie within some span of `big` — the mirror of span_containing
+    (little drives, big filters). Returns per-doc count of distinct little
+    positions enclosed by at least one big span."""
+    a, b, slop = big
+    bigs = _near_spans(tokens, a, b, slop)
+    lit = _positions(tokens, little, "p")
+    hit = lit.join(
+        bigs,
+        (lit["doc_id"] == bigs["doc_id"])
+        & (F.col("p") >= F.col("s"))
+        & (F.col("p") <= F.col("e")),
+        "left_semi",
+    )
+    return hit.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+
+
 def sloppy_phrase_freq_allpairs(
     tokens: DataFrame, term_a: str, term_b: str, slop: int
 ) -> DataFrame:
