@@ -783,6 +783,10 @@ _after_window = [
     "suggest_blended_infix", "common_grams_index",
     "path_hierarchy_facet", "tpch_q6_forecast_revenue",
     "tpch_q5_local_supplier",
+    # round-4 fourth tranche: CoveringQuery, quality eval (P@k/MRR/nDCG),
+    # expression compiler sort, distance evaluators, two-sample KS
+    "covering_query", "quality_ndcg_mrr", "expression_sort",
+    "stream_euclidean_dist", "stream_manhattan_dist", "stream_ks_test",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

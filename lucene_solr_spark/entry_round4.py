@@ -358,3 +358,288 @@ REGISTRY_R4 = {
     "tpch_q6_forecast_revenue": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q5_local_supplier": (q_tpch_q5, SQL_TPCH_Q5),
 }
+
+
+def _register_tranche2():
+    """Tranche-2 rows are defined below this dict in the file; resolve
+    them lazily at import end (module bottom calls this)."""
+    REGISTRY_R4.update(
+        {
+            "covering_query": (q_covering_query, SQL_COVERING),
+            "quality_ndcg_mrr": (q_quality_metrics, SQL_QUALITY),
+            "expression_sort": (q_expression_sort, SQL_EXPRESSION_SORT),
+            "stream_euclidean_dist": (q_stream_euclidean,
+                                      SQL_STREAM_EUCLIDEAN),
+            "stream_manhattan_dist": (q_stream_manhattan,
+                                      SQL_STREAM_MANHATTAN),
+            "stream_ks_test": (q_stream_ks_test, SQL_STREAM_KS),
+        }
+    )
+
+
+# ===========================================================================
+# Tranche 2: CoveringQuery, search-quality metrics, expression compiler,
+# distance evaluators, two-sample KS test.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java ≈L40): match
+# docs where the NUMBER of matching clauses >= a per-doc long value (a
+# LongValuesSource, not a constant — the dynamic minimumNumberShouldMatch).
+# Here: clauses are 4 term queries; min_match(doc) = (n_chars % 3) + 1.
+# Count + filter in one agg; no per-clause scans (single pass over the
+# postings of the clause set).
+# ---------------------------------------------------------------------------
+_COVERING_TERMS = ["join", "hash", "vector", "merge"]
+
+
+def q_covering_query(spark, sf_dir):
+    t = _tok(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", ((F.col("n_chars") % 3) + 1).alias("min_match")
+    )
+    matched = (
+        t.filter(F.col("term").isin(_COVERING_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("n_clauses"))
+    )
+    return (
+        matched.join(d, "doc_id")
+        .filter(F.col("n_clauses") >= F.col("min_match"))
+        .select("doc_id", "n_clauses", "min_match")
+        .orderBy("doc_id")
+    )
+
+
+SQL_COVERING = f"""
+WITH {_SQL_POS},
+matched AS (
+  SELECT doc_id, count(DISTINCT term) AS n_clauses
+  FROM tok WHERE term IN ('join','hash','vector','merge')
+  GROUP BY doc_id
+)
+SELECT m.doc_id, m.n_clauses, (d.n_chars % 3) + 1 AS min_match
+FROM matched m JOIN documents d USING (doc_id)
+WHERE m.n_clauses >= (d.n_chars % 3) + 1
+ORDER BY m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Search-quality evaluation (lucene/benchmark quality package): P@k, MRR,
+# nDCG@10 over deterministic runs + qrels derived from the corpus:
+#   results(q) = top-10 docs by tf(q) desc, doc_id asc (rank 1..10)
+#   qrels(q)   = docs with tf >= 2 grade 2, tf == 1 grade 1, but only
+#                where doc_id % 3 != 0 (unjudged docs exist, as in TREC)
+# for q in ('join', 'vector').
+# ---------------------------------------------------------------------------
+def q_quality_metrics(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.quality import search_quality_metrics
+
+    t = _tok(spark, sf_dir)
+    tf = (
+        t.filter(F.col("term").isin("join", "vector"))
+        .groupBy(F.col("term").alias("query_id"), "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("doc_id"))
+    results = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = (
+        tf.filter(F.col("doc_id") % 3 != 0)
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("tf") >= 2, 2.0).otherwise(1.0).alias("grade"),
+        )
+    )
+    return search_quality_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+SQL_QUALITY = f"""
+WITH {_SQL_POS},
+tf AS (
+  SELECT term AS query_id, doc_id, count(*) AS tf
+  FROM tok WHERE term IN ('join','vector') GROUP BY term, doc_id
+),
+results AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tf QUALIFY rank <= 10
+),
+qrels AS (
+  SELECT query_id, doc_id,
+         CASE WHEN tf >= 2 THEN 2.0 ELSE 1.0 END AS grade
+  FROM tf WHERE doc_id % 3 != 0
+),
+joined AS (
+  SELECT r.query_id, r.rank, coalesce(q.grade, 0.0) AS grade
+  FROM results r LEFT JOIN qrels q USING (query_id, doc_id)
+),
+per_q AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 10 AND grade > 0 THEN 1.0 ELSE 0.0 END)
+           / 10.0 AS p_at_k,
+         coalesce(1.0 / min(CASE WHEN grade > 0 THEN rank END), 0.0)
+           AS mrr,
+         sum(CASE WHEN rank <= 10
+             THEN (pow(2.0, grade) - 1.0) / log2(rank + 1.0)
+             ELSE 0.0 END) AS dcg
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, grade,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY grade DESC, doc_id) AS DOUBLE)
+             AS irank
+    FROM qrels WHERE grade > 0 QUALIFY irank <= 10) t
+  GROUP BY query_id
+),
+scored AS (
+  SELECT p.query_id, round(p.p_at_k, 6) AS p_at_k, round(p.mrr, 6) AS mrr,
+         round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6)
+           AS ndcg_at_k
+  FROM per_q p LEFT JOIN ideal i USING (query_id)
+)
+SELECT * FROM (
+  SELECT query_id, p_at_k, mrr, ndcg_at_k FROM scored
+  UNION ALL
+  SELECT '__mean__', round(avg(p_at_k), 6), round(avg(mrr), 6),
+         round(avg(ndcg_at_k), 6)
+  FROM scored
+) ORDER BY query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Expression compiler (lucene/expressions JavascriptCompiler): sort
+# documents by a compiled scoring expression — arithmetic, a ternary,
+# and two function calls, all landing in one codegen'd Column.
+# ---------------------------------------------------------------------------
+_EXPR_SRC = (
+    "sqrt(n_chars) + ln(n_chars + 1) * 0.5"
+    " + (n_chars % 7 < 3 ? 2 : 0) - abs(doc_id % 5 - 2) * 0.25"
+)
+
+
+def q_expression_sort(spark, sf_dir):
+    from .functions.expressions import compile_expression
+
+    d = _docs(spark, sf_dir)
+    score = compile_expression(
+        _EXPR_SRC,
+        {"n_chars": F.col("n_chars").cast("double"),
+         "doc_id": F.col("doc_id").cast("double")},
+    )
+    return (
+        d.select("doc_id", F.round(score, 6).alias("expr_score"))
+        .orderBy(F.desc("expr_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_EXPRESSION_SORT = """
+SELECT doc_id,
+       round(sqrt(n_chars) + ln(n_chars + 1) * 0.5
+             + (CASE WHEN n_chars % 7 < 3 THEN 2 ELSE 0 END)
+             - abs(doc_id % 5 - 2) * 0.25, 6) AS expr_score
+FROM documents
+ORDER BY expr_score DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distance evaluators (solr streaming math distance()): L2 / L1 top-10
+# nearest to the vec_id=0 query vector over the embeddings table.
+# ---------------------------------------------------------------------------
+def _q_distance(spark, sf_dir, which: str):
+    from .entry_pipeline import _emb, _query_vec
+    from .operators.matheval import euclidean_dist_col, manhattan_dist_col
+
+    qv, _ = _query_vec(spark, sf_dir, 0)
+    lit = F.array(*[F.lit(float(x)) for x in qv])
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    emb = F.col("embedding").cast("array<double>")
+    dist = (
+        euclidean_dist_col(emb, lit)
+        if which == "l2"
+        else manhattan_dist_col(emb, lit)
+    )
+    return (
+        e.select("vec_id", F.round(dist, 4).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_stream_euclidean(spark, sf_dir):
+    return _q_distance(spark, sf_dir, "l2")
+
+
+def q_stream_manhattan(spark, sf_dir):
+    return _q_distance(spark, sf_dir, "l1")
+
+
+_SQL_DIST_BASE = """
+WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0)
+SELECT vec_id, ROUND({expr}, 4) AS dist
+FROM v JOIN q USING (i) GROUP BY vec_id
+ORDER BY dist, vec_id LIMIT 10
+"""
+
+SQL_STREAM_EUCLIDEAN = _SQL_DIST_BASE.format(
+    expr="sqrt(sum((v.x - q.x) * (v.x - q.x)))"
+)
+SQL_STREAM_MANHATTAN = _SQL_DIST_BASE.format(expr="sum(abs(v.x - q.x))")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov D statistic: events.value, click vs
+# purchase populations.
+# ---------------------------------------------------------------------------
+def q_stream_ks_test(spark, sf_dir):
+    from .operators.matheval import ks_test_stream
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_test_stream(ev, "event_type", "value", "click", "purchase")
+
+
+SQL_STREAM_KS = """
+WITH two AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+per_val AS (
+  SELECT v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM two GROUP BY v
+),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY v) AS f1,
+         sum(c2) OVER (ORDER BY v) AS f2
+  FROM per_val
+),
+tot AS (SELECT max(f1) AS n1, max(f2) AS n2 FROM cum)
+SELECT round(max(abs(f1 / n1 - f2 / n2)), 6) AS d,
+       CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+FROM cum, tot
+"""
+
+
+_register_tranche2()

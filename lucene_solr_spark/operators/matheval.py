@@ -557,3 +557,75 @@ def corr_matrix_stream(df: DataFrame, cols: list) -> DataFrame:
     return wide.select(F.explode(pairs).alias("p")).select(
         "p.i", "p.j", "p.corr"
     )
+
+
+def euclidean_dist_col(a: Column, b: Column) -> Column:
+    """distance(a, b) EUCLIDEAN (solr/.../io/eval/DistanceEvaluator.java):
+    L2 distance of two numeric arrays — zip_with + aggregate, JVM-side."""
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(
+        F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def manhattan_dist_col(a: Column, b: Column) -> Column:
+    """distance(a, b, manhattan()): L1 distance of two numeric arrays."""
+    ab = F.zip_with(a, b, lambda x, y: F.abs(x - y))
+    return F.aggregate(ab, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """cosineSimilarity(a, b) (CosineSimilarityEvaluator): dot / (|a||b|)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+    return dot / (na * nb)
+
+
+def ks_test_stream(
+    df: DataFrame, group_col: str, val_col: str, g1, g2
+) -> DataFrame:
+    """ks(sample1, sample2) (KolmogorovSmirnovEvaluator, two-sample form):
+    D = sup_v |F1(v) - F2(v)| over the pooled observed values, where Fi is
+    the empirical CDF of sample i. Shape: one groupBy(value) collapsing
+    ties, one ordered window for the two running sums, one max agg — no
+    cross join, no collect; the window's single global sort is over
+    DISTINCT values (bounded by value cardinality, not row count).
+    Returns (d, n1, n2); the asymptotic p-value is a driver-side scalar
+    the caller derives (documented: commons-math uses the exact/asymptotic
+    Kolmogorov distribution; the statistic itself is the contract here).
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(F.col(group_col).isin([g1, g2])).select(
+        group_col, F.col(val_col).cast("double").alias("_v")
+    )
+    per_val = two.groupBy("_v").agg(
+        F.sum(F.when(F.col(group_col) == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col(group_col) == g2, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    totals = cum.agg(
+        F.max("f1").alias("n1"), F.max("f2").alias("n2")
+    ).first()
+    n1, n2 = int(totals["n1"]), int(totals["n2"])
+    return cum.agg(
+        F.round(
+            F.max(F.abs(F.col("f1") / n1 - F.col("f2") / n2)), 6
+        ).alias("d"),
+        F.lit(n1).alias("n1"),
+        F.lit(n2).alias("n2"),
+    )
