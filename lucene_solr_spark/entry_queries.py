@@ -787,6 +787,14 @@ _after_window = [
     # expression compiler sort, distance evaluators, two-sample KS
     "covering_query", "quality_ndcg_mrr", "expression_sort",
     "stream_euclidean_dist", "stream_manhattan_dist", "stream_ks_test",
+    # round-4 fifth tranche: TPC-H breadth (SQLHandler tier)
+    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items", "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    # round-4 sixth tranche: math-evaluator long tail
+    "stream_central_moments", "stream_means_geo_harmonic", "stream_mode",
+    "stream_cov_exact", "stream_moving_median", "stream_exp_moving_avg",
+    "stream_polyfit2", "stream_outliers_iqr",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

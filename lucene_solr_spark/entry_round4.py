@@ -643,3 +643,499 @@ FROM cum, tot
 
 
 _register_tranche2()
+
+
+# ===========================================================================
+# Tranche 3: TPC-H breadth for the SQLHandler tier (SURVEY §3.10).
+# The synthetic tables lack l_shipmode / l_commitdate / l_receiptdate /
+# partsupp, so Q4 and Q19 are adapted to the available columns with the
+# SAME plan shape (EXISTS semi-join; multi-branch OR over a dim join);
+# Q7 / Q10 / Q13 / Q14 / Q18 are faithful to the spec's plan shape.
+# Money discipline everywhere: sums accumulate exact cents
+# (round(x*100) as BIGINT), divide by 100.0 only at the end — bit-stable
+# across partitionings, which is what makes the hash-match reproducible
+# on a 1000-executor cluster too.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Q4 (order-priority checking) — EXISTS semi-join shape. The spec's
+# l_commitdate < l_receiptdate predicate isn't in the synthetic schema;
+# the adapted inner predicate is "some lineitem shipped >= 90 days after
+# the order date" (a late-shipment witness). The plan is identical:
+# filtered orders LEFT SEMI JOIN lineitem on the order key plus a
+# non-equi condition, then a tiny group-by on priority.
+# ---------------------------------------------------------------------------
+def q_tpch_q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 (volume shipping): revenue between two nations, by direction and
+# ship year. Plan shape: ONE shuffle (lineitem⋈orders on the order key);
+# supplier, customer, and both nation sides are broadcast dims; the
+# two-direction pair predicate folds into the broadcast join filter.
+# ---------------------------------------------------------------------------
+def q_tpch_q7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed(
+        "n_nationkey", "n1_key"
+    )
+    n2 = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed(
+        "n_nationkey", "n2_key"
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") <= "1997-12-31")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 (returned-item reporting): top 20 customers by revenue lost to
+# returns in a quarter. Fact⋈fact on the order key, customer + nation
+# broadcast, TakeOrderedAndProject for the top-20 (never a global sort).
+# ---------------------------------------------------------------------------
+def q_tpch_q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    g = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            )
+            / 100.0
+        ).alias("revenue")
+    )
+    return g.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 (customer order distribution): LEFT OUTER join so zero-order
+# customers count, then a second (tiny) agg over the per-customer counts.
+# Two exchanges by necessity (custkey, then c_count) — the second input
+# is |customers| rows, already map-side combinable.
+# ---------------------------------------------------------------------------
+def q_tpch_q13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 (promotion effect): percentage of one month's revenue from PROMO
+# parts. part is a broadcast dim; the two conditional sums share one
+# scan + one agg (no second pass).
+# ---------------------------------------------------------------------------
+def q_tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    g = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+        .alias("promo_cents"),
+        F.sum(cents).alias("total_cents"),
+    )
+    return g.select(
+        F.round(
+            100.0 * F.col("promo_cents") / F.col("total_cents"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 ELSE 0 END)
+           / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)), 6)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 (large-volume customers): HAVING on a fact-side agg feeds a
+# semi-filtered join back to orders + broadcast customer. The quantity
+# agg and the final group share the l_orderkey partitioning (one
+# exchange reused); top-100 via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+def q_tpch_q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "tpch_q4_order_priority": (q_tpch_q4, SQL_TPCH_Q4),
+        "tpch_q7_volume_shipping": (q_tpch_q7, SQL_TPCH_Q7),
+        "tpch_q10_returned_items": (q_tpch_q10, SQL_TPCH_Q10),
+        "tpch_q13_order_distribution": (q_tpch_q13, SQL_TPCH_Q13),
+        "tpch_q14_promo_effect": (q_tpch_q14, SQL_TPCH_Q14),
+        "tpch_q18_large_volume": (q_tpch_q18, SQL_TPCH_Q18),
+    }
+)
+
+
+# ===========================================================================
+# Tranche 4: math-evaluator long tail (SURVEY §3.9, solr/solrj/.../io/eval):
+# moments/mode/covariance/movingMedian/expMovingAvg/polyfit/outliers.
+# Series inputs are documents(n_chars) ordered by doc_id — deterministic.
+# ===========================================================================
+
+
+def q_stream_moments(spark, sf_dir):
+    from .operators.matheval import central_moments_stream
+
+    return central_moments_stream(_docs(spark, sf_dir), "n_chars")
+
+
+SQL_STREAM_MOMENTS = """
+WITH s AS (
+  SELECT count(*) AS n, sum(n_chars) AS s1,
+         sum(n_chars * n_chars) AS s2,
+         sum(n_chars * n_chars * n_chars) AS s3,
+         sum(n_chars * n_chars * n_chars * n_chars) AS s4
+  FROM documents)
+SELECT CAST(n AS BIGINT) AS n,
+       round(s1 / CAST(n AS DOUBLE), 6) AS mean,
+       round((s3/CAST(n AS DOUBLE) - 3*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+              + 2*pow(s1/CAST(n AS DOUBLE), 3))
+             / pow(s2/CAST(n AS DOUBLE) - pow(s1/CAST(n AS DOUBLE), 2), 1.5), 6)
+         AS skewness,
+       round((s4/CAST(n AS DOUBLE) - 4*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
+              + 6*pow(s1/CAST(n AS DOUBLE), 2)*(s2/CAST(n AS DOUBLE))
+              - 3*pow(s1/CAST(n AS DOUBLE), 4))
+             / pow(s2/CAST(n AS DOUBLE) - pow(s1/CAST(n AS DOUBLE), 2), 2) - 3.0, 6)
+         AS kurtosis
+FROM s
+"""
+
+
+def q_stream_means(spark, sf_dir):
+    from .operators.matheval import means_stream
+
+    return means_stream(_docs(spark, sf_dir), "n_chars")
+
+
+SQL_STREAM_MEANS = """
+SELECT round(exp(avg(ln(CAST(n_chars AS DOUBLE)))), 6) AS geometric_mean,
+       round(count(*) / sum(1.0 / n_chars), 6) AS harmonic_mean
+FROM documents WHERE n_chars > 0
+"""
+
+
+def q_stream_mode(spark, sf_dir):
+    from .operators.matheval import mode_stream
+
+    return mode_stream(_docs(spark, sf_dir), "n_chars")
+
+
+SQL_STREAM_MODE = """
+SELECT n_chars, count(*) AS freq
+FROM documents GROUP BY n_chars
+ORDER BY freq DESC, n_chars LIMIT 1
+"""
+
+
+def q_stream_cov(spark, sf_dir):
+    from .operators.matheval import covariance_exact_stream
+
+    return covariance_exact_stream(_docs(spark, sf_dir), "doc_id", "n_chars")
+
+
+SQL_STREAM_COV = """
+WITH s AS (
+  SELECT count(*) AS n, sum(doc_id) AS sx, sum(n_chars) AS sy,
+         sum(doc_id * n_chars) AS sxy
+  FROM documents)
+SELECT round(sxy / CAST(n AS DOUBLE)
+             - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)), 6)
+         AS cov_pop
+FROM s
+"""
+
+
+def q_stream_moving_median(spark, sf_dir):
+    from .operators.matheval import moving_median_stream
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    return moving_median_stream(d, "doc_id", "n_chars", 7)
+
+
+SQL_STREAM_MOVING_MEDIAN = """
+WITH s AS (
+  SELECT doc_id,
+         median(n_chars) OVER (ORDER BY doc_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS moving_median,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 120)
+SELECT doc_id, moving_median FROM s WHERE rn >= 7 ORDER BY doc_id
+"""
+
+
+def q_stream_ema(spark, sf_dir):
+    from .operators.matheval import exp_moving_avg_stream
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return exp_moving_avg_stream(d, "doc_id", "n_chars", 0.3)
+
+
+SQL_STREAM_EMA = """
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY doc_id) AS i
+  FROM documents WHERE doc_id < 200),
+terms AS (
+  SELECT doc_id, i,
+         CASE WHEN i = 1 THEN x / 0.7 ELSE x * 0.3 / pow(0.7, i) END AS term
+  FROM t)
+SELECT doc_id,
+       round(sum(term) OVER (ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * pow(0.7, i), 6) AS ema
+FROM terms ORDER BY doc_id
+"""
+
+
+def q_stream_polyfit2(spark, sf_dir):
+    from .operators.matheval import polyfit2_stream
+
+    return polyfit2_stream(_docs(spark, sf_dir), "doc_id", "n_chars")
+
+
+SQL_STREAM_POLYFIT2 = """
+WITH t AS (
+  SELECT row_number() OVER (ORDER BY doc_id) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS s0, CAST(sum(x) AS DOUBLE) AS s1,
+         CAST(sum(x*x) AS DOUBLE) AS s2, CAST(sum(x*x*x) AS DOUBLE) AS s3,
+         CAST(sum(x*x*x*x) AS DOUBLE) AS s4,
+         CAST(sum(y) AS DOUBLE) AS t0, CAST(sum(x*y) AS DOUBLE) AS t1,
+         CAST(sum(x*x*y) AS DOUBLE) AS t2
+  FROM t),
+d AS (
+  SELECT *, s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s2*s3) + s2*(s1*s3 - s2*s2)
+              AS det
+  FROM s)
+SELECT
+  round((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - t2*s3) + s2*(t1*s3 - t2*s2)) / det, 6)
+    AS c0,
+  round((s0*(t1*s4 - t2*s3) - t0*(s1*s4 - s2*s3) + s2*(s1*t2 - s2*t1)) / det, 6)
+    AS c1,
+  round((s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2)) / det, 6)
+    AS c2
+FROM d
+"""
+
+
+def q_stream_outliers(spark, sf_dir):
+    # events.value is the long-tailed column (documents.n_chars is
+    # near-uniform — zero Tukey outliers, a vacuous witness)
+    from .operators.matheval import iqr_outliers_stream
+
+    ev = _t(spark, sf_dir, "events")
+    return iqr_outliers_stream(ev, "event_id", "value")
+
+
+SQL_STREAM_OUTLIERS = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events),
+f AS (SELECT q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM q)
+SELECT event_id, value
+FROM events, f
+WHERE value < lo OR value > hi
+ORDER BY event_id
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "stream_central_moments": (q_stream_moments, SQL_STREAM_MOMENTS),
+        "stream_means_geo_harmonic": (q_stream_means, SQL_STREAM_MEANS),
+        "stream_mode": (q_stream_mode, SQL_STREAM_MODE),
+        "stream_cov_exact": (q_stream_cov, SQL_STREAM_COV),
+        "stream_moving_median": (q_stream_moving_median,
+                                 SQL_STREAM_MOVING_MEDIAN),
+        "stream_exp_moving_avg": (q_stream_ema, SQL_STREAM_EMA),
+        "stream_polyfit2": (q_stream_polyfit2, SQL_STREAM_POLYFIT2),
+        "stream_outliers_iqr": (q_stream_outliers, SQL_STREAM_OUTLIERS),
+    }
+)

@@ -629,3 +629,214 @@ def ks_test_stream(
         F.lit(n1).alias("n1"),
         F.lit(n2).alias("n2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tranche: the remaining high-traffic evaluators from
+# solr/solrj/src/java/org/apache/solr/client/solrj/io/eval/ —
+# moments (skewness/kurtosis, DescribeEvaluator's DescriptiveStatistics
+# tail), ModeEvaluator, CovarianceEvaluator, MovingMedianEvaluator,
+# ExponentialMovingAverageEvaluator, PolyFitEvaluator, OutliersEvaluator.
+# Determinism discipline: wherever the input column is integral, raw
+# moments accumulate as EXACT bigint sums (order-independent across any
+# partitioning — the property that makes the hash-match reproducible on
+# a 1000-executor cluster); doubles appear only in the final scalar
+# arithmetic, which is a fixed expression tree on both engines.
+# ---------------------------------------------------------------------------
+def central_moments_stream(df: DataFrame, col: str) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2^2 - 3 from exact integer raw moments (central moments by
+    the binomial expansion). One map-side-combinable agg, no second pass.
+    """
+    x = F.col(col).cast("bigint")
+    g = df.agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis"),
+    )
+
+
+def means_stream(df: DataFrame, col: str) -> DataFrame:
+    """geometricMean / harmonicMean (commons-math definitions): requires
+    col > 0. Float sums over ~n rows; consumers round (ULP-order noise is
+    far below the 6-dp contract)."""
+    x = F.col(col).cast("double")
+    return df.filter(x > 0).agg(
+        F.round(F.exp(F.avg(F.log(x))), 6).alias("geometric_mean"),
+        F.round(F.count(x) / F.sum(1.0 / x), 6).alias("harmonic_mean"),
+    )
+
+
+def mode_stream(df: DataFrame, col: str) -> DataFrame:
+    """ModeEvaluator: most frequent value; smallest value wins ties
+    (deterministic contract — commons-math returns ALL tied modes; the
+    single-row form documents the tiebreak)."""
+    counts = df.groupBy(col).agg(F.count("*").alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc(col)).limit(1)
+
+
+def covariance_exact_stream(df: DataFrame, x: str, y: str) -> DataFrame:
+    """CovarianceEvaluator (population): E[xy] - E[x]E[y] from exact
+    bigint sums when both columns are integral."""
+    cx, cy = F.col(x).cast("bigint"), F.col(y).cast("bigint")
+    g = df.agg(
+        F.count("*").alias("n"),
+        F.sum(cx).alias("sx"),
+        F.sum(cy).alias("sy"),
+        F.sum(cx * cy).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    return g.select(
+        F.round(
+            F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n), 6
+        ).alias("cov_pop")
+    )
+
+
+def moving_median_stream(
+    df: DataFrame, order_col: str, val_col: str, window: int
+) -> DataFrame:
+    """MovingMedianEvaluator: exact median over a trailing row window of
+    size `window` (emitted only once the window is full, as the reference
+    does — the first window-1 points are dropped)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(order_col).rowsBetween(-(window - 1), 0)
+    idx = W.orderBy(order_col)
+    return (
+        df.select(
+            F.col(order_col),
+            # exact interpolated median; `median` itself rejects window
+            # frames in Spark, `percentile` does not
+            F.expr(f"percentile({val_col}, 0.5)")
+            .over(w)
+            .alias("moving_median"),
+            F.row_number().over(idx).alias("_rn"),
+        )
+        .filter(F.col("_rn") >= window)
+        .drop("_rn")
+    )
+
+
+def exp_moving_avg_stream(
+    df: DataFrame, order_col: str, val_col: str, alpha: float
+) -> DataFrame:
+    """ExponentialMovingAverageEvaluator: e_1 = x_1,
+    e_i = a*x_i + (1-a)*e_{i-1}, unrolled to the closed form
+    e_i = (1-a)^(i-1) x_1 + a * sum_{j=2..i} (1-a)^(i-j) x_j so the whole
+    series is ONE window sum (no sequential recursion, no Python loop).
+    """
+    from pyspark.sql import Window as W
+
+    b = 1.0 - alpha
+    idx = W.orderBy(order_col)
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    t = df.select(
+        F.col(order_col),
+        F.col(val_col).cast("double").alias("_x"),
+        F.row_number().over(idx).alias("_i"),
+    )
+    # sum over j<=i of w_j with w_j = x_j * (a / b^j), then scale by b^i;
+    # the j=1 term swaps a -> 1 to honour e_1 = x_1 exactly.
+    term = F.when(F.col("_i") == 1, F.col("_x") / F.lit(b)).otherwise(
+        F.col("_x") * F.lit(alpha) / F.pow(F.lit(b), F.col("_i"))
+    )
+    t = t.withColumn("_term", term)
+    return t.select(
+        F.col(order_col),
+        F.round(
+            F.sum("_term").over(w) * F.pow(F.lit(b), F.col("_i")), 6
+        ).alias("ema"),
+    )
+
+
+def polyfit2_stream(df: DataFrame, order_col: str, val_col: str) -> DataFrame:
+    """PolyFitEvaluator, degree 2: least-squares y = c0 + c1 x + c2 x^2
+    with x = 1..n (the reference fits against the sequence index). The
+    3x3 normal equations are solved in closed form (Cramer) from exact
+    bigint power sums — a single agg, deterministic under any
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    idx = W.orderBy(order_col)
+    t = df.select(
+        F.row_number().over(idx).cast("bigint").alias("_x"),
+        F.col(val_col).cast("bigint").alias("_y"),
+    )
+    x, y = F.col("_x"), F.col("_y")
+    g = t.agg(
+        F.count("*").alias("s0"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+        F.sum(y).alias("t0"),
+        F.sum(x * y).alias("t1"),
+        F.sum(x * x * y).alias("t2"),
+    )
+    s0, s1, s2 = (F.col(c).cast("double") for c in ("s0", "s1", "s2"))
+    s3, s4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    t0, t1, t2 = (F.col(c).cast("double") for c in ("t0", "t1", "t2"))
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    c0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - t2 * s3)
+        + s2 * (t1 * s3 - t2 * s2)
+    ) / det
+    c1 = (
+        s0 * (t1 * s4 - t2 * s3)
+        - t0 * (s1 * s4 - s2 * s3)
+        + s2 * (s1 * t2 - s2 * t1)
+    ) / det
+    c2 = (
+        s0 * (s2 * t2 - s3 * t1)
+        - s1 * (s1 * t2 - s2 * t1)
+        + t0 * (s1 * s3 - s2 * s2)
+    ) / det
+    return g.select(
+        F.round(c0, 6).alias("c0"),
+        F.round(c1, 6).alias("c1"),
+        F.round(c2, 6).alias("c2"),
+    )
+
+
+def iqr_outliers_stream(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """OutliersEvaluator (Tukey fences): rows with x < Q1 - 1.5*IQR or
+    x > Q3 + 1.5*IQR, exact interpolated quartiles. The fences are a
+    1-row broadcast — no second shuffle of the data."""
+    q = df.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("q3"),
+    )
+    fences = q.select(
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    j = df.crossJoin(F.broadcast(fences))
+    return (
+        j.filter((F.col(col) < F.col("lo")) | (F.col(col) > F.col("hi")))
+        .select(id_col, col)
+        .orderBy(id_col)
+    )
