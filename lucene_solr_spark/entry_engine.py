@@ -607,3 +607,116 @@ REGISTRY_ENGINE.update(
         "engine_edismax_bqbf_sql": (q_engine_edismax_bqbf, SQL_ENGINE_EDISMAX_BQBF),
     }
 )
+
+
+def q_engine_prefix_scoring(spark, sf_dir):
+    """MultiTermQuery SCORING_BOOLEAN_REWRITE through the real engine
+    (MultiTermQuery.java ≈L60, ScoringRewrite.SCORING_BOOLEAN_REWRITE):
+    prefix s* expands against the terms dict into SHOULD TermQueries,
+    each scored with its OWN df; TooManyClauses guard at 1024."""
+    from .query import Prefix
+
+    eng = _engine(spark, sf_dir)
+    s = eng["searcher"]
+    q = s.rewrite_multiterm(Prefix("s"), "scoring_boolean")
+    return _to_orig(eng, s.search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_PREFIX_SCORING = f"""
+WITH {_TOK},
+mt AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term LIKE 's%' GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM mt GROUP BY term),
+sc AS (SELECT mt.doc_id,
+              ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5)) * mt.tf
+              / (mt.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS s
+       FROM mt JOIN dfs ON mt.term = dfs.term
+       JOIN dl ON dl.doc_id = mt.doc_id, cstats),
+g AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_engine_fuzzy_topterms(spark, sf_dir):
+    """TopTermsScoringBooleanQueryRewrite(2) for FuzzyQuery hase~2
+    (FuzzyTermsEnum similarity boost 1 - ed/min(|term|,|target|)): the
+    two best candidates (hash: boost .75, fast: boost .5) become boosted
+    SHOULD TermQueries."""
+    from .query import Fuzzy
+
+    eng = _engine(spark, sf_dir)
+    s = eng["searcher"]
+    q = s.rewrite_multiterm(Fuzzy("hase", 2), "top_terms", size=2)
+    return _to_orig(eng, s.search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_FUZZY_TOPTERMS = f"""
+WITH {_TOK},
+cands AS (
+  SELECT term, count(DISTINCT doc_id) AS df,
+         1.0 - levenshtein(term, 'hase')
+             / CAST(least(length(term), 4) AS DOUBLE) AS boost
+  FROM tok WHERE levenshtein(term, 'hase') <= 2
+  GROUP BY term ORDER BY boost DESC, term LIMIT 2
+),
+mt AS (SELECT t.doc_id, t.term, count(*) AS tf
+       FROM tok t JOIN cands c ON t.term = c.term
+       GROUP BY t.doc_id, t.term),
+sc AS (SELECT mt.doc_id,
+              c.boost * ln(1 + (cstats.n - c.df + 0.5) / (c.df + 0.5)) * mt.tf
+              / (mt.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS s
+       FROM mt JOIN cands c ON mt.term = c.term
+       JOIN dl ON dl.doc_id = mt.doc_id, cstats),
+g AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_engine_blended_prefix(spark, sf_dir):
+    """TopTermsBlendedFreqScoringRewrite(4) for prefix s*
+    (BlendedTermQuery df blending): the 4 highest-df candidates keep
+    their own tfs but ALL score with df := max df of the kept set."""
+    from .query import Prefix
+
+    eng = _engine(spark, sf_dir)
+    s = eng["searcher"]
+    q = s.rewrite_multiterm(Prefix("s"), "top_terms_blended", size=4)
+    return _to_orig(eng, s.search(q, 10, with_fields=False))
+
+
+SQL_ENGINE_BLENDED_PREFIX = f"""
+WITH {_TOK},
+mt0 AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term LIKE 's%' GROUP BY doc_id, term),
+cands AS (SELECT term, count(*) AS df FROM mt0 GROUP BY term
+          ORDER BY df DESC, term LIMIT 4),
+dfm AS (SELECT max(df) AS df FROM cands),
+sc AS (SELECT mt0.doc_id,
+              ln(1 + (cstats.n - dfm.df + 0.5) / (dfm.df + 0.5)) * mt0.tf
+              / (mt0.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS s
+       FROM mt0 JOIN cands c ON mt0.term = c.term
+       JOIN dl ON dl.doc_id = mt0.doc_id, cstats, dfm),
+g AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+REGISTRY_ENGINE.update(
+    {
+        "engine_prefix_scoring_sql": (
+            q_engine_prefix_scoring,
+            SQL_ENGINE_PREFIX_SCORING,
+        ),
+        "engine_fuzzy_topterms_sql": (
+            q_engine_fuzzy_topterms,
+            SQL_ENGINE_FUZZY_TOPTERMS,
+        ),
+        "engine_blended_prefix_sql": (
+            q_engine_blended_prefix,
+            SQL_ENGINE_BLENDED_PREFIX,
+        ),
+    }
+)

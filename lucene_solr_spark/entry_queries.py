@@ -795,6 +795,9 @@ _after_window = [
     "stream_central_moments", "stream_means_geo_harmonic", "stream_mode",
     "stream_cov_exact", "stream_moving_median", "stream_exp_moving_avg",
     "stream_polyfit2", "stream_outliers_iqr",
+    # round-4 seventh tranche: MultiTermQuery scoring rewrites
+    "engine_prefix_scoring_sql", "engine_fuzzy_topterms_sql",
+    "engine_blended_prefix_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

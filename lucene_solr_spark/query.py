@@ -97,6 +97,17 @@ class Synonym(Query):
 
 
 @dataclass(frozen=True)
+class Blended(Query):
+    """BlendedTermQuery (lucene/core/.../search/BlendedTermQuery.java
+    ≈L60, BooleanRewrite): every term scores SEPARATELY (own tf) but with
+    a blended df = max df across the set; per-doc score is the sum.
+    Contrast Synonym, which merges tfs into one pseudo-term."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
     boost: float = 1.0
 

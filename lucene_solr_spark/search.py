@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1
 from .query import (
+    Blended,
     Boolean,
     Boost,
     ConstantScore,
@@ -49,11 +50,20 @@ from .query import (
 )
 from .score import bm25_score, classic_score
 
+# BooleanQuery#maxClauseCount (IndexSearcher.TooManyClauses): the cap a
+# scoring multi-term rewrite may expand to before it must degrade to the
+# constant-score filter path.
+MAX_CLAUSE_COUNT = 1024
+
+
+class TooManyClauses(RuntimeError):
+    pass
+
 
 def _collect_terms(q: Query, out: set) -> None:
     if isinstance(q, Term):
         out.add(q.term)
-    elif isinstance(q, (Phrase, Synonym, TermInSet)):
+    elif isinstance(q, (Phrase, Synonym, TermInSet, Blended)):
         out.update(q.terms)
     elif isinstance(q, MultiPhrase):
         for slot in q.slots:
@@ -218,6 +228,29 @@ class Searcher:
                 else F.lit(0.0)
             )
             return g.select("doc_id", score.alias("score"))
+
+        if isinstance(q, Blended):
+            # per-term tf, blended df = max df (BlendedTermQuery.java
+            # ≈L60 BooleanRewrite): score each term row with df_max, sum
+            present = [t for t in q.terms if t in stats]
+            if not present:
+                return self._empty()
+            df_max = max(stats[t]["df"] for t in present)
+            p = self.postings
+            if "bucket" in p.columns:
+                p = p.filter(F.col("bucket").isin(self._buckets(present)))
+            p = p.filter(F.col("term").isin(present))
+            if scored:
+                row_score = self._score_expr(
+                    F.col("tf"), F.col("dlq"), df_max, q.boost
+                )
+            else:
+                row_score = F.lit(0.0)
+            return (
+                p.select("doc_id", row_score.alias("_s"))
+                .groupBy("doc_id")
+                .agg(F.sum("_s").alias("score"))
+            )
 
         if isinstance(q, Phrase):
             return self._compile_phrase(q, stats, scored)
@@ -452,6 +485,73 @@ class Searcher:
         return matched.select(
             "doc_id", F.lit(float(boost) if scored else 0.0).alias("score")
         )
+
+    def rewrite_multiterm(
+        self, q: Query, method: str = "scoring_boolean", size: int = 50
+    ) -> Query:
+        """MultiTermQuery#rewrite scoring methods (MultiTermQuery.java
+        ≈L60; the Lucene 8 default CONSTANT_SCORE_REWRITE is
+        `_compile_multiterm` above):
+
+        * 'scoring_boolean' — SCORING_BOOLEAN_REWRITE: every matching
+          term becomes a SHOULD TermQuery scored with its OWN df; raises
+          TooManyClauses past BooleanQuery#maxClauseCount (1024).
+        * 'top_terms' — TopTermsScoringBooleanQueryRewrite(size): keep
+          `size` terms. For Fuzzy, boost = 1 - ed/min(|term|, |target|)
+          (FuzzyTermsEnum's similarity boost), queue ordered by boost
+          desc then term asc — faithful. For constant-boost expansions
+          (prefix/wildcard/range/set) the reference queue degenerates to
+          term order; we order by docFreq desc, term asc (documented
+          deviation: df-desc keeps the terms that can actually score).
+        * 'top_terms_blended' — TopTermsBlendedFreqScoringRewrite(size):
+          the kept set scores as a Blended query (df := max df of the
+          set, per-term tfs, summed).
+
+        The expansion runs ON THE CLUSTER against the terms dict
+        (bucket-pruned for TermInSet; a filter scan otherwise, exactly
+        the terms-dict walk Lucene's TermsEnum does RAM-side); only the
+        winning <= max(size, 1024) terms come back to the driver.
+        """
+        cand = self._expand_terms(q).join(
+            self.term_stats.select("term", "df"), "term"
+        )
+        boost = float(getattr(q, "boost", 1.0))
+        if isinstance(q, Fuzzy):
+            sim = 1.0 - F.levenshtein(
+                F.col("term"), F.lit(q.term)
+            ) / F.least(F.length("term"), F.lit(len(q.term))).cast("double")
+            cand = cand.withColumn("_boost", sim)
+            order = [F.desc("_boost"), F.asc("term")]
+        else:
+            cand = cand.withColumn("_boost", F.lit(1.0))
+            order = [F.desc("df"), F.asc("term")]
+
+        if method == "scoring_boolean":
+            rows = cand.select("term", "_boost").limit(
+                MAX_CLAUSE_COUNT + 1
+            ).collect()
+            if len(rows) > MAX_CLAUSE_COUNT:
+                raise TooManyClauses(
+                    f"multi-term expansion exceeds {MAX_CLAUSE_COUNT}"
+                )
+            return Boolean(
+                should=[
+                    Term(r["term"], boost * float(r["_boost"]))
+                    for r in sorted(rows, key=lambda r: r["term"])
+                ]
+            )
+        rows = cand.orderBy(*order).limit(size).collect()
+        if method == "top_terms":
+            return Boolean(
+                should=[
+                    Term(r["term"], boost * float(r["_boost"])) for r in rows
+                ]
+            )
+        if method == "top_terms_blended":
+            return Blended(
+                terms=tuple(sorted(r["term"] for r in rows)), boost=boost
+            )
+        raise ValueError(method)
 
     def _lead_filter(self, q: Boolean, stats: dict) -> DataFrame | None:
         """ConjunctionDISI lead-iterator prefilter (ConjunctionDISI.java
