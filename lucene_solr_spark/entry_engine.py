@@ -720,3 +720,56 @@ REGISTRY_ENGINE.update(
         ),
     }
 )
+
+
+def q_engine_phrase_wildcard(spark, sf_dir):
+    """PhraseWildcardQuery "fast s*" through the real engine: the prefix
+    slot expands against the terms dict, then the MultiPhrase position
+    matcher scores with summed constituent idfs (see
+    Searcher.phrase_wildcard; semantics == MultiPhraseQuery)."""
+    from .query import Prefix
+
+    eng = _engine(spark, sf_dir)
+    return _to_orig(
+        eng, eng["searcher"].phrase_wildcard(["fast", Prefix("s")], 10)
+    )
+
+
+SQL_ENGINE_PHRASE_WILDCARD = """
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokp GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+p1 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term = 'fast'),
+p2 AS (SELECT DISTINCT doc_id, pos FROM tokp WHERE term LIKE 's%'),
+idf1 AS (
+  SELECT ln(1 + (cstats.n - d.df + 0.5) / (d.df + 0.5)) AS v
+  FROM (SELECT count(DISTINCT doc_id) AS df FROM tokp
+        WHERE term = 'fast') d, cstats),
+idf2 AS (
+  SELECT sum(ln(1 + (cstats.n - d.df + 0.5) / (d.df + 0.5))) AS v
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tokp
+        WHERE term LIKE 's%' GROUP BY term) d, cstats),
+ptf AS (SELECT p1.doc_id, count(*) AS tf
+        FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        GROUP BY p1.doc_id),
+scored AS (
+  SELECT ptf.doc_id,
+         (idf1.v + idf2.v) * ptf.tf
+           / (ptf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+  FROM ptf, dl, cstats, idf1, idf2 WHERE dl.doc_id = ptf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+REGISTRY_ENGINE.update(
+    {
+        "engine_phrase_wildcard_sql": (
+            q_engine_phrase_wildcard,
+            SQL_ENGINE_PHRASE_WILDCARD,
+        ),
+    }
+)

@@ -798,6 +798,10 @@ _after_window = [
     # round-4 seventh tranche: MultiTermQuery scoring rewrites
     "engine_prefix_scoring_sql", "engine_fuzzy_topterms_sql",
     "engine_blended_prefix_sql",
+    # round-4 eighth tranche: PhraseWildcard, FeatureField,
+    # SpanMultiTermQueryWrapper, TermsComponent regex
+    "engine_phrase_wildcard_sql", "feature_field_saturation",
+    "span_multiterm_near", "terms_regex",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1139,3 +1139,124 @@ REGISTRY_R4.update(
         "stream_outliers_iqr": (q_stream_outliers, SQL_STREAM_OUTLIERS),
     }
 )
+
+
+# ===========================================================================
+# Tranche 5: FeatureField static-feature scoring, SpanMultiTermQueryWrapper,
+# TermsComponent regex, PhraseWildcard (engine entry lives in
+# entry_engine.py).
+# ===========================================================================
+
+
+def q_feature_field_saturation(spark, sf_dir):
+    """FeatureField (lucene/core/.../document/FeatureField.java ≈L80)
+    SaturationFunction as a SHOULD clause: score = BM25('dup') +
+    1.5 * sat(n_chars, pivot=280). The feature read is a docmeta column
+    scan joined AFTER the postings scorer — no postings-side work."""
+    from .entry_queries import _bm25_expr, _cstats, _dl, _docs, _tok, _topk
+    from .functions.valuesources import feature_saturation
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, avgdl = _cstats(spark, sf_dir)
+    tf = tok.filter(F.col("term") == "dup").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.count()
+    base = tf.join(dl, "doc_id").select(
+        "doc_id",
+        _bm25_expr(F.col("tf"), F.col("dl"), F.lit(float(df_)), n, avgdl)
+        .alias("_text"),
+    )
+    feat = _docs(spark, sf_dir).select(
+        "doc_id", feature_saturation(F.col("n_chars"), 280.0, 1.5).alias("_f")
+    )
+    out = base.join(F.broadcast(feat), "doc_id").select(
+        "doc_id", (F.col("_text") + F.col("_f")).alias("score")
+    )
+    return _topk(out)
+
+
+SQL_FEATURE_SATURATION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'dup'
+       GROUP BY doc_id),
+d1 AS (SELECT count(*) AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl))
+         + 1.5 * docs.n_chars / (docs.n_chars + 280.0) AS score
+  FROM tf, dl, cstats, d1, documents docs
+  WHERE dl.doc_id = tf.doc_id AND docs.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_span_multiterm_near(spark, sf_dir):
+    """SpanMultiTermQueryWrapper(prefix s*) as the second clause of an
+    ordered near(slop=2) with 'merge'."""
+    from .operators.spans import span_multiterm_near
+
+    tok = _tok(spark, sf_dir)
+    s_terms = [
+        r["term"]
+        for r in tok.filter(F.col("term").startswith("s"))
+        .select("term")
+        .distinct()
+        .collect()
+    ]
+    return span_multiterm_near(
+        tok, "merge", s_terms, slop=2, in_order=True
+    ).orderBy("doc_id")
+
+
+SQL_SPAN_MULTITERM_NEAR = f"""
+WITH {_SQL_POS},
+pa AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'merge'),
+pb AS (SELECT DISTINCT doc_id, pos AS pb FROM tok WHERE term LIKE 's%')
+SELECT pa.doc_id, count(*) AS n_matches
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE pb.pb > pa.pa AND pb.pb - pa.pa - 1 <= 2
+GROUP BY pa.doc_id ORDER BY pa.doc_id
+"""
+
+
+def q_terms_regex(spark, sf_dir):
+    """TermsComponent terms.regex + terms.mincount + terms.limit
+    (solr/core/.../handler/component/TermsComponent.java ≈L120): terms
+    matching a regex, df >= mincount, by df desc then term, capped."""
+    t = _tok(spark, sf_dir)
+    dfs = (
+        t.filter(F.col("term").rlike("^s.*"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 350)
+    )
+    return dfs.orderBy(F.desc("df"), F.asc("term")).limit(10)
+
+
+SQL_TERMS_REGEX = f"""
+WITH {_SQL_POS}
+SELECT term, count(DISTINCT doc_id) AS df
+FROM tok WHERE regexp_matches(term, '^s.*')
+GROUP BY term HAVING count(DISTINCT doc_id) >= 350
+ORDER BY df DESC, term LIMIT 10
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "feature_field_saturation": (
+            q_feature_field_saturation,
+            SQL_FEATURE_SATURATION,
+        ),
+        "span_multiterm_near": (q_span_multiterm_near,
+                                SQL_SPAN_MULTITERM_NEAR),
+        "terms_regex": (q_terms_regex, SQL_TERMS_REGEX),
+    }
+)

@@ -150,3 +150,29 @@ def ord_rank(df: DataFrame, col: str) -> DataFrame:
     vals = df.select(col).distinct()
     w = Window.orderBy(F.asc(col))
     return vals.withColumn("ord", F.dense_rank().over(w))
+
+
+# ---------------------------------------------------------------------------
+# FeatureField scoring functions (lucene/core/.../document/FeatureField.java
+# ≈L80): static per-doc features (pagerank, quality, recency) contribute to
+# the score through one of three shapes; the FeatureField query is a SHOULD
+# clause whose score ADDS to the textual BM25 score. All three stay in
+# whole-stage codegen.
+# ---------------------------------------------------------------------------
+def feature_saturation(f: Column, pivot: float, weight: float = 1.0) -> Column:
+    """SaturationFunction: w * f / (f + pivot)."""
+    x = f.cast("double")
+    return F.lit(float(weight)) * x / (x + F.lit(float(pivot)))
+
+
+def feature_log(f: Column, scaling: float, weight: float = 1.0) -> Column:
+    """LogFunction: w * ln(scaling + f)."""
+    return F.lit(float(weight)) * F.log(F.lit(float(scaling)) + f.cast("double"))
+
+
+def feature_sigmoid(
+    f: Column, pivot: float, exp: float, weight: float = 1.0
+) -> Column:
+    """SigmoidFunction: w * f^a / (f^a + pivot^a)."""
+    x = F.pow(f.cast("double"), F.lit(float(exp)))
+    return F.lit(float(weight)) * x / (x + F.lit(float(pivot) ** float(exp)))

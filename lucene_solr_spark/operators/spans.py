@@ -306,3 +306,37 @@ def sloppy_phrase_freq(
     """Two-term Lucene-greedy sloppy phrase frequency (see
     sloppy_phrase_freq_greedy)."""
     return sloppy_phrase_freq_greedy(tokens, [term_a, term_b], slop)
+
+
+def span_multiterm_near(
+    tokens: DataFrame,
+    term_a: str,
+    terms_b: list,
+    slop: int,
+    in_order: bool = True,
+) -> DataFrame:
+    """SpanMultiTermQueryWrapper (lucene/queries/.../spans/
+    SpanMultiTermQueryWrapper.java ≈L50): a multi-term query (prefix/
+    wildcard/fuzzy expansion) used as a span clause — the wrapper rewrites
+    to SpanOr over the expanded terms. Here the caller passes the
+    expansion (`terms_b`, e.g. Searcher.rewrite-style terms-dict output);
+    side B's position stream is the SpanOr union (dedup by (doc, pos)),
+    then the usual near-join."""
+    pa_ = _positions(tokens, term_a, "pa")
+    pb = (
+        tokens.filter(F.col("term").isin(list(terms_b)))
+        .select("doc_id", F.col("pos").alias("pb"))
+        .dropDuplicates(["doc_id", "pb"])
+    )
+    j = pa_.join(pb, "doc_id")
+    if in_order:
+        dist = F.col("pb") - F.col("pa") - 1
+        cond = (F.col("pb") > F.col("pa")) & (dist <= slop)
+    else:
+        dist = F.abs(F.col("pb") - F.col("pa")) - 1
+        cond = (F.col("pa") != F.col("pb")) & (dist <= slop)
+    return (
+        j.filter(cond)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )

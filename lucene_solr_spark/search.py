@@ -553,6 +553,36 @@ class Searcher:
             )
         raise ValueError(method)
 
+    def phrase_wildcard(self, parts: list, k: int = 10) -> DataFrame:
+        """PhraseWildcardQuery (lucene/sandbox/.../search/
+        PhraseWildcardQuery.java ≈L60): a phrase where any slot may be a
+        multi-term subquery ("fast s*"). Semantics == MultiPhraseQuery
+        over the per-slot terms-dict expansions (the sandbox class only
+        optimizes WHICH segment expands first; matches and scores are
+        MultiPhraseQuery's). `parts`: str for an exact slot, a
+        multi-term Query (Prefix/Wildcard/...) for an expanding slot.
+        Expansion is capped by BooleanQuery#maxClauseCount per slot."""
+        slots = []
+        for p in parts:
+            if isinstance(p, str):
+                slots.append((p,))
+                continue
+            rows = (
+                self._expand_terms(p)
+                .limit(MAX_CLAUSE_COUNT + 1)
+                .collect()
+            )
+            if len(rows) > MAX_CLAUSE_COUNT:
+                raise TooManyClauses(
+                    f"phrase slot expansion exceeds {MAX_CLAUSE_COUNT}"
+                )
+            if not rows:
+                return self._empty()
+            slots.append(tuple(sorted(r["term"] for r in rows)))
+        return self.search(
+            MultiPhrase(slots=tuple(slots)), k, with_fields=False
+        )
+
     def _lead_filter(self, q: Boolean, stats: dict) -> DataFrame | None:
         """ConjunctionDISI lead-iterator prefilter (ConjunctionDISI.java
         ≈L50: the conjunction advances by the SPARSEST iterator, so the

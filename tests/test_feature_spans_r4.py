@@ -1,0 +1,80 @@
+"""FeatureField scoring functions + SpanMultiTermQueryWrapper +
+PhraseWildcardQuery unit semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.valuesources import (
+    feature_log,
+    feature_saturation,
+    feature_sigmoid,
+)
+from lucene_solr_spark.operators.spans import span_multiterm_near, span_near
+
+
+def test_feature_functions_closed_forms(spark):
+    df = spark.createDataFrame([(100.0,), (280.0,), (0.0,)], ["f"])
+    rows = df.select(
+        feature_saturation(F.col("f"), 280.0, 2.0).alias("sat"),
+        feature_log(F.col("f"), 1.0, 1.0).alias("lg"),
+        feature_sigmoid(F.col("f"), 280.0, 2.0, 1.0).alias("sig"),
+    ).collect()
+    f0 = rows[0]
+    assert f0["sat"] == pytest.approx(2.0 * 100 / 380)
+    assert f0["lg"] == pytest.approx(math.log(101.0))
+    assert f0["sig"] == pytest.approx(100**2 / (100**2 + 280**2))
+    # pivot point: saturation = w/2, sigmoid = 1/2
+    assert rows[1]["sat"] == pytest.approx(1.0)
+    assert rows[1]["sig"] == pytest.approx(0.5)
+    assert rows[2]["sat"] == 0.0 and rows[2]["sig"] == 0.0
+
+
+def test_span_multiterm_near_equals_union_of_exact(spark):
+    rows = []
+    text = "merge sort then merge scan then merge other".split()
+    for pos, term in enumerate(text):
+        rows.append((1, term, pos + 1))
+    tok = spark.createDataFrame(rows, ["doc_id", "term", "pos"])
+    multi = span_multiterm_near(tok, "merge", ["sort", "scan"], 0).collect()
+    a = span_near(tok, "merge", "sort", 0).collect()
+    b = span_near(tok, "merge", "scan", 0).collect()
+    total = sum(r["n_matches"] for r in a) + sum(r["n_matches"] for r in b)
+    assert multi and multi[0]["n_matches"] == total == 2
+
+
+def test_phrase_wildcard_too_many_and_empty(spark, tmp_path_factory):
+    from lucene_solr_spark.fixtures import write_pages
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.query import Prefix
+    from lucene_solr_spark.search import Searcher, TooManyClauses
+
+    out = str(tmp_path_factory.mktemp("pw") / "pages.parquet")
+    write_pages(0.0002, out)
+    idx = str(tmp_path_factory.mktemp("pw") / "idx")
+    build_index(
+        spark,
+        spark.read.parquet(out).select("url", "text", "lang"),
+        idx,
+        profile="simple",
+        num_buckets=4,
+        quantize=False,
+    )
+    s = Searcher(read_index(spark, idx))
+    # empty expansion -> empty result, not an error
+    assert s.phrase_wildcard(["fast", Prefix("zzzqx")], 5).count() == 0
+    import lucene_solr_spark.search as S
+
+    old = S.MAX_CLAUSE_COUNT
+    try:
+        S.MAX_CLAUSE_COUNT = 1
+        with pytest.raises(TooManyClauses):
+            s.phrase_wildcard(["fast", Prefix("s")], 5)
+    finally:
+        S.MAX_CLAUSE_COUNT = old
+    # a real match scores > 0
+    top = s.phrase_wildcard(["the", Prefix("s")], 5).collect()
+    assert all(r["score"] > 0 for r in top)
