@@ -255,3 +255,58 @@ REGISTRY_MULTIFIELD = {
     "engine_dismax_fields_sql": (q_dismax_fields, SQL_DISMAX_FIELDS),
     "engine_perfield_sim_sql": (q_perfield_sim, SQL_PERFIELD_SIM),
 }
+
+
+def q_combined_field(spark, sf_dir):
+    """CombinedFieldQuery / BM25F 'vector merge' over title^2 + body:
+    one pseudo-field (summed weighted tfs, combined weighted lengths,
+    max-df pseudo term stats), one BM25 saturation."""
+    eng = _mf_engine(spark, sf_dir)
+    return _to_orig(
+        eng,
+        eng["searcher"].combined_field_query(
+            ["vector", "merge"], {"title": 2.0, "body": 1.0}, 10
+        ),
+    )
+
+
+SQL_COMBINED_FIELD = f"""
+WITH {_FIELDS},
+wtf AS (
+  SELECT doc_id, term, sum(w) AS tf FROM (
+    SELECT doc_id, term, 2.0 * count(*) AS w FROM tokT
+    WHERE term IN ('vector','merge') GROUP BY doc_id, term
+    UNION ALL
+    SELECT doc_id, term, 1.0 * count(*) AS w FROM tokB
+    WHERE term IN ('vector','merge') GROUP BY doc_id, term)
+  GROUP BY doc_id, term),
+dfs AS (
+  SELECT d.term,
+         greatest(
+           (SELECT count(DISTINCT doc_id) FROM tokT WHERE term = d.term),
+           (SELECT count(DISTINCT doc_id) FROM tokB WHERE term = d.term))
+           AS df
+  FROM (SELECT DISTINCT term FROM wtf) d),
+cdl AS (
+  SELECT dlT.doc_id, 2.0 * dlT.dl + 1.0 * dlB.dl AS dl
+  FROM dlT JOIN dlB ON dlT.doc_id = dlB.doc_id),
+av AS (
+  SELECT 2.0 * (SELECT avg(dl) FROM dlT)
+       + 1.0 * (SELECT avg(dl) FROM dlB) AS avgdl),
+sc AS (
+  SELECT wtf.doc_id,
+         ln(1 + (cs.n - dfs.df + 0.5) / (dfs.df + 0.5)) * wtf.tf
+           / (wtf.tf + 1.2 * (0.25 + 0.75 * cdl.dl / av.avgdl)) AS score
+  FROM wtf
+  JOIN dfs ON wtf.term = dfs.term
+  JOIN cdl ON cdl.doc_id = wtf.doc_id, cs, av),
+g AS (SELECT doc_id, sum(score) AS score FROM sc GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+REGISTRY_MULTIFIELD.update(
+    {
+        "engine_combined_field_sql": (q_combined_field, SQL_COMBINED_FIELD),
+    }
+)

@@ -802,6 +802,8 @@ _after_window = [
     # SpanMultiTermQueryWrapper, TermsComponent regex
     "engine_phrase_wildcard_sql", "feature_field_saturation",
     "span_multiterm_near", "terms_regex",
+    # round-4 ninth tranche: CombinedFieldQuery (BM25F)
+    "engine_combined_field_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

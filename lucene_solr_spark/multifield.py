@@ -171,3 +171,85 @@ class MultiFieldSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def combined_field_query(
+        self, terms: list, field_weights: dict, k: int = 10
+    ) -> DataFrame:
+        """CombinedFieldQuery / BM25F (lucene/sandbox/.../search/
+        CombinedFieldQuery.java ≈L60): the fields merge into ONE
+        pseudo-field BEFORE BM25, instead of mixing per-field scores:
+
+          tf'(d)  = Σ_f w_f · tf_f(d)
+          dl'(d)  = Σ_f w_f · dl_f(d)      (every field's length counts,
+                                            matched or not)
+          avgdl'  = Σ_f w_f · avgdl_f      (== avg of dl' when all docs
+                                            carry all fields)
+          df(t)   = max_f df_f(t)          (the reference's pseudo-
+                                            TermStatistics merge)
+
+        then ONE BM25 saturation over the pseudo-field — a long title hit
+        cannot dominate the way a per-field dismax can. Plan: per-field
+        bucket-pruned postings scans unioned, one (doc, term) agg, one
+        doc-keyed join to the combined-length table, broadcast (term, df)
+        bind, final per-doc sum. No driver loops; the per-field scans are
+        the same ones a fielded query does."""
+        from . import BM25_B, BM25_K1
+        from .score import bm25_score
+
+        frames = []
+        dl_cols = []
+        dl_frames = []
+        avgdl_p = 0.0
+        n = None
+        term_df: dict[str, int] = {}
+        for fname, w in field_weights.items():
+            s = self.searchers[fname]
+            n = s.n_docs
+            avgdl_p += float(w) * float(s.avgdl)
+            stats = s._stats_for(list(terms))
+            for t in terms:
+                st = stats.get(t)
+                if st is None:
+                    continue
+                term_df[t] = max(term_df.get(t, 0), st["df"])
+                frames.append(
+                    s._term_postings(t).select(
+                        "doc_id",
+                        F.lit(t).alias("_qt"),
+                        (F.col("tf") * F.lit(float(w))).alias("_wtf"),
+                    )
+                )
+            dl_frames.append(
+                s.docmeta.select(
+                    "doc_id",
+                    (F.col("field_len").cast("double") * F.lit(float(w)))
+                    .alias(f"_dl_{fname}"),
+                )
+            )
+            dl_cols.append(f"_dl_{fname}")
+        if not frames:
+            return self._empty()
+        u = reduce(lambda a, b: a.unionByName(b), frames)
+        g = u.groupBy("doc_id", "_qt").agg(F.sum("_wtf").alias("_tf"))
+        dlj = reduce(lambda a, b: a.join(b, "doc_id"), dl_frames)
+        combined_dl = reduce(
+            lambda a, b: a + b, [F.col(c) for c in dl_cols]
+        ).alias("_cdl")
+        dlj = dlj.select("doc_id", combined_dl)
+        spark = dlj.sparkSession
+        dfs = spark.createDataFrame(
+            [(t, float(df)) for t, df in term_df.items()],
+            "_qt string, _df double",
+        )
+        per = g.join(dlj, "doc_id").join(F.broadcast(dfs), "_qt")
+        sc = bm25_score(
+            F.col("_tf"), F.col("_cdl"), F.col("_df"), n, avgdl_p,
+            BM25_K1, BM25_B, 1.0,
+        )
+        return (
+            per.select("doc_id", sc.alias("score"))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )

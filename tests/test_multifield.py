@@ -142,3 +142,46 @@ def test_queries_touch_only_their_fields_index(mf):
     s = MultiFieldSearcher(mf)
     plan = s.search_field("title", Term("merge"), 10)._jdf.queryExecution().executedPlan().toString()
     assert "/title/postings" in plan and "/body/postings" not in plan
+
+
+def test_combined_field_query_bm25f(mf):
+    """CombinedFieldQuery: hand-compute the pseudo-field BM25 for 'merge'
+    with title^2 + body, and check the degenerate single-field case
+    equals the plain fielded search."""
+    s = MultiFieldSearcher(mf)
+    res = {
+        r["doc_id"]: r["score"]
+        for r in s.combined_field_query(
+            ["merge"], {"title": 2.0, "body": 1.0}, 10
+        ).collect()
+    }
+    # hand model over DOCS
+    titles = {u: t.split() for u, t, _ in DOCS}
+    bodies = {u: b.split() for u, _, b in DOCS}
+    ids = {r["url"]: r["doc_id"] for r in mf["body"]["docmeta"].collect()}
+    n = len(DOCS)
+    avgdl = 2.0 * sum(len(v) for v in titles.values()) / n + sum(
+        len(v) for v in bodies.values()
+    ) / n
+    df_t = sum("merge" in v for v in titles.values())
+    df_b = sum("merge" in v for v in bodies.values())
+    df = max(df_t, df_b)
+    for u in titles:
+        tf = 2.0 * titles[u].count("merge") + bodies[u].count("merge")
+        if tf == 0:
+            assert ids[u] not in res
+            continue
+        dl = 2.0 * len(titles[u]) + len(bodies[u])
+        assert res[ids[u]] == pytest.approx(
+            _bm25(tf, df, n, dl, avgdl), rel=1e-9
+        )
+    # degenerate: one field at weight 1 == the fielded search
+    single = {
+        r["doc_id"]: r["score"]
+        for r in s.combined_field_query(["merge"], {"body": 1.0}, 10).collect()
+    }
+    fielded = {
+        r["doc_id"]: r["score"]
+        for r in s.search_field("body", Term("merge"), 10).collect()
+    }
+    assert single == pytest.approx(fielded)
