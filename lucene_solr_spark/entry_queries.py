@@ -804,6 +804,9 @@ _after_window = [
     "span_multiterm_near", "terms_regex",
     # round-4 ninth tranche: CombinedFieldQuery (BM25F)
     "engine_combined_field_sql",
+    # round-4 tenth tranche: reversed-dictionary leading wildcard,
+    # template-ngram boilerplate detection
+    "leading_wildcard_reversed", "boilerplate_template_ngrams",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

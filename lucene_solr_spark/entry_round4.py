@@ -1260,3 +1260,77 @@ REGISTRY_R4.update(
         "terms_regex": (q_terms_regex, SQL_TERMS_REGEX),
     }
 )
+
+
+# ===========================================================================
+# Tranche 6: ReversedWildcardFilter leading-wildcard path; template-ngram
+# boilerplate detection (web-pipeline cleanup).
+# ===========================================================================
+
+
+def q_leading_wildcard_reversed(spark, sf_dir):
+    """Leading wildcard *ow through the REAL reversed-dictionary path
+    (Searcher.leading_wildcard_terms — reversed-prefix seek, never a
+    regex scan)."""
+    from .entry_engine import _engine
+
+    eng = _engine(spark, sf_dir)
+    return (
+        eng["searcher"]
+        .leading_wildcard_terms("*ow")
+        .orderBy("term")
+        .select("term", F.col("df").cast("long").alias("df"))
+    )
+
+
+SQL_LEADING_WILDCARD = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM tok WHERE term LIKE '%ow'
+GROUP BY term ORDER BY term
+"""
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Template-phrase (boilerplate) detection: bigrams present in
+    >= 16%% of a source's documents."""
+    from .pipeline.webprep import detect_template_ngrams
+
+    return detect_template_ngrams(
+        _docs(spark, sf_dir), n=2, min_frac=0.16, group_col="source"
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = """
+WITH toks AS (
+  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT source, doc_id, t, generate_subscripts(t, 1) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT source, doc_id, t[i] || ' ' || t[i + 1] AS shingle
+  FROM pos WHERE i < len(t)),
+gs AS (SELECT source, count(*) AS n_docs_grp FROM documents GROUP BY source),
+c AS (
+  SELECT sh.source, sh.shingle, count(*) AS n_docs
+  FROM sh GROUP BY sh.source, sh.shingle)
+SELECT c.source, c.shingle, c.n_docs,
+       round(c.n_docs / CAST(gs.n_docs_grp AS DOUBLE), 6) AS doc_frac
+FROM c JOIN gs ON c.source = gs.source
+WHERE c.n_docs / CAST(gs.n_docs_grp AS DOUBLE) >= 0.16
+ORDER BY c.source, c.shingle
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "leading_wildcard_reversed": (
+            q_leading_wildcard_reversed,
+            SQL_LEADING_WILDCARD,
+        ),
+        "boilerplate_template_ngrams": (
+            q_boilerplate_ngrams,
+            SQL_BOILERPLATE_NGRAMS,
+        ),
+    }
+)

@@ -165,3 +165,57 @@ def host_cap_sample(
         .withColumnRenamed("_host", "host")
     )
     return out
+
+
+def detect_template_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    min_frac: float = 0.16,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate / template-phrase detection: word n-grams recurring in
+    >= min_frac of a GROUP's (host / source / template) documents are
+    template text — nav bars, footers, legal boilerplate — the standard
+    pre-dedup cleanup in Common-Crawl-style pipelines (the per-site
+    frequency test jusText/trafilatura apply per line, applied here per
+    shingle since the corpus has no line structure).
+
+    Plan: transform() shingling in codegen -> explode -> DISTINCT
+    (group, shingle, doc) -> one (group, shingle)-keyed agg joined to a
+    broadcast per-group doc count. Nothing ever compares doc pairs; the
+    shuffle is keyed by (group, shingle) so 10^12 docs fan out by
+    content, not by site size (a mega-site's shingles spread over the
+    whole cluster).
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    per_doc = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("_id"),
+            F.explode(shingles).alias("shingle"),
+        )
+        .dropDuplicates(["grp", "_id", "shingle"])
+    )
+    group_sizes = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs_grp")
+    )
+    counts = per_doc.groupBy("grp", "shingle").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        counts.join(F.broadcast(group_sizes), "grp")
+        .withColumn(
+            "doc_frac", F.round(F.col("n_docs") / F.col("n_docs_grp"), 6)
+        )
+        .filter(F.col("doc_frac") >= min_frac)
+        .select(
+            F.col("grp").alias(group_col), "shingle", "n_docs", "doc_frac"
+        )
+        .orderBy(group_col, "shingle")
+    )

@@ -553,6 +553,26 @@ class Searcher:
             )
         raise ValueError(method)
 
+    def leading_wildcard_terms(self, pattern: str) -> DataFrame:
+        """ReversedWildcardFilterFactory (solr/core/.../analysis/
+        ReversedWildcardFilterFactory.java ≈L40): Solr indexes REVERSED
+        tokens (marker + "oof" for "foo") so a leading wildcard `*oo`
+        becomes a trailing PREFIX seek on the reversed dictionary instead
+        of a full terms scan. Spark restatement: the reversed dictionary
+        is the `reverse(term)` view of term_stats and the leading
+        wildcard is `startswith` on it — on a reversed-bucketed terms
+        dict this is the same bucket-pruned seek a Prefix does (the
+        pattern must be `*suffix` with no inner wildcards; anything else
+        belongs to the general `_expand_terms` rlike path)."""
+        if not pattern.startswith("*") or any(
+            c in pattern[1:] for c in "*?"
+        ):
+            raise ValueError("leading_wildcard_terms handles '*suffix'")
+        rev_prefix = pattern[1:][::-1]
+        return self.term_stats.filter(
+            F.reverse(F.col("term")).startswith(rev_prefix)
+        ).select("term", "df")
+
     def phrase_wildcard(self, parts: list, k: int = 10) -> DataFrame:
         """PhraseWildcardQuery (lucene/sandbox/.../search/
         PhraseWildcardQuery.java ≈L60): a phrase where any slot may be a

@@ -78,3 +78,61 @@ def test_phrase_wildcard_too_many_and_empty(spark, tmp_path_factory):
     # a real match scores > 0
     top = s.phrase_wildcard(["the", Prefix("s")], 5).collect()
     assert all(r["score"] > 0 for r in top)
+
+
+def test_leading_wildcard_reversed_matches_rlike(spark, tmp_path_factory):
+    from lucene_solr_spark.fixtures import write_pages
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.search import Searcher
+
+    out = str(tmp_path_factory.mktemp("lw") / "pages.parquet")
+    write_pages(0.0002, out)
+    idx = str(tmp_path_factory.mktemp("lw") / "idx")
+    build_index(
+        spark,
+        spark.read.parquet(out).select("url", "text", "lang"),
+        idx,
+        profile="simple",
+        num_buckets=4,
+        quantize=False,
+    )
+    s = Searcher(read_index(spark, idx))
+    rev = sorted(
+        r["term"] for r in s.leading_wildcard_terms("*st").collect()
+    )
+    scan = sorted(
+        r["term"]
+        for r in s.term_stats.filter(
+            __import__("pyspark.sql.functions", fromlist=["col"])
+            .col("term")
+            .rlike("^.*st$")
+        ).collect()
+    )
+    assert rev == scan and rev
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.leading_wildcard_terms("foo*")
+    with _pt.raises(ValueError):
+        s.leading_wildcard_terms("*f?o")
+
+
+def test_boilerplate_template_ngrams_detects_planted_phrase(spark):
+    from lucene_solr_spark.pipeline.webprep import detect_template_ngrams
+
+    rows = []
+    for i in range(10):
+        body = f"unique{i} words here differ{i}"
+        # the template phrase appears in 8/10 docs of site A
+        text = ("copyright acme corp " + body) if i < 8 else body
+        rows.append(("siteA", i, text))
+    for i in range(10):
+        rows.append(("siteB", 100 + i, f"other{i} text entirely{i}"))
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = detect_template_ngrams(df, n=2, min_frac=0.5).collect()
+    found = {(r["source"], r["shingle"]) for r in out}
+    assert ("siteA", "copyright acme") in found
+    assert ("siteA", "acme corp") in found
+    assert all(src == "siteA" for src, _ in found)
+    fr = {r["shingle"]: r["doc_frac"] for r in out}
+    assert fr["copyright acme"] == 0.8
