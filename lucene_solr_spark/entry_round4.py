@@ -1334,3 +1334,132 @@ REGISTRY_R4.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche 7: hybrid RRF fusion (BM25 + vector cosine), temperature-based
+# data mixing.
+# ===========================================================================
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25('vector') top-50 fused with cosine top-50
+    (query = embedding of vec_id 0) by Reciprocal Rank Fusion, k0=60.
+    vec_id aligns with doc_id (same synthetic key space)."""
+    from pyspark.sql import Window
+
+    from .entry_queries import _term_scores
+    from .operators.search_features import rrf_fuse
+    from .pipeline.similarity import cosine_topk
+
+    lex = _term_scores(spark, sf_dir, "vector")
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_r = (
+        lex.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    vec = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=50)
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vec_r = (
+        vec.withColumn("rank", F.row_number().over(wv))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex_r, vec_r], k0=60, k=10)
+
+
+SQL_HYBRID_RRF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector'
+       GROUP BY doc_id),
+d1 AS (SELECT count(*) AS df FROM tf),
+lex AS (
+  SELECT tf.doc_id,
+         ln(1 + (cstats.n - d1.df + 0.5) / (d1.df + 0.5)) * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / cstats.avgdl)) AS score
+  FROM tf, dl, cstats, d1 WHERE dl.doc_id = tf.doc_id),
+lex_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM lex QUALIFY rank <= 50),
+q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0),
+dots AS (SELECT v.vec_id, sum(v.x * q.x) AS dot,
+                sum(v.x * v.x) AS n2, sum(q.x * q.x) AS q2
+         FROM v JOIN q USING (i) GROUP BY v.vec_id),
+vec_r AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY dot / (sqrt(n2) * sqrt(q2)) DESC, vec_id) AS rank
+  FROM dots QUALIFY rank <= 50),
+u AS (SELECT * FROM lex_r UNION ALL SELECT * FROM vec_r),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60.0 + rank)) AS rrf FROM u GROUP BY doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10) t
+"""
+
+
+def q_data_mix_temperature(spark, sf_dir):
+    """Temperature-based (alpha=0.5) language mixing at target 250 rows:
+    observed lang counts -> tempered keep rates -> deterministic
+    hash-Bernoulli realization; reports per-lang rate + kept count."""
+    from .pipeline.sampling import sample_mix, temperature_mix_rates
+
+    d = _docs(spark, sf_dir)
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_mix_rates(counts, alpha=0.5, target_total=250)
+    kept = sample_mix(d, rates, source_col="lang", default_rate=0.0)
+    rate_col = F.lit(0.0)
+    for lang, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate_col)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .withColumn("rate", F.round(rate_col, 6))
+        .orderBy("lang")
+    )
+
+
+SQL_DATA_MIX_TEMPERATURE = """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM cnt),
+tot AS (SELECT sum(wt) AS sw FROM w),
+rates AS (
+  SELECT lang, n, least(1.0, (wt / sw) * 250.0 / n) AS rate FROM w, tot),
+u AS (
+  SELECT d.lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS unit
+  FROM documents d)
+SELECT u.lang, count(*) AS n_kept, round(max(rates.rate), 6) AS rate
+FROM u JOIN rates ON u.lang = rates.lang
+WHERE u.unit < rates.rate
+GROUP BY u.lang ORDER BY u.lang
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "hybrid_rrf_fusion": (q_hybrid_rrf, SQL_HYBRID_RRF),
+        "data_mix_temperature": (
+            q_data_mix_temperature,
+            SQL_DATA_MIX_TEMPERATURE,
+        ),
+    }
+)

@@ -916,3 +916,26 @@ def suggest_blended_infix(
         .orderBy(F.desc("blended"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fuse(ranked: list, k0: int = 60, k: int = 10):
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher, SIGIR'09) — the
+    standard hybrid lexical+vector combiner: score(d) = Σ_lists
+    1/(k0 + rank_d(list)), docs absent from a list contribute nothing.
+    Inputs: DataFrames of (doc_id, rank), rank 1-based. Union + ONE agg
+    keyed on doc_id; at 10^12 docs each list is already a top-N (tiny),
+    so the fusion is a broadcast-scale job regardless of corpus size."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select("doc_id", "rank") for r in ranked],
+    )
+    fused = u.groupBy("doc_id").agg(
+        F.sum(1.0 / (F.lit(float(k0)) + F.col("rank"))).alias("rrf")
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )

@@ -137,3 +137,22 @@ def pack_shards(
         .withColumn("shard", F.floor(cum_excl / F.lit(float(budget))).cast("long"))
         .drop("_pid", "_off")
     )
+
+
+def temperature_mix_rates(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, float]:
+    """Temperature-based multilingual/source mixing (the multilingual-LM
+    sampling rule: q_i ∝ p_i^alpha): convert observed per-source counts
+    into per-source Bernoulli keep rates that realize the tempered
+    distribution at ~target_total rows. alpha < 1 upsamples the tail
+    relative to the head; alpha = 1 is proportional (no reweighting).
+    rate_i = min(1, (n_i^alpha / Σ n_j^alpha) · target_total / n_i);
+    feed the result to sample_mix for the deterministic hash-Bernoulli
+    realization."""
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    sw = sum(weights[s] for s in sorted(weights))
+    return {
+        s: min(1.0, (weights[s] / sw) * float(target_total) / counts[s])
+        for s in counts
+    }

@@ -136,3 +136,34 @@ def test_boilerplate_template_ngrams_detects_planted_phrase(spark):
     assert all(src == "siteA" for src, _ in found)
     fr = {r["shingle"]: r["doc_frac"] for r in out}
     assert fr["copyright acme"] == 0.8
+
+
+def test_rrf_fuse_formula(spark):
+    from lucene_solr_spark.operators.search_features import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r["rrf"] for r in rrf_fuse([a, b], k0=60, k=10).collect()}
+    assert out[2] == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert out[1] == pytest.approx(1 / 61, abs=1e-6)
+    assert out[3] == pytest.approx(1 / 62, abs=1e-6)
+    # doc 2 (in both lists) outranks either single-list doc
+    assert out[2] > out[1] > out[3]
+
+
+def test_temperature_mix_rates():
+    from lucene_solr_spark.pipeline.sampling import temperature_mix_rates
+
+    counts = {"en": 800, "fr": 100, "de": 100}
+    # alpha=1: proportional — every rate equals target/total
+    r1 = temperature_mix_rates(counts, 1.0, 500)
+    for v in r1.values():
+        assert v == pytest.approx(0.5)
+    # alpha=0: uniform over sources — tail upsampled to cap, head cut
+    r0 = temperature_mix_rates(counts, 0.0, 300)
+    assert r0["fr"] == pytest.approx(1.0)  # 100 wanted, capped at all
+    assert r0["en"] == pytest.approx(100 / 800)
+    # alpha=0.5 sits between
+    rh = temperature_mix_rates(counts, 0.5, 300)
+    assert r0["en"] < rh["en"] < r1["en"]
+    assert rh["fr"] > rh["en"]
