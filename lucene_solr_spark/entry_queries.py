@@ -809,6 +809,8 @@ _after_window = [
     "leading_wildcard_reversed", "boilerplate_template_ngrams",
     # round-4 eleventh tranche: hybrid RRF fusion, temperature mixing
     "hybrid_rrf_fusion", "data_mix_temperature",
+    # round-4 twelfth tranche: stream-stream interval join
+    "stream_click_attribution",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1463,3 +1463,63 @@ REGISTRY_R4.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche 8: stream-stream interval join (last-touch click attribution).
+# ===========================================================================
+
+
+def q_click_attribution(spark, sf_dir):
+    """Last-touch click attribution over events: clicks join the SAME
+    user's views within the preceding 30 minutes; winner = latest view
+    (imp_id tiebreak). The identical function runs as a watermarked
+    stream-stream join (streaming/incremental.click_attribution;
+    batch == streaming asserted in tests)."""
+    from .streaming.incremental import click_attribution, last_touch
+
+    ev = _t(spark, sf_dir, "events")
+    imps = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = click_attribution(imps, clicks, "30 minutes")
+    return last_touch(pairs).orderBy("click_id")
+
+
+SQL_CLICK_ATTRIBUTION = """
+WITH imps AS (
+  SELECT user_id, event_id AS imp_id, ts AS imp_ts
+  FROM events WHERE event_type = 'view'),
+clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT c.click_id, i.imp_id, i.imp_ts
+  FROM clicks c JOIN imps i
+    ON c.user_id = i.user_id
+   AND i.imp_ts <= c.click_ts
+   AND i.imp_ts >= c.click_ts - INTERVAL 30 MINUTE),
+win AS (
+  SELECT click_id, imp_id, imp_ts,
+         row_number() OVER (PARTITION BY click_id
+                            ORDER BY imp_ts DESC, imp_id DESC) AS rk
+  FROM pairs)
+SELECT click_id, imp_id, imp_ts FROM win WHERE rk = 1 ORDER BY click_id
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "stream_click_attribution": (
+            q_click_attribution,
+            SQL_CLICK_ATTRIBUTION,
+        ),
+    }
+)

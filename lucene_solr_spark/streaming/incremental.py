@@ -187,3 +187,62 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def click_attribution(
+    impressions,
+    clicks,
+    max_delay: str = "30 minutes",
+    watermark: str | None = None,
+):
+    """Stream-stream interval join — last-touch click attribution, the
+    canonical Structured Streaming join (Spark docs: stream-stream joins
+    with event-time range conditions). Each click pairs with the
+    impressions of the SAME user whose ts lies in
+    [click_ts - max_delay, click_ts]; the caller picks last-touch with
+    `last_touch()` below (batch) or consumes the raw pairs (streaming,
+    where the post-join agg would need its own output-mode contract).
+
+    With `watermark` set, BOTH sides get event-time watermarks and Spark
+    bounds the join state to watermark + max_delay — the property that
+    makes this run forever on an unbounded click log. The SAME function
+    body serves batch DataFrames (unified semantics), which is what the
+    SQL oracle checks; batch == streaming is asserted in
+    tests/test_streaming.py.
+
+    Inputs: impressions(user_id, imp_id, imp_ts), clicks(user_id,
+    click_id, click_ts).
+    """
+    if watermark is not None:
+        impressions = impressions.withWatermark("imp_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (impressions["user_id"] == clicks["user_id"])
+        & (impressions["imp_ts"] <= clicks["click_ts"])
+        & (
+            impressions["imp_ts"]
+            >= clicks["click_ts"] - F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return clicks.join(impressions, cond, "inner").select(
+        clicks["user_id"],
+        "click_id",
+        "click_ts",
+        "imp_id",
+        "imp_ts",
+    )
+
+
+def last_touch(pairs):
+    """Pick the attribution winner per click: the LATEST impression in
+    the window, imp_id as the deterministic tiebreak (one max-struct agg,
+    no window function — map-side combinable)."""
+    return (
+        pairs.groupBy("click_id")
+        .agg(F.max(F.struct("imp_ts", "imp_id")).alias("_w"))
+        .select(
+            "click_id",
+            F.col("_w.imp_id").alias("imp_id"),
+            F.col("_w.imp_ts").alias("imp_ts"),
+        )
+    )
