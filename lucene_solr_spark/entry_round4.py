@@ -1352,11 +1352,16 @@ def q_hybrid_rrf(spark, sf_dir):
     from .operators.search_features import rrf_fuse
     from .pipeline.similarity import cosine_topk
 
+    # top-50 FIRST via orderBy().limit() (TakeOrderedAndProject — per-
+    # partition heaps, never a global sort), THEN rank the 50 survivors
+    # with a window: at 10^12 docs the unpartitioned window only ever
+    # sees k rows, not the full score table.
     lex = _term_scores(spark, sf_dir, "vector")
     wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex_r = (
-        lex.withColumn("rank", F.row_number().over(wl))
-        .filter(F.col("rank") <= 50)
+        lex.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wl))
         .select("doc_id", "rank")
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1367,7 +1372,9 @@ def q_hybrid_rrf(spark, sf_dir):
     vec = cosine_topk(emb.filter(F.col("vec_id") != 0), qv, k=50)
     wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     vec_r = (
-        vec.withColumn("rank", F.row_number().over(wv))
+        vec.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(50)
+        .withColumn("rank", F.row_number().over(wv))
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex_r, vec_r], k0=60, k=10)
