@@ -811,6 +811,8 @@ _after_window = [
     "hybrid_rrf_fusion", "data_mix_temperature",
     # round-4 twelfth tranche: stream-stream interval join
     "stream_click_attribution",
+    # round-4 thirteenth tranche: zero-bucket gap fill, lerp
+    "timeseries_gapfill", "stream_lerp",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

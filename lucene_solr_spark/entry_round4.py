@@ -1530,3 +1530,89 @@ REGISTRY_R4.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche 9: zero-bucket timeseries gap fill; linear interpolation.
+# ===========================================================================
+
+
+def q_timeseries_gapfill(spark, sf_dir):
+    """Hourly purchase counts for one day with EVERY bucket present
+    (zero-filled gaps — facet.range / TimeSeriesStream semantics)."""
+    from .operators.matheval import timeseries_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return timeseries_gapfill(
+        ev, "ts", "2024-01-05 00:00:00", "2024-01-06 00:00:00", "hour"
+    )
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                TIMESTAMP '2024-01-05 23:00:00',
+                                INTERVAL 1 HOUR)) AS bucket_ts),
+agg AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS n
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+  GROUP BY 1)
+SELECT CAST(epoch(spine.bucket_ts) AS BIGINT) AS bucket_epoch,
+       coalesce(agg.n, 0) AS n
+FROM spine LEFT JOIN agg ON spine.bucket_ts = agg.bucket_ts
+ORDER BY bucket_epoch
+"""
+
+
+def q_stream_lerp(spark, sf_dir):
+    """lerp over the daily purchase-count series, evaluated at three
+    mid-day epochs (LerpEvaluator)."""
+    from .operators.matheval import lerp_stream, timeseries_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    series = timeseries_gapfill(
+        ev, "ts", "2024-01-02 00:00:00", "2024-01-09 00:00:00", "day"
+    )
+    qs = spark.createDataFrame(
+        [(1704326400.0,), (1704456000.0,), (1704585600.0,)], ["qx"]
+    )
+    return lerp_stream(series, qs, x="bucket_epoch", y="n")
+
+
+SQL_STREAM_LERP = """
+WITH agg AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-09'
+  GROUP BY 1),
+qs AS (SELECT unnest([1704326400.0, 1704456000.0, 1704585600.0]) AS qx),
+br AS (
+  SELECT qx,
+         (SELECT max(x) FROM agg WHERE x <= qx) AS px,
+         (SELECT min(x) FROM agg WHERE x >= qx) AS nx
+  FROM qs)
+SELECT br.qx,
+       round(CASE WHEN nx = px THEN py.y
+                  ELSE py.y + (ny.y - py.y) * (qx - px) / (nx - px) END, 6)
+         AS lerp
+FROM br
+JOIN agg py ON py.x = br.px
+JOIN agg ny ON ny.x = br.nx
+ORDER BY qx
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
+        "stream_lerp": (q_stream_lerp, SQL_STREAM_LERP),
+    }
+)

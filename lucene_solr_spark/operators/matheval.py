@@ -840,3 +840,80 @@ def iqr_outliers_stream(df: DataFrame, id_col: str, col: str) -> DataFrame:
         .select(id_col, col)
         .orderBy(id_col)
     )
+
+
+def timeseries_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    start: str,
+    end: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """TimeSeriesStream / facet.range zero-bucket semantics
+    (solr/solrj/.../io/stream/TimeSeriesStream.java ≈L60; range facets
+    emit EVERY bucket in [start, end), zero counts included). The full
+    bucket sequence is generated with F.sequence (codegen, no driver
+    loop) and the observed aggregation left-joins onto it — at 10^12
+    events the agg shuffles |buckets| rows, the spine is constant-size.
+    """
+    spark = df.sparkSession
+    step = {"hour": "interval 1 hour", "day": "interval 1 day"}[bucket]
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(start)),
+                F.to_timestamp(F.lit(end)) - F.expr(step),
+                F.expr(step),
+            )
+        ).alias("bucket_ts")
+    )
+    agg = (
+        df.filter(
+            (F.col(ts_col) >= F.lit(start)) & (F.col(ts_col) < F.lit(end))
+        )
+        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(agg, "bucket_ts", "left_outer")
+        .select(
+            F.unix_timestamp("bucket_ts").alias("bucket_epoch"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("bucket_epoch")
+    )
+
+
+def lerp_stream(
+    points: DataFrame, queries: DataFrame, x: str = "x", y: str = "y",
+    qx: str = "qx",
+) -> DataFrame:
+    """LerpEvaluator (solr/solrj/.../io/eval/LerpEvaluator.java): linear
+    interpolation of a (x, y) series at query points. Distributed form:
+    bracket each query point with a max-struct / min-struct agg over the
+    two range joins (knot x values must be distinct; queries outside
+    [min x, max x] are dropped, as commons-math's interpolator would
+    reject them)."""
+    p = points.select(
+        F.col(x).cast("double").alias("_x"), F.col(y).cast("double").alias("_y")
+    )
+    q = queries.select(F.col(qx).cast("double").alias("_qx")).distinct()
+    prev = (
+        q.join(p, F.col("_x") <= F.col("_qx"))
+        .groupBy("_qx")
+        .agg(F.max(F.struct("_x", "_y")).alias("_p"))
+    )
+    nxt = (
+        q.join(p, F.col("_x") >= F.col("_qx"))
+        .groupBy("_qx")
+        .agg(F.min(F.struct("_x", "_y")).alias("_n"))
+    )
+    j = prev.join(nxt, "_qx")
+    px, py = F.col("_p._x"), F.col("_p._y")
+    nx, ny = F.col("_n._x"), F.col("_n._y")
+    val = F.when(nx == px, py).otherwise(
+        py + (ny - py) * (F.col("_qx") - px) / (nx - px)
+    )
+    return j.select(
+        F.col("_qx").alias(qx), F.round(val, 6).alias("lerp")
+    ).orderBy(qx)

@@ -128,3 +128,37 @@ def test_iqr_outliers_tukey(spark):
     )
     out = iqr_outliers_stream(df, "event_id", "value").collect()
     assert sorted(r["value"] for r in out) == [-300.0, 500.0]
+
+
+def test_lerp_exact_at_knots_and_midpoints(spark):
+    from lucene_solr_spark.operators.matheval import lerp_stream
+
+    pts = spark.createDataFrame(
+        [(0.0, 10.0), (10.0, 30.0), (20.0, 10.0)], ["x", "y"]
+    )
+    qs = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,), (15.0,), (20.0,), (-1.0,), (25.0,)],
+        ["qx"],
+    )
+    out = {r["qx"]: r["lerp"] for r in lerp_stream(pts, qs).collect()}
+    assert out[0.0] == 10.0 and out[10.0] == 30.0 and out[20.0] == 10.0
+    assert out[5.0] == 20.0 and out[15.0] == 20.0
+    # out-of-range points are dropped, not extrapolated
+    assert -1.0 not in out and 25.0 not in out
+
+
+def test_timeseries_gapfill_zero_buckets(spark):
+    from datetime import datetime
+
+    from lucene_solr_spark.operators.matheval import timeseries_gapfill
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 30),), (datetime(2024, 1, 1, 2, 10),),
+         (datetime(2024, 1, 1, 2, 40),)],
+        "ts timestamp",
+    )
+    out = timeseries_gapfill(
+        df, "ts", "2024-01-01 00:00:00", "2024-01-01 04:00:00", "hour"
+    ).collect()
+    assert [r["n"] for r in out] == [1, 0, 2, 0]
+    assert len(out) == 4
