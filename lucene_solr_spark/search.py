@@ -143,6 +143,8 @@ class Searcher:
         # None = negative entry (term absent), cached too so unknown-term
         # queries don't re-scan.
         self._term_states: dict[str, dict | None] = {}
+        # queryResultCache: query repr -> (window fetched, collected rows)
+        self._result_cache: dict[str, tuple[int, list]] = {}
 
     # ---- stats bind (Weight creation) ------------------------------------
     def _buckets(self, terms) -> list[int]:
@@ -552,6 +554,28 @@ class Searcher:
                 terms=tuple(sorted(r["term"] for r in rows)), boost=boost
             )
         raise ValueError(method)
+
+    def search_cached(self, q, k: int = 10, window: int = 20):
+        """SolrIndexSearcher queryResultCache (SolrIndexSearcher.java
+        ≈L60; solrconfig queryResultCache + queryResultWindowSize): the
+        ORDERED result list of a (query, k) pair is cached so repeats and
+        next-page requests skip scoring entirely. As in the reference, k
+        rounds UP to the window multiple before executing, so a page-2
+        ask (k=20 after k=10) is already in cache. Returns a list of Row
+        (k rows — driver-sized by definition); keyed on the query AST's
+        canonical repr (frozen dataclasses), valid for this Searcher's
+        immutable snapshot."""
+        want = ((k + window - 1) // window) * window
+        key = repr(q)
+        hit = self._result_cache.get(key)
+        # a cached page satisfies the ask when it was fetched with a
+        # window >= want, or when it came back short (query exhausted —
+        # every larger k is satisfied too)
+        if hit is None or (hit[0] < want and len(hit[1]) == hit[0]):
+            rows = self.search(q, want, with_fields=False).collect()
+            self._result_cache[key] = (want, rows)
+            hit = self._result_cache[key]
+        return hit[1][:k]
 
     def leading_wildcard_terms(self, pattern: str) -> DataFrame:
         """ReversedWildcardFilterFactory (solr/core/.../analysis/

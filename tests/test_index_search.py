@@ -293,3 +293,29 @@ def test_lead_filter_fires_and_matches_oracle(searcher, oracle):
         should=[Q.Term("data")],
     )
     assert_topk_match(searcher, oracle, q2)
+
+
+def test_query_result_cache_skips_jobs(spark, searcher):
+    """queryResultCache: the second ask (same query, same or smaller k,
+    or next page within the window) runs ZERO Spark jobs; a k past the
+    cached window re-executes."""
+    from lucene_solr_spark.query import Term
+
+    s = searcher
+    q = Term("search")
+    tracker = spark.sparkContext.statusTracker
+
+    first = s.search_cached(q, 5, window=10)
+    n_jobs_after_first = len(tracker().getJobIdsForGroup(None) or [])
+    again = s.search_cached(q, 5, window=10)
+    page2 = s.search_cached(q, 10, window=10)
+    n_jobs_after_hits = len(tracker().getJobIdsForGroup(None) or [])
+    assert n_jobs_after_hits == n_jobs_after_first  # pure cache hits
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in first]
+    assert [r["doc_id"] for r in page2[:5]] == [r["doc_id"] for r in first]
+    # ordering contract preserved
+    scores = [r["score"] for r in page2]
+    assert scores == sorted(scores, reverse=True)
+    # k beyond the cached window re-executes (unless exhausted)
+    bigger = s.search_cached(q, 25, window=10)
+    assert len(bigger) >= len(page2)
