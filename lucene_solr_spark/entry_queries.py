@@ -813,6 +813,8 @@ _after_window = [
     "stream_click_attribution",
     # round-4 thirteenth tranche: zero-bucket gap fill, lerp
     "timeseries_gapfill", "stream_lerp",
+    # round-4 fourteenth tranche: JSON-facet stat slots + allBuckets
+    "json_facet_allbuckets",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

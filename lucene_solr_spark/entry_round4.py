@@ -1616,3 +1616,57 @@ REGISTRY_R4.update(
         "stream_lerp": (q_stream_lerp, SQL_STREAM_LERP),
     }
 )
+
+
+# ===========================================================================
+# Tranche 10: JSON-facet per-bucket stat aggs + allBuckets slot.
+# ===========================================================================
+
+
+def q_json_facet_allbuckets(spark, sf_dir):
+    """Per-event_type buckets with CountVals/Missing/Sum/Sumsq/Stddev
+    slots and the allBuckets grand-total row; the metric treats
+    value < 5 as missing (nullif-derived nullable metric)."""
+    from .operators.facets import json_facet_stats_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    metric = F.when(F.col("value") < 5, None).otherwise(F.col("value"))
+    return json_facet_stats_buckets(ev, "event_type", metric)
+
+
+SQL_JSON_FACET_ALLBUCKETS = """
+WITH src AS (
+  SELECT event_type,
+         CASE WHEN value < 5 THEN NULL ELSE value END AS m
+  FROM events),
+b AS (
+  SELECT event_type AS bucket,
+         count(*) AS count,
+         count(m) AS countvals,
+         sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS missing,
+         round(sum(m), 4) AS sum,
+         round(sum(m * m), 4) AS sumsq,
+         round(stddev_pop(m), 6) AS stddev
+  FROM src GROUP BY event_type),
+t AS (
+  SELECT '__all__' AS bucket,
+         count(*) AS count,
+         count(m) AS countvals,
+         sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS missing,
+         round(sum(m), 4) AS sum,
+         round(sum(m * m), 4) AS sumsq,
+         round(stddev_pop(m), 6) AS stddev
+  FROM src)
+SELECT * FROM (SELECT * FROM b UNION ALL SELECT * FROM t)
+ORDER BY (bucket = '__all__'), bucket
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "json_facet_allbuckets": (
+            q_json_facet_allbuckets,
+            SQL_JSON_FACET_ALLBUCKETS,
+        ),
+    }
+)

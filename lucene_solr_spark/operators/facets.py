@@ -386,3 +386,43 @@ def drill_sideways(
         .select("dim", "facet_value", "count")
         .orderBy("dim", F.desc("count"), F.asc("facet_value"))
     )
+
+
+def json_facet_stats_buckets(
+    df: DataFrame,
+    bucket_col: str,
+    metric_col,
+    all_buckets: bool = True,
+) -> DataFrame:
+    """JSON Facet API per-bucket stat aggs + allBuckets
+    (solr/core/.../search/facet/SlotAcc.java ≈L600: CountAgg,
+    CountValsAgg, MissingAgg, SumAgg, SumsqAgg, StddevAgg;
+    FacetField allBuckets:true = the grand-total slot). Facet stddev is
+    the POPULATION form (SlotAcc computes sqrt(sumsq/n - mean²)), unlike
+    StatsComponent's sample form — pinned by the oracle.
+
+    `metric_col` may be a Column expression (e.g. a nullif-derived
+    nullable metric); `missing` counts its nulls per bucket. One agg for
+    the buckets + one 1-row agg for allBuckets — both map-side
+    combinable; the allBuckets row is NOT a second scan in Solr either
+    (same SlotAcc pass)."""
+    m = metric_col if not isinstance(metric_col, str) else F.col(metric_col)
+    aggs = [
+        F.count("*").alias("count"),
+        F.count(m).alias("countvals"),
+        F.sum(F.when(m.isNull(), 1).otherwise(0)).alias("missing"),
+        F.round(F.sum(m), 4).alias("sum"),
+        F.round(F.sum(m * m), 4).alias("sumsq"),
+        F.round(F.stddev_pop(m), 6).alias("stddev"),
+    ]
+    buckets = (
+        df.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+    if not all_buckets:
+        return buckets
+    total = df.agg(F.lit("__all__").alias("bucket"), *aggs)
+    return buckets.unionByName(total).orderBy(
+        F.col("bucket") == "__all__", F.col("bucket")
+    )
