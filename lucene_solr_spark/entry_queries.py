@@ -815,6 +815,8 @@ _after_window = [
     "timeseries_gapfill", "stream_lerp",
     # round-4 fourteenth tranche: JSON-facet stat slots + allBuckets
     "json_facet_allbuckets",
+    # round-4 fifteenth tranche: features() information gain
+    "stream_features_ig",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1670,3 +1670,65 @@ REGISTRY_R4.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche 11: features() — information-gain term selection.
+# ===========================================================================
+
+
+def q_stream_features_ig(spark, sf_dir):
+    """Top-10 terms by information gain against the binary class
+    lang == 'en' (FeaturesSelectionStream semantics)."""
+    from .operators.classification import features_ig
+
+    d = _docs(spark, sf_dir)
+    classes = d.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return features_ig(_tok(spark, sf_dir), classes, k=10)
+
+
+SQL_STREAM_FEATURES_IG = """
+WITH cls AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(label) AS DOUBLE) AS n1 FROM cls),
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+pt AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df,
+         CAST(sum(label) AS DOUBLE) AS df1
+  FROM tok JOIN cls USING (doc_id) GROUP BY term),
+ig AS (
+  SELECT term,
+    (
+      -- H(C)
+      -(CASE WHEN n1/n > 0 THEN (n1/n)*ln(n1/n) ELSE 0 END
+        + CASE WHEN n1/n < 1 THEN (1-n1/n)*ln(1-n1/n) ELSE 0 END)
+      -- − P(t)·H(C|t)
+      - (df/n) * (
+        -(CASE WHEN df1/df > 0 THEN (df1/df)*ln(df1/df) ELSE 0 END
+          + CASE WHEN df1/df < 1 THEN (1-df1/df)*ln(1-df1/df) ELSE 0 END))
+      -- − P(¬t)·H(C|¬t)
+      - CASE WHEN df < n THEN
+          (1 - df/n) * (
+            -(CASE WHEN (n1-df1)/(n-df) > 0
+                THEN ((n1-df1)/(n-df))*ln((n1-df1)/(n-df)) ELSE 0 END
+              + CASE WHEN (n1-df1)/(n-df) < 1
+                THEN (1-(n1-df1)/(n-df))*ln(1-(n1-df1)/(n-df)) ELSE 0 END))
+        ELSE 0 END
+    ) AS ig_raw
+  FROM pt, tot)
+SELECT term, round(ig_raw, 6) AS ig
+FROM ig ORDER BY ig_raw DESC, term LIMIT 10
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "stream_features_ig": (q_stream_features_ig, SQL_STREAM_FEATURES_IG),
+    }
+)

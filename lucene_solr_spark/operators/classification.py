@@ -270,3 +270,54 @@ def perceptron_classify(
         F.when(F.col("margin") > 0, 1).otherwise(-1).alias("y_hat"),
         F.round("margin", 4).alias("margin"),
     ).orderBy("qid")
+
+
+def features_ig(
+    tok: DataFrame, classes: DataFrame, k: int = 10
+) -> DataFrame:
+    """FeaturesSelectionStream (solr/solrj/.../io/stream/
+    FeaturesSelectionStream.java ≈L60): per-term information gain against
+    a binary class label, the feature-selection stage in front of
+    train() / TextLogitStream. IG(t) = H(C) − P(t)·H(C|t) −
+    P(¬t)·H(C|¬t), all probabilities from document-level presence counts.
+
+    One distinct-(term, doc) agg joined to a broadcast class table —
+    the counts are exact integers, so the ranking is deterministic under
+    any partitioning; entropy arithmetic happens once per TERM (tiny).
+
+    `classes`: (doc_id, label) with label ∈ {0, 1}.
+    """
+    totals = classes.agg(
+        F.count("*").alias("n"), F.sum("label").alias("n1")
+    ).first()
+    n, n1 = int(totals["n"]), int(totals["n1"])
+    per_term = (
+        tok.select("doc_id", "term")
+        .dropDuplicates(["doc_id", "term"])
+        .join(F.broadcast(classes), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("label").alias("df1"),
+        )
+    )
+
+    def _h(p):
+        # binary entropy with 0·ln0 = 0
+        return -(
+            F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+            + F.when(p < 1, (1 - p) * F.log(1 - p)).otherwise(F.lit(0.0))
+        )
+
+    pt = F.col("df") / F.lit(float(n))
+    p_c_t = F.col("df1") / F.col("df")
+    p_c_nt = (F.lit(float(n1)) - F.col("df1")) / (F.lit(float(n)) - F.col("df"))
+    hc = _h(F.lit(float(n1) / n))
+    ig = hc - pt * _h(p_c_t) - F.when(
+        F.col("df") < n, (1 - pt) * _h(p_c_nt)
+    ).otherwise(F.lit(0.0))
+    return (
+        per_term.select("term", F.round(ig, 6).alias("ig"))
+        .orderBy(F.desc("ig"), F.asc("term"))
+        .limit(k)
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.operators.classification import (
@@ -130,3 +131,27 @@ def test_perceptron_all_positive_converges_first_epoch(spark):
     q = tok.select(F.col("doc_id").alias("qid"), "term")
     preds = perceptron_classify(tok, w, q).collect()
     assert all(r["y_hat"] == 1 for r in preds)
+
+
+def test_features_ig_perfect_and_useless_terms(spark):
+    """A term perfectly correlated with the class carries IG == H(C);
+    a term present in every doc carries IG == 0."""
+    import math
+
+    from lucene_solr_spark.operators.classification import features_ig
+
+    rows = []
+    for d in range(8):
+        label = 1 if d < 4 else 0
+        terms = ["common"] + (["pos"] if label else ["neg"])
+        for p, t in enumerate(terms):
+            rows.append((d, t, p))
+    tok = spark.createDataFrame(rows, ["doc_id", "term", "pos"])
+    classes = spark.createDataFrame(
+        [(d, 1 if d < 4 else 0) for d in range(8)], ["doc_id", "label"]
+    )
+    out = {r["term"]: r["ig"] for r in features_ig(tok, classes, k=10).collect()}
+    hc = math.log(2)  # H(0.5) in nats
+    assert out["pos"] == pytest.approx(hc, abs=1e-6)
+    assert out["neg"] == pytest.approx(hc, abs=1e-6)
+    assert out["common"] == pytest.approx(0.0, abs=1e-9)
