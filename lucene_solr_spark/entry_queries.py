@@ -817,6 +817,8 @@ _after_window = [
     "json_facet_allbuckets",
     # round-4 fifteenth tranche: features() information gain
     "stream_features_ig",
+    # round-4 sixteenth tranche: SweetSpotSimilarity
+    "sweetspot_sim_topk",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1732,3 +1732,61 @@ REGISTRY_R4.update(
         "stream_features_ig": (q_stream_features_ig, SQL_STREAM_FEATURES_IG),
     }
 )
+
+
+# ===========================================================================
+# Tranche 12: SweetSpotSimilarity.
+# ===========================================================================
+
+
+def q_sweetspot_topk(spark, sf_dir):
+    """SweetSpotSimilarity top-10 for 'vector': length plateau [30, 45]
+    (docs in the sweet spot take no length penalty), steepness 0.5,
+    baselineTf defaults."""
+    from .entry_queries import _cstats, _dl, _tok, _topk
+    from .score import sweetspot_score
+
+    tok, dl = _tok(spark, sf_dir), _dl(spark, sf_dir)
+    n, _ = _cstats(spark, sf_dir)
+    tf = tok.filter(F.col("term") == "vector").groupBy("doc_id").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = float(tf.count())
+    j = tf.join(dl, "doc_id")
+    return _topk(
+        j.select(
+            "doc_id",
+            sweetspot_score(
+                F.col("tf"), F.col("dl"), F.lit(df_), n,
+                ln_min=30, ln_max=45, steepness=0.5,
+            ).alias("score"),
+        )
+    )
+
+
+SQL_SWEETSPOT = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (SELECT (SELECT count(*) FROM documents) AS n FROM (SELECT 1)),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector'
+       GROUP BY doc_id),
+d1 AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         CASE WHEN tf.tf <= 0.0 THEN 0.0
+              ELSE sqrt(tf.tf + 0.0 - 0.0) END
+         * pow(ln((cstats.n + 1.0) / (d1.df + 1.0)) + 1.0, 2)
+         * (1.0 / sqrt(0.5 * (abs(dl.dl - 30.0) + abs(dl.dl - 45.0)
+                              - 15.0) + 1.0)) AS score
+  FROM tf, dl, cstats, d1 WHERE dl.doc_id = tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "sweetspot_sim_topk": (q_sweetspot_topk, SQL_SWEETSPOT),
+    }
+)

@@ -345,3 +345,48 @@ SIMILARITIES = {
     "bm25": bm25_score,
     "classic": classic_score,
 }
+
+
+def sweetspot_score(
+    tf: Column,
+    dlq: Column,
+    df_col: Column,
+    n_docs: int,
+    ln_min: int = 1,
+    ln_max: int = 1,
+    steepness: float = 0.5,
+    tf_base: float = 0.0,
+    tf_min: float = 0.0,
+    boost: float = 1.0,
+) -> Column:
+    """SweetSpotSimilarity (lucene/misc/src/java/org/apache/lucene/misc/
+    SweetSpotSimilarity.java ≈L40) — ClassicSimilarity with two tuned
+    curves:
+
+      baselineTf:  freq <= tf_min -> tf_base, else
+                   sqrt(freq + tf_base² − tf_min)   (baselineTf ≈L120)
+      lengthNorm:  1 / sqrt( steepness · (|len−min| + |len−max|
+                   − (max−min)) + 1 )               (lengthNorm ≈L90)
+                   == 1 inside the [ln_min, ln_max] plateau, hyperbolic
+                   falloff outside — docs in the sweet-spot length range
+                   are NOT penalized relative to each other.
+
+    idf is Classic's (ln((N+1)/(df+1)) + 1)², as SweetSpot inherits it.
+    """
+    t = tf.cast("double")
+    base_tf = F.when(t <= F.lit(float(tf_min)), F.lit(float(tf_base))).otherwise(
+        F.sqrt(t + F.lit(float(tf_base) ** 2) - F.lit(float(tf_min)))
+    )
+    length = dlq.cast("double")
+    spread = float(ln_max - ln_min)
+    norm = 1.0 / F.sqrt(
+        F.lit(float(steepness))
+        * (
+            F.abs(length - F.lit(float(ln_min)))
+            + F.abs(length - F.lit(float(ln_max)))
+            - F.lit(spread)
+        )
+        + 1.0
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (df_col + 1.0)) + 1.0
+    return F.lit(float(boost)) * base_tf * idf * idf * norm

