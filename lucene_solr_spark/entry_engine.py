@@ -773,3 +773,30 @@ REGISTRY_ENGINE.update(
         ),
     }
 )
+
+
+def q_engine_sorted_range_count(spark, sf_dir):
+    """Range count resolved from the SORTED index's contiguous doc-id run
+    (IndexSortSortedNumericDocValuesRangeQuery analog): count of docs
+    with n_chars in [200, 300] on the n_chars-desc index — two boundary
+    ids, no postings touched."""
+    from .operators.sorted_index import sorted_range_count
+
+    eng = _engine_sorted(spark, sf_dir)
+    n = sorted_range_count(eng["index"], "n_chars", 200, 300)
+    return spark.createDataFrame([(n,)], "n_in_range long")
+
+
+SQL_ENGINE_SORTED_RANGE = """
+SELECT count(*) AS n_in_range
+FROM documents WHERE n_chars BETWEEN 200 AND 300
+"""
+
+REGISTRY_ENGINE.update(
+    {
+        "engine_sorted_range_count_sql": (
+            q_engine_sorted_range_count,
+            SQL_ENGINE_SORTED_RANGE,
+        ),
+    }
+)

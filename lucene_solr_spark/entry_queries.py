@@ -819,6 +819,8 @@ _after_window = [
     "stream_features_ig",
     # round-4 sixteenth tranche: SweetSpotSimilarity
     "sweetspot_sim_topk",
+    # round-4 seventeenth tranche: sorted-index contiguous-run range count
+    "engine_sorted_range_count_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -704,6 +704,21 @@ def build_index(
         "parquet.writer.version", "v2"
     ).parquet(os.path.join(out_dir, "docmeta"))
     docmeta_w = spark.read.parquet(os.path.join(out_dir, "docmeta"))
+    if sort_by:
+        # Lucene's setIndexSort requires the sort field to be a docvalues
+        # field — the sort values STAY readable in the index. Persist them
+        # as a slim (doc_id, sort fields) sidecar so sorted-index fast
+        # paths (early termination, contiguous-run range counts) never
+        # re-join the source corpus. Columnar 2-col scan, range-
+        # partitioned by doc_id like docmeta.
+        sortvals = (
+            pages.select("url", *[n for n, _ in sort_by])
+            .join(id_side, "url")
+            .select("doc_id", *[n for n, _ in sort_by])
+        )
+        sortvals.write.mode("overwrite").option(
+            "parquet.writer.version", "v2"
+        ).parquet(os.path.join(out_dir, "sortvals"))
     _phase("docmeta")
 
     if packed and not fused:
@@ -1349,6 +1364,9 @@ def read_index(spark: SparkSession, index_dir: str) -> dict:
     packed_dir = os.path.join(index_dir, "packed")
     if os.path.isdir(packed_dir):
         out["packed"] = spark.read.parquet(packed_dir)
+    sortvals_dir = os.path.join(index_dir, "sortvals")
+    if os.path.isdir(sortvals_dir):
+        out["sortvals"] = spark.read.parquet(sortvals_dir)
     return out
 
 

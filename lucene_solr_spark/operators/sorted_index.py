@@ -97,3 +97,60 @@ def assert_index_sorted(index: dict) -> list:
             "matching IllegalStateException for a Sort mismatch)"
         )
     return srt
+
+
+def sorted_range_count(
+    index: dict,
+    field: str,
+    lo,
+    hi,
+    probe_info: dict | None = None,
+) -> int:
+    """IndexSortSortedNumericDocValuesRangeQuery analog
+    (lucene/sandbox/.../search/IndexSortSortedNumericDocValuesRange
+    Query.java ≈L60): when the range field IS the index sort, the match
+    set is one CONTIGUOUS doc-id run, so the count resolves from the run
+    BOUNDARIES — two tiny agg jobs over the docmeta column — instead of
+    a full predicate scan of every row. Lucene finds the boundaries by
+    binary search over the sorted doc values; columnar Spark gets the
+    same IO shape because docmeta is range-partitioned by doc_id and the
+    min/max probes prune to the boundary partitions.
+
+    Returns the count of docs with lo <= field <= hi (inclusive both
+    ends, the SortedNumericDocValuesField.newSlowRangeQuery contract).
+    Requires the index sorted by exactly (field desc|asc); raises
+    otherwise (same loud failure as assert_index_sorted).
+    """
+    srt = assert_index_sorted(index)
+    if len(srt) != 1 or srt[0][0] != field:
+        raise ValueError(
+            f"index sort {srt} does not lead with {field}; the contiguous-"
+            "run boundary trick needs the range field as the index sort"
+        )
+    if "sortvals" not in index:
+        raise ValueError(
+            "index has no sortvals sidecar (built before sort-value "
+            "persistence, or without sort_by)"
+        )
+    meta = index["sortvals"].select("doc_id", field)
+    in_range = (F.col(field) >= F.lit(lo)) & (F.col(field) <= F.lit(hi))
+    row = meta.filter(in_range).agg(
+        F.min("doc_id").alias("lo_id"),
+        F.max("doc_id").alias("hi_id"),
+        F.count("*").alias("n"),
+    ).first()
+    if probe_info is not None:
+        probe_info["lo_id"] = row["lo_id"]
+        probe_info["hi_id"] = row["hi_id"]
+    if row["lo_id"] is None:
+        return 0
+    # the sorted-index contract: the match run is contiguous, so
+    # count == hi_id - lo_id + 1. Assert it (catches a mis-sorted index
+    # the way Lucene's CheckIndex would) and return the boundary count.
+    n_span = int(row["hi_id"]) - int(row["lo_id"]) + 1
+    if int(row["n"]) != n_span:
+        raise AssertionError(
+            f"index claims sort by {field} but the [{lo}, {hi}] match run "
+            f"is not contiguous: {row['n']} rows span {n_span} ids"
+        )
+    return n_span

@@ -146,3 +146,38 @@ def test_top1_is_longest_matching_doc(spark, sorted_idx):
         .collect()[0]["doc_id"]
     )
     assert oid == best
+
+
+def test_sorted_range_count_matches_filter(spark, tmp_path_factory):
+    """Contiguous-run range count == plain predicate count; mis-declared
+    sort field raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.fixtures import write_pages
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.operators.sorted_index import sorted_range_count
+
+    out = str(tmp_path_factory.mktemp("src") / "pages.parquet")
+    write_pages(0.0003, out)
+    d = spark.read.parquet(out).select(
+        "url", "text", "lang", F.length("text").alias("n_chars")
+    )
+    idx_dir = str(tmp_path_factory.mktemp("src") / "idx")
+    build_index(
+        spark, d, idx_dir, profile="simple", num_buckets=4,
+        quantize=False, sort_by=[("n_chars", "desc")],
+    )
+    idx = read_index(spark, idx_dir)
+    lo, hi = 200, 400
+    expect = d.filter(
+        (F.col("n_chars") >= lo) & (F.col("n_chars") <= hi)
+    ).count()
+    info = {}
+    got = sorted_range_count(idx, "n_chars", lo, hi, probe_info=info)
+    assert got == expect > 0
+    assert info["hi_id"] - info["lo_id"] + 1 == got
+    # empty range returns 0, not an error
+    assert sorted_range_count(idx, "n_chars", 10**9, 2 * 10**9) == 0
+    with pytest.raises(ValueError):
+        sorted_range_count(idx, "lang", 0, 1)
