@@ -821,6 +821,8 @@ _after_window = [
     "sweetspot_sim_topk",
     # round-4 seventeenth tranche: sorted-index contiguous-run range count
     "engine_sorted_range_count_sql",
+    # round-4 eighteenth tranche: boilerplate removal (apply templates)
+    "boilerplate_removal",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

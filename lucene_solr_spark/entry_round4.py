@@ -1790,3 +1790,76 @@ REGISTRY_R4.update(
         "sweetspot_sim_topk": (q_sweetspot_topk, SQL_SWEETSPOT),
     }
 )
+
+
+# ===========================================================================
+# Tranche 13: boilerplate REMOVAL (apply the detected templates).
+# ===========================================================================
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """detect_template_ngrams -> remove_template_ngrams: strip every
+    token position covered by a flagged per-source bigram, re-assemble
+    the text. (Docs left with zero tokens would drop out; none do at
+    this min_frac.)"""
+    from .pipeline.webprep import (
+        detect_template_ngrams,
+        remove_template_ngrams,
+    )
+
+    d = _docs(spark, sf_dir)
+    tmpl = detect_template_ngrams(d, n=2, min_frac=0.16, group_col="source")
+    return remove_template_ngrams(d, tmpl, n=2, group_col="source")
+
+
+SQL_BOILERPLATE_REMOVAL = """
+WITH base AS (
+  SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+toks0 AS (
+  SELECT source, doc_id, t, generate_subscripts(t, 1) AS pos,
+         len(t) AS n_orig
+  FROM base),
+toks AS (
+  SELECT source, doc_id, t[pos] AS tok, pos, n_orig FROM toks0),
+sh AS (
+  SELECT source, doc_id, pos,
+         tok || ' ' || lead(tok) OVER w AS shingle,
+         lead(tok) OVER w IS NOT NULL AS full_sh
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+dsh AS (SELECT DISTINCT source, doc_id, shingle FROM sh WHERE full_sh),
+gs AS (SELECT source, count(*) AS n_docs_grp FROM documents GROUP BY source),
+flagged AS (
+  SELECT d.source, d.shingle
+  FROM (SELECT source, shingle, count(*) AS n_docs
+        FROM dsh GROUP BY source, shingle) d
+  JOIN gs ON d.source = gs.source
+  WHERE d.n_docs / CAST(gs.n_docs_grp AS DOUBLE) >= 0.16),
+hits AS (
+  SELECT sh.doc_id, sh.pos FROM sh
+  JOIN flagged ON sh.source = flagged.source
+              AND sh.shingle = flagged.shingle
+  WHERE sh.full_sh),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, pos FROM hits
+    UNION ALL SELECT doc_id, pos + 1 FROM hits)),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos, t.n_orig
+  FROM toks t LEFT JOIN covered c
+    ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+       CAST(max(n_orig) - count(*) AS BIGINT) AS n_removed
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "boilerplate_removal": (
+            q_boilerplate_removal,
+            SQL_BOILERPLATE_REMOVAL,
+        ),
+    }
+)

@@ -219,3 +219,78 @@ def detect_template_ngrams(
         )
         .orderBy(group_col, "shingle")
     )
+
+
+def remove_template_ngrams(
+    docs: DataFrame,
+    templates: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply boilerplate removal: every token position covered by one of
+    the group's flagged template n-grams (output of
+    detect_template_ngrams, or any (group, shingle) table) is dropped and
+    the document re-assembled — the cleanup step after per-site template
+    detection in a CC-style pipeline.
+
+    Plan shape: posexplode in codegen -> shingle view via lead() windows
+    (per-doc partitions) -> broadcast join against the flagged shingles
+    (the template table is tiny BY CONSTRUCTION — min_frac caps it near
+    vocab², independent of corpus size) -> covered-offset explode ->
+    anti-join on (doc, pos) -> sorted re-assembly with one array_sort
+    (no second shuffle: assembly groups on the same doc key the windows
+    partitioned by). Returns (id, cleaned_text, n_removed).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    sh = toks.select(
+        "grp",
+        "_id",
+        "pos",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, n)]
+        ).alias("shingle"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    flagged = templates.select(
+        F.col(group_col).alias("grp"), "shingle"
+    ).dropDuplicates(["grp", "shingle"])
+    hits = sh.join(F.broadcast(flagged), ["grp", "shingle"])
+    covered = hits.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).dropDuplicates(["_id", "pos"])
+    kept = toks.join(covered, ["_id", "pos"], "left_anti")
+    out = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    lens = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_orig"),
+    )
+    return (
+        out.join(lens, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "cleaned_text",
+            (F.col("n_orig") - F.col("n_kept")).alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )

@@ -167,3 +167,25 @@ def test_temperature_mix_rates():
     rh = temperature_mix_rates(counts, 0.5, 300)
     assert r0["en"] < rh["en"] < r1["en"]
     assert rh["fr"] > rh["en"]
+
+
+def test_remove_template_ngrams_strips_planted_phrase(spark):
+    from lucene_solr_spark.pipeline.webprep import (
+        detect_template_ngrams,
+        remove_template_ngrams,
+    )
+
+    rows = []
+    for i in range(10):
+        body = f"unique{i} words here differ{i}"
+        text = ("copyright acme corp " + body) if i < 8 else body
+        rows.append(("siteA", i, text))
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    tmpl = detect_template_ngrams(df, n=2, min_frac=0.5)
+    out = {r["doc_id"]: r for r in remove_template_ngrams(df, tmpl, n=2).collect()}
+    for i in range(8):
+        assert out[i]["cleaned_text"] == f"unique{i} words here differ{i}"
+        assert out[i]["n_removed"] == 3  # copyright acme corp
+    for i in range(8, 10):
+        assert out[i]["n_removed"] == 0
+        assert out[i]["cleaned_text"] == f"unique{i} words here differ{i}"
