@@ -183,9 +183,11 @@ def test_remove_template_ngrams_strips_planted_phrase(spark):
     df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
     tmpl = detect_template_ngrams(df, n=2, min_frac=0.5)
     out = {r["doc_id"]: r for r in remove_template_ngrams(df, tmpl, n=2).collect()}
+    # flagged templates: "copyright acme", "acme corp" (8/10 docs) AND
+    # "words here" (all 10 docs — the body itself plants a template)
     for i in range(8):
-        assert out[i]["cleaned_text"] == f"unique{i} words here differ{i}"
-        assert out[i]["n_removed"] == 3  # copyright acme corp
+        assert out[i]["cleaned_text"] == f"unique{i} differ{i}"
+        assert out[i]["n_removed"] == 5  # copyright acme corp, words here
     for i in range(8, 10):
-        assert out[i]["n_removed"] == 0
-        assert out[i]["cleaned_text"] == f"unique{i} words here differ{i}"
+        assert out[i]["cleaned_text"] == f"unique{i} differ{i}"
+        assert out[i]["n_removed"] == 2  # words here
