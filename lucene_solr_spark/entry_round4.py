@@ -1170,7 +1170,8 @@ def q_feature_field_saturation(spark, sf_dir):
     feat = _docs(spark, sf_dir).select(
         "doc_id", feature_saturation(F.col("n_chars"), 280.0, 1.5).alias("_f")
     )
-    out = base.join(F.broadcast(feat), "doc_id").select(
+    # feat is one row per doc — doc-keyed equi-join, not a broadcast
+    out = base.join(feat, "doc_id").select(
         "doc_id", (F.col("_text") + F.col("_f")).alias("score")
     )
     return _topk(out)

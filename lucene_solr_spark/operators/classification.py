@@ -294,7 +294,10 @@ def features_ig(
     per_term = (
         tok.select("doc_id", "term")
         .dropDuplicates(["doc_id", "term"])
-        .join(F.broadcast(classes), "doc_id")
+        # classes is one row PER DOC — never broadcast it; a doc_id-keyed
+        # equi-join lets Catalyst pick (and co-partitions with the dedup
+        # exchange at scale)
+        .join(classes, "doc_id")
         .groupBy("term")
         .agg(
             F.count("*").alias("df"),
