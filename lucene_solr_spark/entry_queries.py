@@ -823,6 +823,12 @@ _after_window = [
     "engine_sorted_range_count_sql",
     # round-4 eighteenth tranche: boilerplate removal (apply templates)
     "boilerplate_removal",
+    # round-4 nineteenth tranche: matheval long tail III (freqTable,
+    # rank transform, normalizeSum, empirical CDF)
+    "stream_freq_table", "stream_rank_transform", "stream_normalize_sum",
+    "stream_empirical_cdf",
+    # round-4 twentieth tranche: SimpleQueryParser end-to-end
+    "engine_simple_qp_sql",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1864,3 +1864,175 @@ REGISTRY_R4.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche 14: math-evaluator long tail III — freqTable, rank transform,
+# normalizeSum, empiricalDistribution CDF.
+# ===========================================================================
+
+
+def q_stream_freq_table(spark, sf_dir):
+    """FrequencyTableEvaluator over lineitem.l_linenumber (7 distinct
+    values): count / pct / cumFreq / cumPct per value."""
+    from .operators.matheval import freq_table_stream
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return freq_table_stream(li, "l_linenumber")
+
+
+SQL_STREAM_FREQ_TABLE = """
+WITH c AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS value, count(*) AS cnt
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+SELECT value, cnt,
+       ROUND(cnt / tot, 6) AS pct,
+       CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) AS cum_freq,
+       ROUND(sum(cnt) OVER (ORDER BY value) / tot, 6) AS cum_pct
+FROM c, t ORDER BY value
+"""
+
+
+def q_stream_rank_transform(spark, sf_dir):
+    """RankEvaluator (NaturalRanking, ties averaged) over the per-doc
+    token counts: every doc gets the fractional rank of its length."""
+    from .entry_queries import _dl
+    from .operators.matheval import rank_transform_stream
+
+    return rank_transform_stream(_dl(spark, sf_dir), "doc_id", "dl")
+
+
+SQL_STREAM_RANK_TRANSFORM = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+r AS (
+  SELECT doc_id,
+         RANK() OVER (ORDER BY dl)
+           + (COUNT(*) OVER (PARTITION BY dl) - 1) / 2.0 AS avg_rank
+  FROM dl)
+SELECT doc_id, ROUND(avg_rank, 2) AS rank FROM r ORDER BY doc_id
+"""
+
+
+def q_stream_normalize_sum(spark, sf_dir):
+    """normalizeSum(): per-language document counts scaled to a
+    probability vector (sums to 1)."""
+    from .operators.matheval import normalize_sum_stream
+
+    counts = (
+        _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("cnt"))
+    )
+    return normalize_sum_stream(counts, "lang", "cnt")
+
+
+SQL_STREAM_NORMALIZE_SUM = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+SELECT lang, ROUND(cnt / tot, 6) AS p FROM c, t ORDER BY lang
+"""
+
+
+def q_stream_empirical_cdf(spark, sf_dir):
+    """empiricalDistribution() + cumulativeProbability() at four probe
+    points over the doc-length distribution — single-pass conditional
+    means, no data-column shuffle."""
+    from .entry_queries import _dl
+    from .operators.matheval import empirical_cdf_stream
+
+    return empirical_cdf_stream(
+        _dl(spark, sf_dir), "dl", [40.0, 60.0, 80.0, 120.0]
+    )
+
+
+SQL_STREAM_EMPIRICAL_CDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+p AS (SELECT CAST(unnest([40.0, 60.0, 80.0, 120.0]) AS DOUBLE) AS probe)
+SELECT probe,
+       ROUND(CAST((SELECT avg(CASE WHEN dl <= probe THEN 1.0 ELSE 0.0 END)
+                   FROM dl) AS DOUBLE), 6) AS cdf
+FROM p ORDER BY probe
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "stream_freq_table": (q_stream_freq_table, SQL_STREAM_FREQ_TABLE),
+        "stream_rank_transform": (
+            q_stream_rank_transform,
+            SQL_STREAM_RANK_TRANSFORM,
+        ),
+        "stream_normalize_sum": (
+            q_stream_normalize_sum,
+            SQL_STREAM_NORMALIZE_SUM,
+        ),
+        "stream_empirical_cdf": (
+            q_stream_empirical_cdf,
+            SQL_STREAM_EMPIRICAL_CDF,
+        ),
+    }
+)
+
+
+# ===========================================================================
+# Tranche 15: SimpleQueryParser end-to-end through the real engine.
+# ===========================================================================
+
+
+def q_engine_simple_qp(spark, sf_dir):
+    """SimpleQueryParser syntax end-to-end (lucene/queryparser/.../simple/
+    SimpleQueryParser.java): `dup window* | vector -"merge join"` with
+    AND default operator -> ((dup AND window*) OR (vector AND NOT
+    "merge join")) -> the real engine. Branch 1 scores bm25(dup) + 1.0
+    (prefix under CONSTANT_SCORE_REWRITE); branch 2 scores bm25(vector)
+    on docs without the adjacent phrase; SHOULD branches sum."""
+    from .entry_engine import _engine, _to_orig
+    from .query_parser import parse_simple
+
+    eng = _engine(spark, sf_dir)
+    q = parse_simple(
+        'dup window* | vector -"merge join"',
+        profile="simple",
+        default_op="AND",
+    )
+    return _to_orig(eng, eng["searcher"].search(q, 10, with_fields=False))
+
+
+def _sql_simple_qp() -> str:
+    from .entry_engine import _sql_scores
+
+    return f"""
+WITH tokp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tokp),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+cstats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+{_sql_scores(1, "dup")},
+{_sql_scores(2, "vector")},
+pw AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'window%'),
+b1 AS (SELECT s1.doc_id, s1.score + 1.0 AS score
+       FROM s1 JOIN pw ON s1.doc_id = pw.doc_id),
+ph AS (SELECT DISTINCT a.doc_id
+       FROM tokp a JOIN tokp b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'merge' AND b.term = 'join'),
+b2 AS (SELECT doc_id, score FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM ph)),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+g AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+SELECT doc_id, ROUND(score, 4) AS score
+FROM (SELECT * FROM g ORDER BY score DESC, doc_id LIMIT 10) t
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "engine_simple_qp_sql": (q_engine_simple_qp, _sql_simple_qp()),
+    }
+)

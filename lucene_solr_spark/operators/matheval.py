@@ -917,3 +917,98 @@ def lerp_stream(
     return j.select(
         F.col("_qx").alias(qx), F.round(val, 6).alias("lerp")
     ).orderBy(qx)
+
+
+def freq_table_stream(df: DataFrame, col: str) -> DataFrame:
+    """FrequencyTableEvaluator (solr/solrj/.../io/eval/
+    FrequencyTableEvaluator.java ≈L40): per distinct value — count, pct,
+    cumFreq, cumPct. Distributed form: one groupBy reduces the input to
+    |distinct values| rows; the cumulative window then runs over that
+    REDUCED table only (single-partition window over the value axis is
+    safe because the cardinality is the table's distinct count, not its
+    row count — the commit rule for every windowed matheval here)."""
+    v = F.col(col).cast("bigint").alias("value")
+    counts = df.select(v).groupBy("value").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return counts.select(
+        "value",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(tot), 6).alias("pct"),
+        F.sum("cnt").over(w).alias("cum_freq"),
+        F.round(
+            F.sum("cnt").over(w) / F.sum("cnt").over(tot), 6
+        ).alias("cum_pct"),
+    ).orderBy("value")
+
+
+def rank_transform_stream(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """RankEvaluator (solr/solrj/.../io/eval/RankEvaluator.java ≈L30):
+    commons-math NaturalRanking with TiesStrategy.AVERAGE — each value is
+    replaced by its fractional rank; ties share the average of the ranks
+    they occupy. Distributed two-phase form (no global window over the
+    raw rows): (1) reduce to per-value counts, (2) cumulative-sum window
+    over the reduced value table gives rank_below, (3) broadcast-join the
+    per-value avg rank back: avg_rank = rank_below + (count + 1) / 2."""
+    x = F.col(col).cast("double").alias("_v")
+    counts = df.select(x).groupBy("_v").agg(F.count("*").alias("_c"))
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    ranked = counts.select(
+        "_v",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0))
+            + (F.col("_c") + 1) / 2.0
+        ).alias("rank"),
+    )
+    return (
+        df.select(F.col(id_col), F.col(col).cast("double").alias("_v"))
+        .join(F.broadcast(ranked), "_v")
+        .select(id_col, F.round("rank", 2).alias("rank"))
+        .orderBy(id_col)
+    )
+
+
+def normalize_sum_stream(df: DataFrame, key: str, col: str) -> DataFrame:
+    """NormalizeSumEvaluator (solr/solrj/.../io/eval/
+    NormalizeSumEvaluator.java ≈L30): scale a vector so it sums to 1
+    (probability normalization). Applied to a keyed aggregate vector; the
+    total comes from a whole-table window over the already-reduced keyed
+    rows."""
+    tot = Window.partitionBy()
+    return df.select(
+        key,
+        F.round(
+            F.col(col).cast("double") / F.sum(F.col(col).cast("double")).over(tot),
+            6,
+        ).alias("p"),
+    ).orderBy(key)
+
+
+def empirical_cdf_stream(
+    df: DataFrame, col: str, probes: list[float]
+) -> DataFrame:
+    """EmpiricalDistributionEvaluator + cumulativeProbability
+    (solr/solrj/.../io/eval/EmpiricalDistributionEvaluator.java ≈L40,
+    CumulativeProbabilityEvaluator.java): P(X <= probe) as the sample
+    fraction. Distributed form: ONE pass — each probe is a conditional
+    mean inside a single agg (map-side combinable, no shuffle of data
+    columns), then the scalar row unpivots to (probe, cdf)."""
+    x = F.col(col).cast("double")
+    aggs = [
+        F.avg((x <= float(p)).cast("double")).alias(f"_p{i}")
+        for i, p in enumerate(probes)
+    ]
+    row = df.agg(*aggs)
+    pairs = []
+    for i, p in enumerate(probes):
+        pairs.extend([F.lit(float(p)), F.round(F.col(f"_p{i}"), 6)])
+    return (
+        row.select(
+            F.explode(
+                F.create_map(*pairs)
+            ).alias("probe", "cdf")
+        )
+        .orderBy("probe")
+    )

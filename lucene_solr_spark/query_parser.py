@@ -398,6 +398,150 @@ def parse_edismax(
     return rewrite(b)
 
 
+def parse_simple(
+    text: str, profile: str = "en", default_op: str = "AND"
+) -> Query:
+    """Lucene SimpleQueryParser (lucene/queryparser/src/java/org/apache/
+    lucene/queryparser/simple/SimpleQueryParser.java ≈L80): the
+    end-user-safe grammar — it NEVER raises; malformed input degrades to
+    literal terms. Supported operators (the default feature flags):
+
+      ``a b``        clauses joined with ``default_op`` (AND_OPERATOR /
+                     OR_OPERATOR ctor arg)
+      ``a | b``      OR (lowest precedence; ``+``/whitespace binds tighter,
+                     matching the reference's left-to-right buildup where
+                     ``|`` starts a new SHOULD branch)
+      ``-a``         NOT (prohibited within its AND group)
+      ``"a b"~2``    phrase, optional NEAR slop
+      ``te*``        trailing-star prefix (PREFIX_OPERATOR; mid-word ``*``
+                     is literal text in SimpleQueryParser, unlike classic)
+      ``a~1``        fuzzy (FUZZY_OPERATOR, max_edits default 2)
+      ``( ... )``    precedence grouping
+
+    Degradation rules, as in the reference: an unbalanced ``"`` consumes
+    to end-of-string as the phrase body; an unbalanced ``(`` parses to
+    end-of-string; a dangling operator is dropped; an empty/all-stopword
+    query yields MatchAll (reference returns null -> match-nothing at the
+    IndexSearcher level; we surface the identity element instead so
+    composition never NPEs — documented deviation).
+
+    Multi-term operands (prefix, fuzzy) are lowercased only, never
+    stemmed, mirroring ``SimpleQueryParser#newPrefixQuery`` going through
+    ``normalizeMultiTerm`` — same discipline as parse_classic.
+    """
+    from .analysis import analyze_query_terms
+
+    pos = [0]
+    n = len(text)
+
+    def _ws() -> None:
+        while pos[0] < n and text[pos[0]].isspace():
+            pos[0] += 1
+
+    def _word() -> str:
+        out = []
+        while pos[0] < n:
+            c = text[pos[0]]
+            if c == "\\" and pos[0] + 1 < n:
+                out.append(text[pos[0] + 1])
+                pos[0] += 2
+                continue
+            if c.isspace() or c in '|()"~' or (c == "-" and not out):
+                break
+            out.append(c)
+            pos[0] += 1
+        return "".join(out)
+
+    def _atom() -> Query | None:
+        _ws()
+        if pos[0] >= n:
+            return None
+        c = text[pos[0]]
+        if c == "(":
+            pos[0] += 1
+            q = _or()
+            _ws()
+            if pos[0] < n and text[pos[0]] == ")":
+                pos[0] += 1
+            return q
+        if c == '"':
+            pos[0] += 1
+            end = text.find('"', pos[0])
+            body = text[pos[0]:] if end < 0 else text[pos[0]:end]
+            pos[0] = n if end < 0 else end + 1
+            slop = 0
+            if pos[0] < n and text[pos[0]] == "~":
+                m = re.match(r"~(\d+)", text[pos[0]:])
+                if m:
+                    slop = int(m.group(1))
+                    pos[0] += m.end()
+            terms = analyze_query_terms(_unescape(body), profile)
+            if not terms:
+                return None
+            return (
+                Term(terms[0])
+                if len(terms) == 1
+                else Phrase(tuple(terms), slop=slop)
+            )
+        w = _word()
+        if not w:
+            pos[0] += 1  # stray ')' or lone '-' — skip, never raise
+            return None
+        if w.endswith("*") and len(w) > 1:
+            return Prefix(w[:-1].lower())
+        if pos[0] < n and text[pos[0]] == "~":
+            m = re.match(r"~(\d+)?", text[pos[0]:])
+            pos[0] += m.end()
+            edits = int(m.group(1)) if m.group(1) else 2
+            return Term(w.lower()) if edits == 0 else Fuzzy(w.lower(), edits)
+        terms = analyze_query_terms(w, profile)
+        if not terms:
+            return None
+        return Term(terms[0]) if len(terms) == 1 else Phrase(tuple(terms))
+
+    def _group() -> Query | None:
+        """One default_op-joined run of [-]atom clauses (stops at | or ))."""
+        must: list[Query] = []
+        must_not: list[Query] = []
+        while True:
+            _ws()
+            if pos[0] >= n or text[pos[0]] in "|)":
+                break
+            negated = False
+            while pos[0] < n and text[pos[0]] == "-":
+                negated = not negated
+                pos[0] += 1
+            q = _atom()
+            if q is None:
+                continue
+            (must_not if negated else must).append(q)
+        if not must and not must_not:
+            return None
+        if len(must) == 1 and not must_not:
+            return must[0]
+        if default_op.upper() == "AND":
+            return Boolean(must=must, must_not=must_not)
+        return Boolean(should=must, must_not=must_not)
+
+    def _or() -> Query | None:
+        branches: list[Query] = []
+        while True:
+            g = _group()
+            if g is not None:
+                branches.append(g)
+            _ws()
+            if pos[0] < n and text[pos[0]] == "|":
+                pos[0] += 1
+                continue
+            break
+        if not branches:
+            return None
+        return branches[0] if len(branches) == 1 else Boolean(should=branches)
+
+    q = _or()
+    return rewrite(q) if q is not None else MatchAll()
+
+
 def expand_synonyms(q, synonyms: dict) -> "Query":
     """Query-time synonym expansion (lucene/analysis/.../synonym/
     SynonymGraphFilter applied at QUERY time + QueryBuilder's graph query

@@ -1,0 +1,181 @@
+"""Round-4 tail tranche: SimpleQueryParser grammar (never-raise contract,
+operator surface) and the math-evaluator long tail III (freqTable, rank
+transform with averaged ties, normalizeSum, empirical CDF) against pandas
+closed forms."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.query import (
+    Boolean,
+    Fuzzy,
+    MatchAll,
+    Phrase,
+    Prefix,
+    Term,
+)
+from lucene_solr_spark.query_parser import parse_simple
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser grammar (SimpleQueryParser.java semantics)
+# ---------------------------------------------------------------------------
+
+
+class TestParseSimple:
+    def test_default_and(self):
+        q = parse_simple("foo bar", profile="simple")
+        assert isinstance(q, Boolean)
+        assert [c.term for c in q.must] == ["foo", "bar"]
+        assert not q.should and not q.must_not
+
+    def test_or_default_operator(self):
+        q = parse_simple("foo bar", profile="simple", default_op="OR")
+        assert [c.term for c in q.should] == ["foo", "bar"]
+        assert not q.must
+
+    def test_pipe_or(self):
+        q = parse_simple("a | b | c", profile="simple")
+        assert [c.term for c in q.should] == ["a", "b", "c"]
+
+    def test_not_clause(self):
+        q = parse_simple("foo -bar", profile="simple")
+        assert [c.term for c in q.must] == ["foo"]
+        assert [c.term for c in q.must_not] == ["bar"]
+
+    def test_not_only_gets_matchall(self):
+        q = parse_simple("-foo", profile="simple")
+        assert isinstance(q.must[0], MatchAll)
+        assert q.must_not[0].term == "foo"
+
+    def test_phrase_with_near_slop(self):
+        q = parse_simple('"a b"~2', profile="simple")
+        assert isinstance(q, Phrase) and q.terms == ("a", "b") and q.slop == 2
+
+    def test_trailing_star_prefix(self):
+        q = parse_simple("te*", profile="simple")
+        assert isinstance(q, Prefix) and q.prefix == "te"
+
+    def test_fuzzy_suffix(self):
+        assert parse_simple("term~1", profile="simple") == Fuzzy("term", 1)
+        assert parse_simple("term~", profile="simple") == Fuzzy("term", 2)
+        # ~0 means exact (FuzzyQuery maxEdits=0 degenerates to TermQuery)
+        assert parse_simple("term~0", profile="simple") == Term("term")
+
+    def test_grouping_precedence(self):
+        q = parse_simple("dup (a | b)", profile="simple")
+        assert q.must[0] == Term("dup")
+        inner = q.must[1]
+        assert [c.term for c in inner.should] == ["a", "b"]
+
+    def test_entry_query_shape(self):
+        q = parse_simple(
+            'dup window* | vector -"merge join"', profile="simple"
+        )
+        b1, b2 = q.should
+        assert b1.must == [Term("dup"), Prefix("window")]
+        assert b2.must == [Term("vector")]
+        assert b2.must_not == [Phrase(("merge", "join"))]
+
+    # -- the never-raise degradation contract ------------------------------
+    def test_unbalanced_quote_consumes_to_end(self):
+        q = parse_simple('"unbalanced quote body', profile="simple")
+        assert isinstance(q, Phrase) and q.terms[0] == "unbalanced"
+
+    def test_unbalanced_paren_parses_to_end(self):
+        q = parse_simple("(foo bar", profile="simple")
+        assert [c.term for c in q.must] == ["foo", "bar"]
+
+    def test_dangling_operator_dropped(self):
+        assert parse_simple("foo |", profile="simple") == Term("foo")
+
+    def test_empty_and_garbage_never_raise(self):
+        assert parse_simple("", profile="simple") == MatchAll()
+        for junk in (")", "|", "~", "- ", "(((", '"""', "a |) b"):
+            parse_simple(junk, profile="simple")  # must not raise
+
+    def test_midword_hyphen_is_literal(self):
+        q = parse_simple("well-known", profile="simple")
+        # the analyzer splits the hyphenated token; no NOT clause appears
+        assert not getattr(q, "must_not", [])
+
+
+# ---------------------------------------------------------------------------
+# Math-evaluator long tail III
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def values_df(spark):
+    rng = np.random.RandomState(11)
+    vals = rng.randint(1, 8, size=200)
+    return (
+        spark.createDataFrame(
+            [(int(i), int(v)) for i, v in enumerate(vals)], ["idx", "val"]
+        ),
+        vals,
+    )
+
+
+def test_freq_table_matches_pandas(spark, values_df):
+    from lucene_solr_spark.operators.matheval import freq_table_stream
+
+    df, vals = values_df
+    out = freq_table_stream(df, "val").toPandas()
+    s = pd.Series(vals).value_counts().sort_index()
+    assert list(out["value"]) == list(s.index)
+    assert list(out["cnt"]) == list(s.values)
+    cum = s.cumsum()
+    assert list(out["cum_freq"]) == list(cum.values)
+    np.testing.assert_allclose(
+        out["pct"], s.values / len(vals), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["cum_pct"], cum.values / len(vals), atol=1e-6
+    )
+
+
+def test_rank_transform_averages_ties(spark, values_df):
+    from lucene_solr_spark.operators.matheval import rank_transform_stream
+
+    df, vals = values_df
+    out = (
+        rank_transform_stream(df, "idx", "val")
+        .toPandas()
+        .set_index("idx")["rank"]
+        .sort_index()
+    )
+    expected = pd.Series(vals).rank(method="average")
+    np.testing.assert_allclose(out.values, expected.values, atol=1e-9)
+
+
+def test_normalize_sum_is_probability_vector(spark, values_df):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.matheval import normalize_sum_stream
+
+    df, vals = values_df
+    counts = df.groupBy("val").agg(F.count("*").alias("cnt"))
+    out = normalize_sum_stream(counts, "val", "cnt").toPandas()
+    assert out["p"].sum() == pytest.approx(1.0, abs=1e-5)
+    s = pd.Series(vals).value_counts().sort_index()
+    np.testing.assert_allclose(
+        out.sort_values("val")["p"].values, s.values / len(vals), atol=1e-6
+    )
+
+
+def test_empirical_cdf_matches_fraction(spark, values_df):
+    from lucene_solr_spark.operators.matheval import empirical_cdf_stream
+
+    df, vals = values_df
+    probes = [2.0, 4.5, 7.0]
+    out = (
+        empirical_cdf_stream(df, "val", probes)
+        .toPandas()
+        .set_index("probe")["cdf"]
+    )
+    for p in probes:
+        assert out[p] == pytest.approx((vals <= p).mean(), abs=1e-6)
