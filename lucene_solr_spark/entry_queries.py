@@ -829,6 +829,8 @@ _after_window = [
     "stream_empirical_cdf",
     # round-4 twentieth tranche: SimpleQueryParser end-to-end
     "engine_simple_qp_sql",
+    # round-4 twenty-first tranche: two-predictor olsRegress
+    "stream_ols_multi",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -2036,3 +2036,56 @@ REGISTRY_R4.update(
         "engine_simple_qp_sql": (q_engine_simple_qp, _sql_simple_qp()),
     }
 )
+
+
+# ===========================================================================
+# Tranche 16: olsRegress (two-predictor OLS, closed-form normal equations).
+# ===========================================================================
+
+
+def q_stream_ols_multi(spark, sf_dir):
+    """olsRegress(y=l_extendedprice ~ l_quantity + l_discount): one
+    distributed 9-sum agg, 2x2 normal-equation solve on the scalar row."""
+    from .operators.matheval import ols2_stream
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return ols2_stream(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+SQL_STREAM_OLS_MULTI = """
+WITH g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(l_quantity AS DOUBLE)) AS s1,
+         sum(CAST(l_discount AS DOUBLE)) AS s2,
+         sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s11r,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS s22r,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS s12r,
+         sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS s1yr,
+         sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS s2yr,
+         sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syyr
+  FROM lineitem),
+c AS (
+  SELECT n, s1, s2, sy,
+         s11r - s1*s1/n AS s11, s22r - s2*s2/n AS s22,
+         s12r - s1*s2/n AS s12, s1yr - s1*sy/n AS s1y,
+         s2yr - s2*sy/n AS s2y, syyr - sy*sy/n AS syy
+  FROM g),
+b AS (
+  SELECT n, s1, s2, sy, s1y, s2y, syy,
+         (s22*s1y - s12*s2y) / (s11*s22 - s12*s12) AS b1,
+         (s11*s2y - s12*s1y) / (s11*s22 - s12*s12) AS b2
+  FROM c)
+SELECT ROUND((sy - b1*s1 - b2*s2) / n, 6) AS b0,
+       ROUND(b1, 6) AS b1,
+       ROUND(b2, 6) AS b2,
+       ROUND((b1*s1y + b2*s2y) / syy, 6) AS r2
+FROM b
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "stream_ols_multi": (q_stream_ols_multi, SQL_STREAM_OLS_MULTI),
+    }
+)

@@ -1012,3 +1012,55 @@ def empirical_cdf_stream(
         )
         .orderBy("probe")
     )
+
+
+def ols2_stream(
+    df: DataFrame, y: str, x1: str, x2: str
+) -> DataFrame:
+    """OLSRegressionEvaluator (solr/solrj/.../io/eval/
+    OLSRegressionEvaluator.java ≈L40; commons-math
+    OLSMultipleLinearRegression) for the two-predictor case, solved in
+    closed form from ONE distributed aggregation pass (9 sums — all
+    map-side combinable; the 2x2 normal-equation solve happens on the
+    scalar row, codegen'd, no driver round-trip):
+
+        b1 = (S22*S1y - S12*S2y) / (S11*S22 - S12^2)
+        b2 = (S11*S2y - S12*S1y) / (S11*S22 - S12^2)
+        b0 = mean(y) - b1*mean(x1) - b2*mean(x2)
+        r2 = (b1*S1y + b2*S2y) / Syy
+
+    where Sij are centered cross-product sums. Returns one row
+    (b0, b1, b2, r2) rounded to 6 dp."""
+    cy = F.col(y).cast("double")
+    c1 = F.col(x1).cast("double")
+    c2 = F.col(x2).cast("double")
+    g = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c1).alias("s1"),
+        F.sum(c2).alias("s2"),
+        F.sum(cy).alias("sy"),
+        F.sum(c1 * c1).alias("s11r"),
+        F.sum(c2 * c2).alias("s22r"),
+        F.sum(c1 * c2).alias("s12r"),
+        F.sum(c1 * cy).alias("s1yr"),
+        F.sum(c2 * cy).alias("s2yr"),
+        F.sum(cy * cy).alias("syyr"),
+    )
+    n = F.col("n")
+    s11 = F.col("s11r") - F.col("s1") * F.col("s1") / n
+    s22 = F.col("s22r") - F.col("s2") * F.col("s2") / n
+    s12 = F.col("s12r") - F.col("s1") * F.col("s2") / n
+    s1y = F.col("s1yr") - F.col("s1") * F.col("sy") / n
+    s2y = F.col("s2yr") - F.col("s2") * F.col("sy") / n
+    syy = F.col("syyr") - F.col("sy") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    b0 = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    return g.select(
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -179,3 +179,24 @@ def test_empirical_cdf_matches_fraction(spark, values_df):
     )
     for p in probes:
         assert out[p] == pytest.approx((vals <= p).mean(), abs=1e-6)
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    from lucene_solr_spark.operators.matheval import ols2_stream
+
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(0, 10, 150)
+    x2 = rng.uniform(-5, 5, 150)
+    y = 4.0 + 2.5 * x1 - 1.25 * x2 + rng.normal(0, 0.5, 150)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        ["y", "x1", "x2"],
+    )
+    row = ols2_stream(df, "y", "x1", "x2").first()
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, res, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["b0"] == pytest.approx(beta[0], abs=1e-4)
+    assert row["b1"] == pytest.approx(beta[1], abs=1e-4)
+    assert row["b2"] == pytest.approx(beta[2], abs=1e-4)
+    sst = ((y - y.mean()) ** 2).sum()
+    assert row["r2"] == pytest.approx(1.0 - res[0] / sst, abs=1e-5)
