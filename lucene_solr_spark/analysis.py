@@ -831,6 +831,140 @@ def refined_soundex(term: str) -> str:
     return "".join(out)
 
 
+_MP_VOWELS = "AEIOU"
+_MP_FRONTV = "EIY"
+_MP_VARSON = "CSPTG"
+
+
+def metaphone(term: str, max_len: int = 4) -> str:
+    """Metaphone (Lawrence Philips, Computer Language 7(12), 1990) with
+    commons-codec `Metaphone` rule semantics and its default 4-char cap —
+    the third encoder lucene/analysis/phonetic PhoneticFilterFactory
+    exposes (after Soundex/RefinedSoundex above). From-scratch Python
+    from the published rule table; validated against the commons-codec
+    test vectors in tests/test_phonetic.py."""
+    letters = [c for c in term.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    if len(letters) == 1:
+        return letters[0]
+    two = letters[0] + letters[1]
+    if two in ("AE", "GN", "KN", "PN", "WR"):
+        local = letters[1:]
+    elif letters[0] == "X":
+        local = ["S"] + letters[1:]
+    elif two == "WH":
+        local = ["W"] + letters[2:]
+    else:
+        local = letters
+    w = len(local)
+
+    def at(i: int) -> str:
+        return local[i] if 0 <= i < w else ""
+
+    def region(i: int, s: str) -> bool:
+        return "".join(local[i : i + len(s)]) == s
+
+    code: list[str] = []
+    n = 0
+    while len(code) < max_len and n < w:
+        c = local[n]
+        if c != "C" and n > 0 and local[n - 1] == c:
+            n += 1
+            continue  # adjacent duplicates collapse (except CC)
+        if c in _MP_VOWELS:
+            if n == 0:
+                code.append(c)
+        elif c == "B":
+            if not (n == w - 1 and at(n - 1) == "M"):
+                code.append("B")  # silent -MB$
+        elif c == "C":
+            if at(n - 1) == "S" and at(n + 1) in _MP_FRONTV and at(n + 1):
+                pass  # SCE/SCI/SCY: C silent
+            elif region(n, "CIA"):
+                code.append("X")
+            elif at(n + 1) in _MP_FRONTV and at(n + 1):
+                code.append("S")
+            elif at(n - 1) == "S" and at(n + 1) == "H":
+                code.append("K")  # SCH
+            elif at(n + 1) == "H":
+                # commons-codec quirk preserved: word-initial CH with a
+                # vowel at index 2 is HARD (CHARACTER -> K...), else X
+                if n == 0 and w >= 3 and at(2) in _MP_VOWELS:
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif c == "D":
+            if at(n + 1) == "G" and at(n + 2) in _MP_FRONTV and at(n + 2):
+                code.append("J")  # DGE/DGI/DGY
+                n += 2
+            else:
+                code.append("T")
+        elif c == "G":
+            silent = False
+            if at(n + 1) == "H" and n + 1 == w - 1:
+                silent = True  # -GH$
+            elif at(n + 1) == "H" and at(n + 2) not in _MP_VOWELS:
+                silent = True  # GH + consonant
+            elif n > 0 and (region(n, "GN") or region(n, "GNED")):
+                silent = True
+            if not silent:
+                hard = at(n - 1) == "G"
+                if at(n + 1) in _MP_FRONTV and at(n + 1) and not hard:
+                    code.append("J")
+                else:
+                    code.append("K")
+        elif c == "H":
+            if n == w - 1:
+                pass
+            elif n > 0 and at(n - 1) in _MP_VARSON:
+                pass  # silent after C/S/P/T/G
+            elif at(n + 1) in _MP_VOWELS:
+                code.append("H")
+        elif c == "J":
+            code.append("J")
+        elif c == "K":
+            if at(n - 1) != "C":
+                code.append("K")
+        elif c in "FLMNR":
+            code.append(c)
+        elif c == "P":
+            code.append("F" if at(n + 1) == "H" else "P")
+        elif c == "Q":
+            code.append("K")
+        elif c == "S":
+            if region(n, "SH") or region(n, "SIO") or region(n, "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif c == "T":
+            if region(n, "TIA") or region(n, "TIO"):
+                code.append("X")
+            elif region(n, "TCH"):
+                pass  # silent in -TCH-
+            elif region(n, "TH"):
+                code.append("0")  # theta
+            else:
+                code.append("T")
+        elif c == "V":
+            code.append("F")
+        elif c == "W":
+            if n < w - 1 and at(n + 1) in _MP_VOWELS:
+                code.append("W")
+        elif c == "X":
+            code.append("K")
+            code.append("S")
+        elif c == "Y":
+            if n < w - 1 and at(n + 1) in _MP_VOWELS:
+                code.append("Y")
+        elif c == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code[:max_len])
+
+
 def common_grams(
     tokens: list[str], common_words: set[str] | frozenset[str]
 ) -> list[str]:

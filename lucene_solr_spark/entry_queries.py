@@ -831,6 +831,8 @@ _after_window = [
     "engine_simple_qp_sql",
     # round-4 twenty-first tranche: two-predictor olsRegress
     "stream_ols_multi",
+    # round-4 twenty-second tranche: Metaphone phonetic encoder
+    "phonetic_metaphone",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

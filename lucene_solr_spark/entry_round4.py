@@ -2089,3 +2089,25 @@ REGISTRY_R4.update(
         "stream_ols_multi": (q_stream_ols_multi, SQL_STREAM_OLS_MULTI),
     }
 )
+
+
+# ===========================================================================
+# Tranche 17: Metaphone phonetic encoder (PhoneticFilterFactory's third
+# commons-codec encoder, after Soundex / RefinedSoundex).
+# ===========================================================================
+
+
+def q_phonetic_metaphone(spark, sf_dir):
+    """Vocabulary terms Metaphone-equal to 'vector' (rows-only — the
+    rule-table encoder is not ANSI-SQL-expressible; spec vectors in
+    tests/test_phonetic.py carry the correctness claim)."""
+    from .operators.search_features import phonetic_terms
+
+    return phonetic_terms(_tok(spark, sf_dir), "vector", 10, encoder="metaphone")
+
+
+REGISTRY_R4.update(
+    {
+        "phonetic_metaphone": (q_phonetic_metaphone, None),
+    }
+)

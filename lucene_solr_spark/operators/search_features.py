@@ -542,20 +542,29 @@ def result_clustering(
     )
 
 
-def phonetic_terms(tokens: DataFrame, word: str, k: int = 10) -> DataFrame:
+def phonetic_terms(
+    tokens: DataFrame, word: str, k: int = 10, encoder: str = "soundex"
+) -> DataFrame:
     """PhoneticFilter-style matching (lucene/analysis/phonetic wrapping
-    commons-codec Soundex): index-vocabulary terms whose American-Soundex
-    code equals soundex(word), ranked by df. The soundex UDF runs over the
-    (small) distinct vocabulary, never the token stream."""
-    from ..analysis import soundex
-    from ..udfs import soundex_udf
+    commons-codec): index-vocabulary terms whose phonetic code equals
+    encode(word), ranked by df. `encoder` picks the commons-codec
+    encoder ('soundex' or 'metaphone' — PhoneticFilterFactory's
+    `encoder=` attribute). The encode UDF runs over the (small) distinct
+    vocabulary, never the token stream."""
+    from ..analysis import metaphone, soundex
+    from ..udfs import metaphone_udf, soundex_udf
 
-    code = soundex(word)
+    enc, udf = (
+        (metaphone, metaphone_udf)
+        if encoder == "metaphone"
+        else (soundex, soundex_udf)
+    )
+    code = enc(word)
     vocab = tokens.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
     return (
-        vocab.withColumn("code", soundex_udf("term"))
+        vocab.withColumn("code", udf("term"))
         .filter(F.col("code") == code)
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)

@@ -87,3 +87,21 @@ def simple_tokens_col(text_col):
     return F.filter(
         F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda x: x != F.lit("")
     )
+
+
+@pandas_udf(T.StringType())
+def metaphone_udf(term: pd.Series) -> pd.Series:
+    """Metaphone code per term (PhoneticFilter's third encoder); memoized
+    over the batch's unique terms like soundex_udf."""
+    from .analysis import metaphone
+
+    cache: dict = {}
+
+    def enc(t):
+        c = cache.get(t)
+        if c is None:
+            c = metaphone(t if isinstance(t, str) else "")
+            cache[t] = c
+        return c
+
+    return term.map(enc)

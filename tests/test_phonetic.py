@@ -38,3 +38,45 @@ def test_refined_soundex_properties():
     assert refined_soundex("") == ""
     # finer-grained than classic: distinguishes pairs soundex merges
     assert refined_soundex("Catherine") != refined_soundex("Kathryn")
+
+
+class TestMetaphone:
+    """commons-codec MetaphoneTest vectors (default 4-char cap)."""
+
+    VECTORS = {
+        "howl": "HL", "testing": "TSTN", "The": "0", "quick": "KK",
+        "brown": "BRN", "fox": "FKS", "jumped": "JMPT", "over": "OFR",
+        "lazy": "LS", "dogs": "TKS",
+        # initial-cluster / silent-letter rules
+        "knight": "NT", "wright": "RT", "gnu": "N", "xavier": "SFR",
+        # silent GH / GN(ED)
+        "SIGNED": "SNT", "BAUGH": "B", "GHENT": "KNT",
+        # C family: SCE/SCI silent-C, SCH->K, initial-CH quirk, CH->X
+        "SCIENCE": "SNS", "SCHEDULE": "SKTL", "CHARACTER": "KRKT",
+        "TEACH": "TX",
+        # DGE/DGI/DGY -> J, TIA/TIO -> X, TCH silent-T, TH -> 0
+        "DODGY": "TJ", "DODGE": "TJ", "PORTION": "PRXN",
+        "RETCH": "RX", "WATCH": "WX",
+        # PH -> F, SH -> X, QU, vowels only initially
+        "PHISH": "FX", "SHOT": "XT", "queen": "KN", "aero": "ER",
+    }
+
+    def test_commons_codec_vectors(self):
+        from lucene_solr_spark.analysis import metaphone
+
+        for word, want in self.VECTORS.items():
+            assert metaphone(word) == want, word
+
+    def test_empty_and_single(self):
+        from lucene_solr_spark.analysis import metaphone
+
+        assert metaphone("") == ""
+        assert metaphone("7") == ""
+        assert metaphone("a") == "A"
+
+    def test_matching_groups(self):
+        from lucene_solr_spark.analysis import metaphone
+
+        # classic phonetic-equivalence groups
+        assert metaphone("smith") == metaphone("smyth")
+        assert metaphone("phillip") == metaphone("filip")
