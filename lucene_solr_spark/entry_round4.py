@@ -2111,3 +2111,25 @@ REGISTRY_R4.update(
         "phonetic_metaphone": (q_phonetic_metaphone, None),
     }
 )
+
+
+# ===========================================================================
+# Tranche 18: statsComponent cardinality (HLL sketch distinct).
+# ===========================================================================
+
+
+def q_stats_cardinality(spark, sf_dir):
+    """cardinality=true on orders.o_custkey (rows-only: HLL++ estimates
+    are implementation-defined; the 3*rsd accuracy bound vs the exact
+    count is asserted in tests/test_round4b_tail.py)."""
+    from .operators.facets import stats_cardinality
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return stats_cardinality(o, "o_custkey", rsd=0.02)
+
+
+REGISTRY_R4.update(
+    {
+        "stats_cardinality": (q_stats_cardinality, None),
+    }
+)

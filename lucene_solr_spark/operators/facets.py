@@ -426,3 +426,23 @@ def json_facet_stats_buckets(
     return buckets.unionByName(total).orderBy(
         F.col("bucket") == "__all__", F.col("bucket")
     )
+
+
+def stats_cardinality(df, col: str, rsd: float = 0.05):
+    """StatsComponent `cardinality=true` (solr/core/.../component/
+    StatsValuesFactory.java ≈L60 — HyperLogLog via java-hll): approximate
+    distinct count as a MERGEABLE sketch. Spark mapping:
+    approx_count_distinct (HLL++, Heule 2013) — each executor builds a
+    local sketch over its partition, sketches merge in the reduce, ONE
+    small row ships to the driver; at 10^12 rows this is the only
+    distinct-count that doesn't shuffle the column. `rsd` is the target
+    relative standard deviation (Solr's cardinality accuracy knob).
+    Returns (approx_distinct, n_rows); the exact count is deliberately
+    NOT computed here — the accuracy bound is asserted in tests, and the
+    exact path is the separate unique_agg/collection_stats operators."""
+    from pyspark.sql import functions as F
+
+    return df.agg(
+        F.approx_count_distinct(col, rsd=rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -200,3 +200,17 @@ def test_ols2_matches_numpy_lstsq(spark):
     assert row["b2"] == pytest.approx(beta[2], abs=1e-4)
     sst = ((y - y.mean()) ** 2).sum()
     assert row["r2"] == pytest.approx(1.0 - res[0] / sst, abs=1e-5)
+
+
+def test_stats_cardinality_hll_bound(spark):
+    """approx_count_distinct (HLL++) lands within 3*rsd of the exact
+    distinct count — the statsComponent cardinality accuracy contract."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.facets import stats_cardinality
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    row = stats_cardinality(o, "o_custkey", rsd=0.02).first()
+    exact = o.select(F.count_distinct("o_custkey")).first()[0]
+    assert abs(row["approx_distinct"] - exact) <= max(1, 3 * 0.02 * exact)
+    assert row["n_rows"] == o.count()
