@@ -833,8 +833,8 @@ _after_window = [
     "stream_ols_multi",
     # round-4 twenty-second tranche: Metaphone phonetic encoder
     "phonetic_metaphone",
-    # round-4 twenty-third tranche: statsComponent HLL cardinality
-    "stats_cardinality",
+    # round-4 twenty-third tranche: statsComponent sketch tier
+    "stats_cardinality", "stats_percentiles_approx",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

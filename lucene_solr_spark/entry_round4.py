@@ -2133,3 +2133,20 @@ REGISTRY_R4.update(
         "stats_cardinality": (q_stats_cardinality, None),
     }
 )
+
+
+def q_stats_percentiles_approx(spark, sf_dir):
+    """statsComponent percentiles via the mergeable sketch path
+    (rows-only: sketch estimates are implementation-defined; the
+    error-vs-exact bound is asserted in tests/test_round4b_tail.py)."""
+    from .operators.facets import percentiles_approx
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return percentiles_approx(li, "l_extendedprice", [0.25, 0.5, 0.9])
+
+
+REGISTRY_R4.update(
+    {
+        "stats_percentiles_approx": (q_stats_percentiles_approx, None),
+    }
+)

@@ -446,3 +446,23 @@ def stats_cardinality(df, col: str, rsd: float = 0.05):
         F.approx_count_distinct(col, rsd=rsd).alias("approx_distinct"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def percentiles_approx(df, col: str, ps: list, accuracy: int = 10000):
+    """StatsComponent `percentiles` (solr/core/.../component/
+    StatsValuesFactory.java — t-digest via com.tdunning): approximate,
+    MERGEABLE quantile sketch. Spark mapping: approx_percentile
+    (Greenwald-Khanna) — per-partition sketches merged in the reduce,
+    no sort and no shuffle of the column; `accuracy` trades memory for
+    error exactly like Solr's tdigest `compression` knob. The exact-sort
+    path is the separate `percentiles` operator above."""
+    from pyspark.sql import functions as F
+
+    q = F.expr(
+        f"approx_percentile({col}, array({', '.join(str(p) for p in ps)}), {accuracy})"
+    )
+    cols = [
+        F.round(q.getItem(i), 4).alias(f"ap{int(p * 100)}")
+        for i, p in enumerate(ps)
+    ]
+    return df.agg(*cols)

@@ -214,3 +214,19 @@ def test_stats_cardinality_hll_bound(spark):
     exact = o.select(F.count_distinct("o_custkey")).first()[0]
     assert abs(row["approx_distinct"] - exact) <= max(1, 3 * 0.02 * exact)
     assert row["n_rows"] == o.count()
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    """Sketch percentiles land within 1% relative error of the exact
+    interpolated quantiles at default accuracy."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.facets import percentiles_approx
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = percentiles_approx(li, "l_extendedprice", [0.25, 0.5, 0.9]).first()
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))")
+    ).first()[0]
+    for got, want in zip([row["ap25"], row["ap50"], row["ap90"]], exact):
+        assert abs(got - want) / want < 0.01
