@@ -2150,3 +2150,67 @@ REGISTRY_R4.update(
         "stats_percentiles_approx": (q_stats_percentiles_approx, None),
     }
 )
+
+
+# ===========================================================================
+# Tranche 19: Solr group.query result grouping (query-defined groups).
+# ===========================================================================
+
+
+def q_group_query(spark, sf_dir):
+    """group.query with three price-band queries over orders: per band,
+    match count + top-3 orders by o_totalprice desc (o_orderkey asc
+    tiebreak). Bands deliberately overlap at the boundary semantics
+    Solr would produce for the same fq strings."""
+    from .operators.collapse import group_by_queries
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = group_by_queries(
+        o,
+        [
+            ("lt100k", F.col("o_totalprice") < 100000),
+            ("100k_200k",
+             (F.col("o_totalprice") >= 100000)
+             & (F.col("o_totalprice") < 200000)),
+            ("ge200k", F.col("o_totalprice") >= 200000),
+        ],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+    return out.select(
+        "group_q",
+        F.col("matches").cast("bigint").alias("matches"),
+        "rank",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("group_q", "rank")
+
+
+SQL_GROUP_QUERY = """
+WITH tagged AS (
+  SELECT 'lt100k' AS group_q, o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice < 100000
+  UNION ALL
+  SELECT '100k_200k', o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice >= 100000 AND o_totalprice < 200000
+  UNION ALL
+  SELECT 'ge200k', o_orderkey, o_totalprice
+  FROM orders WHERE o_totalprice >= 200000),
+r AS (
+  SELECT group_q,
+         CAST(count(*) OVER (PARTITION BY group_q) AS BIGINT) AS matches,
+         CAST(row_number() OVER (
+           PARTITION BY group_q
+           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank,
+         o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+  FROM tagged)
+SELECT group_q, matches, rank, o_orderkey, o_totalprice
+FROM r WHERE rank <= 3 ORDER BY group_q, rank
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "group_query": (q_group_query, SQL_GROUP_QUERY),
+    }
+)

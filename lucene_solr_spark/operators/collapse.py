@@ -98,3 +98,35 @@ def group_ngroups(df: DataFrame, group_field: str) -> DataFrame:
         F.count("*").alias("matches"),
         F.count_distinct(group_field).alias("ngroups"),
     )
+
+
+def group_by_queries(
+    df: DataFrame,
+    queries: list,
+    within_sort: list,
+    docs_per_group: int,
+) -> DataFrame:
+    """Solr `group.query` mode (solr/core/.../search/grouping/distributed/
+    command/QueryCommand.java ≈L40; Grouping.java): each entry in
+    `queries` is a (name, Column-predicate) pair forming ONE group —
+    groups may overlap (a doc can match several group queries, unlike
+    group.field). Per group: matches count + top docs_per_group by
+    within_sort. Distributed shape: ONE pass over df — each predicate is
+    a when()-tagged explode-free union of filtered branches; the
+    per-group top-k is a partitioned window over the (small) matched
+    subsets, never a global sort."""
+    parts = []
+    for name, pred in queries:
+        parts.append(
+            df.filter(pred).withColumn("group_q", F.lit(name))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("group_q").orderBy(*within_sort)
+    cnt = Window.partitionBy("group_q")
+    return (
+        u.withColumn("matches", F.count(F.lit(1)).over(cnt))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= docs_per_group)
+    )
