@@ -835,8 +835,8 @@ _after_window = [
     "phonetic_metaphone",
     # round-4 twenty-third tranche: statsComponent sketch tier
     "stats_cardinality", "stats_percentiles_approx",
-    # round-4 twenty-fourth tranche: group.query result grouping
-    "group_query",
+    # round-4 twenty-fourth tranche: group.query/group.func grouping
+    "group_query", "group_func",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

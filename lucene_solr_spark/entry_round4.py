@@ -2214,3 +2214,49 @@ REGISTRY_R4.update(
         "group_query": (q_group_query, SQL_GROUP_QUERY),
     }
 )
+
+
+def q_group_func(spark, sf_dir):
+    """Solr group.func: group by a FUNCTION value — floor(o_totalprice /
+    100000) price bands — through the same two-pass collector as
+    group.field (Grouping.java treats the function source exactly like a
+    field source). Top-3 bands by max price, top-2 orders per band."""
+    from .operators.collapse import grouping_two_pass
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "band", F.floor(F.col("o_totalprice") / 100000).cast("bigint")
+    )
+    out = grouping_two_pass(
+        o, "band", [F.max("o_totalprice")],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], 3, 2,
+    )
+    return out.select(
+        "band", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "rank",
+    ).orderBy("band", "rank")
+
+
+SQL_GROUP_FUNC = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor(o_totalprice / 100000) AS BIGINT) AS band
+  FROM orders),
+heads AS (
+  SELECT band FROM o GROUP BY band
+  ORDER BY max(o_totalprice) DESC, band LIMIT 3)
+SELECT band, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(rn AS INT) AS rank
+FROM (
+  SELECT band, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY band ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM o WHERE band IN (SELECT band FROM heads)) t
+WHERE rn <= 2 ORDER BY band, rn
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "group_func": (q_group_func, SQL_GROUP_FUNC),
+    }
+)
