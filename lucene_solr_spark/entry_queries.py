@@ -837,6 +837,8 @@ _after_window = [
     "stats_cardinality", "stats_percentiles_approx",
     # round-4 twenty-fourth tranche: group.query/group.func grouping
     "group_query", "group_func",
+    # round-4 twenty-fifth tranche: searchAfter cursor, calendar facet gap
+    "search_after_score", "facet_range_week",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -2260,3 +2260,99 @@ REGISTRY_R4.update(
         "group_func": (q_group_func, SQL_GROUP_FUNC),
     }
 )
+
+
+# ===========================================================================
+# Tranche 20: searchAfter score-cursor paging + calendar-gap range facet.
+# ===========================================================================
+
+
+def q_search_after_score(spark, sf_dir):
+    """IndexSearcher.searchAfter (TopScoreDocCollector's after param):
+    page 2 of the 'dup' BM25 ranking via the strictly-after predicate
+    (score < s) OR (score = s AND doc_id > d) — NEVER an OFFSET scan;
+    at 10^12 docs the cursor predicate prunes with the index order while
+    OFFSET re-collects every prior page. The page-1 boundary row is a
+    1-row broadcast, not a driver collect. Cursor compares 4-dp rounded
+    scores on both sides (the contract's determinism discipline;
+    documented deviation from Lucene's exact-float cursor)."""
+    from .entry_queries import _term_scores
+
+    s = _term_scores(spark, sf_dir, "dup").select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+    bound = (
+        s.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .orderBy(F.asc("score"), F.desc("doc_id"))
+        .limit(1)
+        .select(
+            F.col("score").alias("bs"), F.col("doc_id").alias("bd")
+        )
+    )
+    page2 = (
+        s.crossJoin(F.broadcast(bound))
+        .filter(
+            (F.col("score") < F.col("bs"))
+            | ((F.col("score") == F.col("bs")) & (F.col("doc_id") > F.col("bd")))
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+    return page2
+
+
+SQL_SEARCH_AFTER_SCORE = f"""
+WITH {{tok}},
+{{scores}}
+, s AS (SELECT doc_id, ROUND(score, 4) AS score FROM scored)
+, b AS (
+  SELECT score AS bs, doc_id AS bd
+  FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 10) p1
+  ORDER BY score ASC, doc_id DESC LIMIT 1)
+SELECT doc_id, score FROM s, b
+WHERE score < bs OR (score = bs AND doc_id > bd)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _sql_search_after() -> str:
+    from .entry_queries import _SQL_TOK, _sql_term_scores
+
+    return SQL_SEARCH_AFTER_SCORE.format(
+        tok=_SQL_TOK, scores=_sql_term_scores("dup")
+    )
+
+
+def q_facet_range_week(spark, sf_dir):
+    """facet.range with a CALENDAR gap (+7DAYS/1WEEK DateMathParser gap
+    aligned to ISO week starts — calendar buckets, so this is
+    date_trunc, not a numeric histogram; the sibling +1DAY tier is
+    timeseries_day). Bucket surfaced as epoch-ms of the week start
+    (UTC), count per bucket."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.unix_millis(
+                F.date_trunc("week", F.col("ts").cast("timestamp"))
+            ).alias("bucket_ms")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket_ms")
+    )
+
+
+SQL_FACET_RANGE_WEEK = """
+SELECT epoch_ms(date_trunc('week', ts)) AS bucket_ms,
+       count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "search_after_score": (q_search_after_score, _sql_search_after()),
+        "facet_range_week": (q_facet_range_week, SQL_FACET_RANGE_WEEK),
+    }
+)
