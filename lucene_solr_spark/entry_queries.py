@@ -839,6 +839,8 @@ _after_window = [
     "group_query", "group_func",
     # round-4 twenty-fifth tranche: searchAfter cursor, calendar facet gap
     "search_after_score", "facet_range_week",
+    # round-4 twenty-sixth tranche: LTR feature normalizers
+    "ltr_normalized_rescore",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

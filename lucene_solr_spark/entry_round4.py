@@ -2356,3 +2356,70 @@ REGISTRY_R4.update(
         "facet_range_week": (q_facet_range_week, SQL_FACET_RANGE_WEEK),
     }
 )
+
+
+# ===========================================================================
+# Tranche 21: LTR feature normalizers (MinMax + Standard).
+# ===========================================================================
+
+
+def q_ltr_normalized_rescore(spark, sf_dir):
+    """LTR with feature-store normalizers: tf('dup') MinMax-normalized,
+    dl Standard-normalized over the candidate set, then the LinearModel
+    rescore 2*tf_n - 0.5*dl_n (solr/contrib/ltr norm/MinMaxNormalizer +
+    StandardNormalizer applied before LinearModel.score)."""
+    from .operators.search_features import (
+        ltr_linear_rescore,
+        ltr_normalize_features,
+    )
+
+    tok = _tok(spark, sf_dir)
+    tf = (
+        tok.filter(F.col("term") == "dup")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("tf_dup"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    cand = tf.join(dl, "doc_id")
+    norm = ltr_normalize_features(
+        cand, features={}, normalizers={"tf_dup": "minmax", "dl": "standard"}
+    )
+    out = ltr_linear_rescore(
+        norm, features={}, weights={"tf_dup": 2.0, "dl": -0.5}, k=10
+    )
+    return out.select(
+        "doc_id", F.round("ltr_score", 4).alias("ltr_score")
+    )
+
+
+def _sql_ltr_normalized() -> str:
+    from .entry_queries import _SQL_TOK
+
+    return f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tf_dup
+       FROM tok WHERE term = 'dup' GROUP BY doc_id),
+dl2 AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+cand AS (SELECT tf.doc_id, tf.tf_dup, dl2.dl
+         FROM tf JOIN dl2 ON tf.doc_id = dl2.doc_id),
+st AS (SELECT min(tf_dup) AS lo, max(tf_dup) AS hi,
+              avg(dl) AS mu, stddev_samp(dl) AS sd
+       FROM cand),
+n AS (SELECT doc_id,
+             CASE WHEN hi > lo THEN (tf_dup - lo) / (hi - lo) ELSE 0.0 END AS tfn,
+             CASE WHEN sd > 0 THEN (dl - mu) / sd ELSE 0.0 END AS dln
+      FROM cand, st),
+s AS (SELECT doc_id, 2.0 * tfn - 0.5 * dln AS ltr_score FROM n)
+SELECT doc_id, ROUND(ltr_score, 4) AS ltr_score
+FROM (SELECT * FROM s ORDER BY ltr_score DESC, doc_id LIMIT 10) t
+"""
+
+
+REGISTRY_R4.update(
+    {
+        "ltr_normalized_rescore": (
+            q_ltr_normalized_rescore,
+            _sql_ltr_normalized(),
+        ),
+    }
+)

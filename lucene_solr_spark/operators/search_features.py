@@ -948,3 +948,45 @@ def rrf_fuse(ranked: list, k0: int = 60, k: int = 10):
         .limit(k)
         .select("doc_id", F.round("rrf", 6).alias("rrf"))
     )
+
+
+def ltr_normalize_features(
+    candidates: DataFrame,
+    features: dict,
+    normalizers: dict,
+) -> DataFrame:
+    """LTR feature normalizers (solr/contrib/ltr/.../norm/
+    MinMaxNormalizer.java ≈L30, StandardNormalizer.java ≈L30): each
+    feature column is rescaled before the model sees it —
+    minmax: (f - min) / (max - min); standard: (f - avg) / std.
+    The normalization constants come from ONE agg over the candidate
+    set (in Solr they're stored with the feature store; here they are
+    computed at rescoring time over the rerank window, which is the
+    top-N candidate set — a small broadcast, never a full-table pass)."""
+    out = candidates
+    for name, col in features.items():
+        out = out.withColumn(name, col)
+    aggs = []
+    for name, kind in normalizers.items():
+        if kind == "minmax":
+            aggs += [F.min(name).alias(f"_{name}_lo"),
+                     F.max(name).alias(f"_{name}_hi")]
+        elif kind == "standard":
+            aggs += [F.avg(name).alias(f"_{name}_mu"),
+                     F.stddev_samp(name).alias(f"_{name}_sd")]
+    stats = out.agg(*aggs)
+    out = out.crossJoin(F.broadcast(stats))
+    for name, kind in normalizers.items():
+        if kind == "minmax":
+            lo, hi = F.col(f"_{name}_lo"), F.col(f"_{name}_hi")
+            out = out.withColumn(
+                name,
+                F.when(hi > lo, (F.col(name) - lo) / (hi - lo)).otherwise(0.0),
+            )
+        elif kind == "standard":
+            mu, sd = F.col(f"_{name}_mu"), F.col(f"_{name}_sd")
+            out = out.withColumn(
+                name,
+                F.when(sd > 0, (F.col(name) - mu) / sd).otherwise(0.0),
+            )
+    return out.drop(*[c for c in out.columns if c.startswith("_")])
