@@ -1000,3 +1000,34 @@ def path_hierarchy(
     return [
         lead + delimiter.join(parts[: i + 1]) for i in range(len(parts))
     ]
+
+
+def analyze_stages(text: str) -> list[tuple[str, int, str]]:
+    """FieldAnalysisRequestHandler / analysis.jsp parity (solr/core/.../
+    handler/FieldAnalysisRequestHandler.java ≈L60): the per-stage token
+    streams of the EnglishAnalyzer chain as (stage, position, token)
+    rows — the analysis-debug surface an operator uses to see WHY a
+    query does or does not match. Stages mirror the index chain exactly:
+    tokenizer -> lowercase+possessive -> stop (position holes preserved)
+    -> porter. Each stage's output is the next stage's input (asserted
+    in tests)."""
+    from .porter import porter_stem
+
+    rows: list[tuple[str, int, str]] = []
+    toks = tokenize_standard(text)
+    for pos, t in enumerate(toks):
+        rows.append(("1_tokenizer", pos, t))
+    lowered = [strip_possessive(t).lower() for t in toks]
+    for pos, t in enumerate(lowered):
+        if t:
+            rows.append(("2_lowercase_possessive", pos, t))
+    stopped = [
+        (pos, t)
+        for pos, t in enumerate(lowered)
+        if t and t not in ENGLISH_STOP_WORDS
+    ]
+    for pos, t in stopped:
+        rows.append(("3_stop", pos, t))
+    for pos, t in stopped:
+        rows.append(("4_porter", pos, porter_stem(t)))
+    return rows

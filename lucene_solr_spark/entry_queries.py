@@ -841,6 +841,8 @@ _after_window = [
     "search_after_score", "facet_range_week",
     # round-4 twenty-sixth tranche: LTR feature normalizers
     "ltr_normalized_rescore",
+    # round-4 twenty-seventh tranche: analysis-debug handler
+    "analysis_debug",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -32,6 +32,7 @@ Rows covered here (SURVEY.md §3 references):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .entry_queries import _docs, _tok
@@ -2421,5 +2422,42 @@ REGISTRY_R4.update(
             q_ltr_normalized_rescore,
             _sql_ltr_normalized(),
         ),
+    }
+)
+
+
+# ===========================================================================
+# Tranche 22: FieldAnalysisRequestHandler (analysis-debug surface).
+# ===========================================================================
+
+
+def q_analysis_debug(spark, sf_dir):
+    """Per-stage token streams of the EnglishAnalyzer chain for docs 0-2
+    (FieldAnalysisRequestHandler parity): (doc_id, stage, pos, token)
+    rows, one Arrow-batched UDF over the 3 requested docs — the debug
+    surface runs on requested field values, never the corpus. Rows-only
+    (Porter stage); stage-composition invariants are pytest-asserted."""
+    @F.pandas_udf("array<struct<stage:string,pos:int,token:string>>")
+    def _stages(s: pd.Series) -> pd.Series:
+        from .analysis import analyze_stages
+
+        return s.fillna("").map(
+            lambda t: [
+                {"stage": st, "pos": p, "token": tok}
+                for (st, p, tok) in analyze_stages(t)
+            ]
+        )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 3)
+    return (
+        d.select("doc_id", F.explode(_stages("text")).alias("r"))
+        .select("doc_id", "r.stage", "r.pos", "r.token")
+        .orderBy("doc_id", "stage", "pos")
+    )
+
+
+REGISTRY_R4.update(
+    {
+        "analysis_debug": (q_analysis_debug, None),
     }
 )

@@ -230,3 +230,23 @@ def test_percentiles_approx_close_to_exact(spark):
     ).first()[0]
     for got, want in zip([row["ap25"], row["ap50"], row["ap90"]], exact):
         assert abs(got - want) / want < 0.01
+
+
+def test_analyze_stages_compose():
+    """Each stage's output is the next stage's input; the last stage
+    equals the real index chain (analyze_en)."""
+    from lucene_solr_spark.analysis import analyze_en, analyze_stages
+
+    text = "The Engineers' testing queries ran smoothly"
+    rows = analyze_stages(text)
+    by = {}
+    for st, p, t in rows:
+        by.setdefault(st, []).append((p, t))
+    # stop output is a subset of lowercase output at identical positions
+    low = dict(by["2_lowercase_possessive"])
+    for p, t in by["3_stop"]:
+        assert low[p] == t
+    # porter stage preserves stop-stage positions exactly
+    assert [p for p, _ in by["4_porter"]] == [p for p, _ in by["3_stop"]]
+    # final stage == the index chain
+    assert [(t, p) for p, t in by["4_porter"]] == analyze_en(text)
