@@ -2461,3 +2461,26 @@ REGISTRY_R4.update(
         "analysis_debug": (q_analysis_debug, None),
     }
 )
+
+
+# ===========================================================================
+# Tranche 23: fuzzyKmeans soft clustering (iterative custom operator).
+# ===========================================================================
+
+
+def q_ml_fuzzy_kmeans(spark, sf_dir):
+    """fuzzyKmeans over the embeddings table: k=3, fuzzifier m=2, 8 fixed
+    rounds, deterministic lowest-id init. Rows-only (iterative algorithm;
+    membership math is differential-tested against a numpy reference in
+    tests/test_round4b_tail.py)."""
+    from .operators.ml import fuzzy_kmeans_embeddings
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return fuzzy_kmeans_embeddings(e, "vec_id", "embedding", k=3, iters=8)
+
+
+REGISTRY_R4.update(
+    {
+        "ml_fuzzy_kmeans": (q_ml_fuzzy_kmeans, None),
+    }
+)

@@ -75,3 +75,111 @@ def kmeans_embeddings(
     return model.transform(vecs).withColumnRenamed(
         "prediction", "cluster"
     ).drop("_v")
+
+
+def fuzzy_kmeans_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: float = 2.0,
+    iters: int = 8,
+) -> DataFrame:
+    """fuzzyKmeans() evaluator (solr/solrj/.../io/eval/
+    FuzzyKmeansEvaluator.java ≈L40; commons-math FuzzyKMeansClusterer):
+    soft clustering — every point gets a MEMBERSHIP DEGREE in every
+    cluster, u_ij = 1 / Σ_c (d_ij/d_ic)^(2/(m-1)); centers are the
+    u^m-weighted means. Distributed shape per iteration: centers live in
+    ONE broadcast k-row table (k·dim floats); memberships are computed
+    row-local with `transform` over the broadcast array (no shuffle);
+    the center update is ONE groupBy-free agg of k·dim weighted sums
+    (map-side combinable). Deterministic init: the k lowest-id vectors.
+    Driver loop runs `iters` fixed rounds (commons-math iterates to an
+    epsilon; fixed rounds keep the entry deterministic).
+
+    Returns (id, cluster, membership) — the argmax cluster and its
+    degree, membership rounded to 4 dp."""
+    pts = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_x"),
+    )
+    centers = [
+        r["_x"]
+        for r in pts.orderBy("_id").limit(k).collect()
+    ]
+    dim = len(centers[0])
+    p = 2.0 / (m - 1.0)
+
+    def _dists(xcol):
+        # array of squared distances to each broadcast center literal
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    xcol, F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            )
+            for c in centers
+        ])
+
+    for _ in range(iters):
+        d2 = pts.withColumn("_d2", _dists(F.col("_x")))
+        # u_ij = 1 / sum_c (d_ij / d_ic)^(1/(m-1)) on squared distances
+        # (d^2 ratio to the p/2 power == d ratio to the p power)
+        u = d2.withColumn(
+            "_u",
+            F.transform(
+                "_d2",
+                lambda dj: F.lit(1.0)
+                / F.aggregate(
+                    "_d2",
+                    F.lit(0.0),
+                    lambda acc, dc: acc
+                    + F.pow(
+                        F.greatest(dj, F.lit(1e-300))
+                        / F.greatest(dc, F.lit(1e-300)),
+                        F.lit(p / 2.0),
+                    ),
+                ),
+            ),
+        )
+        # center update: k * dim weighted sums in ONE agg
+        aggs = []
+        for j in range(k):
+            w = F.pow(F.col("_u").getItem(j), F.lit(m))
+            aggs.append(F.sum(w).alias(f"_w{j}"))
+            for t in range(dim):
+                aggs.append(
+                    F.sum(w * F.col("_x").getItem(t)).alias(f"_s{j}_{t}")
+                )
+        row = u.agg(*aggs).first()
+        centers = [
+            [row[f"_s{j}_{t}"] / row[f"_w{j}"] for t in range(dim)]
+            for j in range(k)
+        ]
+
+    final = pts.withColumn("_d2", _dists(F.col("_x")))
+    final = final.withColumn(
+        "_u",
+        F.transform(
+            "_d2",
+            lambda dj: F.lit(1.0)
+            / F.aggregate(
+                "_d2",
+                F.lit(0.0),
+                lambda acc, dc: acc
+                + F.pow(
+                    F.greatest(dj, F.lit(1e-300))
+                    / F.greatest(dc, F.lit(1e-300)),
+                    F.lit(p / 2.0),
+                ),
+            ),
+        ),
+    )
+    best = F.array_position("_u", F.array_max("_u"))
+    return final.select(
+        F.col("_id").alias(id_col),
+        (best - 1).cast("int").alias("cluster"),
+        F.round(F.array_max("_u"), 4).alias("membership"),
+    ).orderBy(id_col)

@@ -250,3 +250,55 @@ def test_analyze_stages_compose():
     assert [p for p, _ in by["4_porter"]] == [p for p, _ in by["3_stop"]]
     # final stage == the index chain
     assert [(t, p) for p, t in by["4_porter"]] == analyze_en(text)
+
+
+def test_fuzzy_kmeans_matches_numpy_reference(spark):
+    """8 rounds of the Spark fuzzy c-means == a numpy reference with the
+    same init (lowest-id points), fuzzifier, and round count."""
+    from lucene_solr_spark.operators.ml import fuzzy_kmeans_embeddings
+
+    rng = np.random.RandomState(5)
+    blobs = np.vstack([
+        rng.normal(0.0, 0.3, (20, 4)),
+        rng.normal(3.0, 0.3, (20, 4)),
+        rng.normal(-3.0, 0.3, (20, 4)),
+    ])
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in blobs[i]]) for i in range(len(blobs))],
+        ["doc_id", "embedding"],
+    )
+    out = (
+        fuzzy_kmeans_embeddings(df, "doc_id", "embedding", k=3, m=2.0, iters=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # numpy reference
+    k, m, x = 3, 2.0, blobs
+    centers = x[:k].copy()
+    for _ in range(8):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        d2 = np.maximum(d2, 1e-300)
+        u = np.zeros((len(x), k))
+        for j in range(k):
+            u[:, j] = 1.0 / (
+                (d2[:, j, None] / d2) ** (1.0 / (m - 1.0))
+            ).sum(-1)
+        w = u ** m
+        centers = (w.T @ x) / w.sum(0)[:, None]
+    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    d2 = np.maximum(d2, 1e-300)
+    u = np.zeros((len(x), k))
+    for j in range(k):
+        u[:, j] = 1.0 / ((d2[:, j, None] / d2) ** (1.0 / (m - 1.0))).sum(-1)
+    ref_cluster = u.argmax(1)
+    ref_membership = u.max(1)
+
+    assert list(out["cluster"]) == list(ref_cluster)
+    np.testing.assert_allclose(
+        out["membership"], np.round(ref_membership, 4), atol=2e-4
+    )
+    # blob points should be confidently clustered together
+    assert len(set(out["cluster"][:20])) == 1
+    assert (out["membership"][:20] > 0.9).all()
