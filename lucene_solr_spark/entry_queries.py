@@ -843,8 +843,8 @@ _after_window = [
     "ltr_normalized_rescore",
     # round-4 twenty-seventh tranche: analysis-debug handler
     "analysis_debug",
-    # round-4 twenty-eighth tranche: fuzzyKmeans soft clustering
-    "ml_fuzzy_kmeans",
+    # round-4 twenty-eighth tranche: fuzzyKmeans + multiKmeans
+    "ml_fuzzy_kmeans", "ml_multi_kmeans",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

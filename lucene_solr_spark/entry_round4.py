@@ -2484,3 +2484,21 @@ REGISTRY_R4.update(
         "ml_fuzzy_kmeans": (q_ml_fuzzy_kmeans, None),
     }
 )
+
+
+def q_ml_multi_kmeans(spark, sf_dir):
+    """multiKmeans: best of 3 seeded kmeans fits by training cost over
+    the embeddings table (rows-only: spark.ml model internals)."""
+    from .operators.ml import multi_kmeans_embeddings
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return multi_kmeans_embeddings(e, "embedding", k=4, trials=3).select(
+        "vec_id", "cluster", "training_cost"
+    ).orderBy("vec_id")
+
+
+REGISTRY_R4.update(
+    {
+        "ml_multi_kmeans": (q_ml_multi_kmeans, None),
+    }
+)

@@ -183,3 +183,32 @@ def fuzzy_kmeans_embeddings(
         (best - 1).cast("int").alias("cluster"),
         F.round(F.array_max("_u"), 4).alias("membership"),
     ).orderBy(id_col)
+
+
+def multi_kmeans_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    trials: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """multiKmeans() evaluator (solr/solrj/.../io/eval/
+    MultiKmeansEvaluator.java ≈L30): run kmeans `trials` times with
+    different seeds, keep the clustering with the lowest training cost
+    (commons-math picks by sum-of-squared-distances the same way).
+    Each trial is a full spark.ml distributed fit; only the winning
+    model's assignment is materialized."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.withColumn("_v", array_to_vector(F.col(vec_col)))
+    best_model, best_cost = None, None
+    for seed in range(trials):
+        m = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="_v").fit(vecs)
+        cost = m.summary.trainingCost
+        if best_cost is None or cost < best_cost:
+            best_model, best_cost = m, cost
+    out = best_model.transform(vecs).withColumnRenamed("prediction", "cluster")
+    return out.drop("_v").withColumn(
+        "training_cost", F.round(F.lit(float(best_cost)), 4)
+    )
