@@ -701,6 +701,10 @@ from .entry_round4 import REGISTRY_R4  # noqa: E402
 
 REGISTRY.update(REGISTRY_R4)
 
+from .entry_round4c import REGISTRY_R4C  # noqa: E402
+
+REGISTRY.update(REGISTRY_R4C)
+
 # ---------------------------------------------------------------------------
 # Driver-evidence window rotation (round 4 — final rotation). The driver
 # checks the FIRST 50 registry entries per round. Rounds 1-3 witnessed 129
@@ -845,6 +849,12 @@ _after_window = [
     "analysis_debug",
     # round-4 twenty-eighth tranche: fuzzyKmeans + multiKmeans
     "ml_fuzzy_kmeans", "ml_multi_kmeans",
+    # round-4 twenty-ninth tranche: TPC-H completion (Q8/Q12/Q15/Q17/
+    # Q19/Q21/Q22 — every remaining partsupp-free query)
+    "tpch_q8_market_share", "tpch_q12_priority_lateness",
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

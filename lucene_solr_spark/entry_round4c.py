@@ -1,0 +1,369 @@
+"""Round-4 continuation entries, tranche C.
+
+TPC-H completion for the SQLHandler tier (SURVEY.md §3.10 — the
+reference's Parallel SQL layer; de-facto spec TestSQLHandler.java
+~2500 LoC). Rounds 3-4 landed Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q13/Q14/Q18; this
+tranche adds every remaining query expressible over the synthetic
+schema: Q8, Q12, Q15, Q17, Q19, Q21, Q22. Q2/Q9/Q11/Q16/Q20 need the
+partsupp table, which the driver's synthetic schema does not generate —
+documented as out-of-schema, not skipped silently.
+
+Adaptations (same plan SHAPE, available columns):
+  * Q12 — no l_shipmode/l_commitdate/l_receiptdate: the mode column is
+    l_returnflag, "late" is l_shipdate > o_orderdate + 60 days.
+  * Q17 — no p_container: the part predicate is p_brand + p_type.
+  * Q19 — no l_shipmode/l_shipinstruct: the three OR branches keep the
+    (brand, size-range, quantity-range) structure.
+  * Q21 — no l_commitdate/l_receiptdate: "kept waiting" is
+    l_shipdate > o_orderdate + 90 days; the EXISTS/NOT-EXISTS
+    multi-supplier structure is faithful.
+  * Q22 — no c_phone: country code is c_nationkey; the
+    above-positive-average + NOT EXISTS(orders) structure is faithful.
+
+Money discipline as the rest of the family: accumulate exact cents
+(round(x*100) AS BIGINT), divide by 100.0 once at the end — bit-stable
+under any partitioning, which is what makes the value-hash reproducible
+on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .entry_round4 import _t
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+_REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share: NATION_1's share of AMERICA-market revenue
+# for ECONOMY parts, by order year. Plan: the only wide exchange is
+# lineitem x orders on the order key; part / customer / supplier / both
+# nation maps / region are all broadcast dims; the share is a
+# conditional-sum ratio inside ONE agg (no second pass).
+# ---------------------------------------------------------------------------
+def q_tpch_q8(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nat = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    g = (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0))).alias("nat_cents"),
+            F.sum(vol).alias("all_cents"),
+        )
+    )
+    return g.select(
+        "o_year",
+        F.round(F.col("nat_cents") / F.col("all_cents"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+SQL_TPCH_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_CENTS} ELSE 0 END)
+             * 1.0 / sum({_REV_CENTS}), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-mode / priority matrix (adapted): per l_returnflag,
+# count late lineitems (shipped > 60 days after order) in high-priority
+# orders vs the rest. ONE fact-fact join on the order key, conditional
+# counts in one agg.
+# ---------------------------------------------------------------------------
+def q_tpch_q12(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue. The spec's scalar
+# subquery (= max(total_revenue)) is a 1-row broadcast cross-join onto
+# the per-supplier agg — never a global sort; ties all surface.
+# ---------------------------------------------------------------------------
+def q_tpch_q15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx")).drop("mx")
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_REV_CENTS}) AS DOUBLE) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (adapted part predicate): average
+# yearly revenue lost if sub-20%-of-average-quantity orders were not
+# taken. Per-part averages are a REUSED aggregation over the same
+# broadcast-pruned scan; the fact side joins the tiny per-part avg table
+# broadcast (at 10^12 rows the avg table is |parts-in-brand| rows).
+# ---------------------------------------------------------------------------
+def q_tpch_q17(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    lp = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avgq = lp.groupBy("p_partkey").agg((0.2 * F.avg("l_quantity")).alias("q_thresh"))
+    small = lp.join(
+        F.broadcast(avgq.withColumnRenamed("p_partkey", "a_key")),
+        (F.col("p_partkey") == F.col("a_key")) & (F.col("l_quantity") < F.col("q_thresh")),
+    )
+    return small.agg(
+        F.round(F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0, 6).alias("avg_yearly")
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 6)
+         AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue over three (brand, size, quantity) OR
+# branches (adapted: no shipmode/shipinstruct legs). The disjunction
+# folds into the broadcast-join filter — one scan, one agg, no
+# union-of-three-scans.
+# ---------------------------------------------------------------------------
+def q_tpch_q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(sum({_REV_CENTS}) AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted lateness): for
+# finished orders, count per supplier the lineitems that shipped > 90
+# days after the order date, where ANOTHER supplier contributed to the
+# same order (EXISTS) but no OTHER supplier was also late (NOT EXISTS).
+# Plan: the (orderkey, suppkey) pair sets are distinct-reduced BEFORE
+# the semi/anti joins, all three joins share the l_orderkey hash
+# partitioning, top-100 via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+def q_tpch_q21(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).select("l_orderkey", "l_suppkey")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = late.distinct()
+    other = pairs.withColumnRenamed("l_suppkey", "o_supp")
+    other_late = late_pairs.withColumnRenamed("l_suppkey", "ol_supp").withColumnRenamed(
+        "l_orderkey", "ol_order"
+    )
+    cand = late.join(
+        other,
+        (late["l_orderkey"] == other["l_orderkey"]) & (F.col("o_supp") != late["l_suppkey"]),
+        "left_semi",
+    )
+    cand = cand.join(
+        other_late,
+        (cand["l_orderkey"] == F.col("ol_order")) & (F.col("ol_supp") != cand["l_suppkey"]),
+        "left_anti",
+    )
+    g = cand.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    return (
+        g.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (adapted country code = c_nationkey;
+# the NOT-EXISTS subquery is date-windowed to "no orders since
+# 2000-06-01" so the answer set is non-vacuous on the synthetic order
+# density — the spec's unwindowed form is the cutoff at -infinity):
+# customers from 5 countries with above-positive-average balances and no
+# recent orders. The average is ONE scalar broadcast; the no-orders test
+# is a left-anti join on the customer key; final group-by is 5 rows.
+# ---------------------------------------------------------------------------
+def q_tpch_q22(spark, sf_dir):
+    keys = [1, 3, 5, 7, 9]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(keys))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-06-01")
+        .select("o_custkey")
+    )
+    cand = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        cand.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+REGISTRY_R4C = {
+    "tpch_q8_market_share": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q12_priority_lateness": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q15_top_supplier": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q17_small_qty_revenue": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q19_discounted_revenue": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q21_waiting_suppliers": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22_sales_opportunity": (q_tpch_q22, SQL_TPCH_Q22),
+}
