@@ -44,11 +44,106 @@ MAX_TOKEN_LENGTH = 255
 # ---------------------------------------------------------------------------
 # UAX#29 word-break property table (Unicode 9.0 WordBreakProperty.txt — the
 # version StandardTokenizerImpl.jflex is generated from in Lucene 7/8).
-# Round 4 ports the full mid-token classes; previously only ['\u2019.] between
-# word chars and ',' between digits were modeled.
+# Round 4 ports the full mid-token classes AND the WB4 ignorable classes;
+# previously only ['\u2019.] between word chars and ',' between digits were
+# modeled.
 # ---------------------------------------------------------------------------
+# WB4 ignorables (Extend | Format | ZWJ): generated from Python's own
+# unicodedata (public Unicode character database) — General_Category
+# Mn/Mc/Me plus Cf minus U+200B (ZERO WIDTH SPACE has WordBreak=Other, it
+# BREAKS). These attach to the preceding word/kana/ideograph char and are
+# kept in the token text, exactly Lucene's DFA behavior for "cafe\u0301",
+# "foo\u00adbar" (soft hyphen), ZWJ/ZWNJ joins, Indic matras. Documented
+# micro-deltas vs the generated JFlex table: (a) Cf prepended-concatenation
+# marks U+0600-0605/06DD/070F/08E2 are WordBreak=Numeric in the spec but
+# ignorable here (they are not word chars in Python \w, so the Numeric-run
+# join cannot be expressed — they simply never break a token); (b) the
+# mid-token lookbehind rules tolerate ONE trailing ignorable between the
+# literal word char and the separator (runs of 2+ ignorables immediately
+# before a mid-token separator fall back to a break). Regional indicators
+# (U+1F1E6-1F1FF) stay dropped — StandardTokenizer emits no emoji either.
+# ---------------------------------------------------------------------------
+_WB4_IGNORE = (
+    "\u00ad\u0300-\u036f\u0483-\u0489\u0591-\u05bd\u05bf\u05c1\u05c2"
+    "\u05c4\u05c5\u05c7\u0600-\u0605\u0610-\u061a\u061c\u064b-\u065f"
+    "\u0670\u06d6-\u06dd\u06df-\u06e4\u06e7\u06e8\u06ea-\u06ed\u070f"
+    "\u0711\u0730-\u074a\u07a6-\u07b0\u07eb-\u07f3\u07fd\u0816-\u0819"
+    "\u081b-\u0823\u0825-\u0827\u0829-\u082d\u0859-\u085b\u0890\u0891"
+    "\u0898-\u089f\u08ca-\u0903\u093a-\u093c\u093e-\u094f\u0951-\u0957"
+    "\u0962\u0963\u0981-\u0983\u09bc\u09be-\u09c4\u09c7\u09c8"
+    "\u09cb-\u09cd\u09d7\u09e2\u09e3\u09fe\u0a01-\u0a03\u0a3c"
+    "\u0a3e-\u0a42\u0a47\u0a48\u0a4b-\u0a4d\u0a51\u0a70\u0a71\u0a75"
+    "\u0a81-\u0a83\u0abc\u0abe-\u0ac5\u0ac7-\u0ac9\u0acb-\u0acd"
+    "\u0ae2\u0ae3\u0afa-\u0aff\u0b01-\u0b03\u0b3c\u0b3e-\u0b44"
+    "\u0b47\u0b48\u0b4b-\u0b4d\u0b55-\u0b57\u0b62\u0b63\u0b82"
+    "\u0bbe-\u0bc2\u0bc6-\u0bc8\u0bca-\u0bcd\u0bd7\u0c00-\u0c04\u0c3c"
+    "\u0c3e-\u0c44\u0c46-\u0c48\u0c4a-\u0c4d\u0c55\u0c56\u0c62\u0c63"
+    "\u0c81-\u0c83\u0cbc\u0cbe-\u0cc4\u0cc6-\u0cc8\u0cca-\u0ccd"
+    "\u0cd5\u0cd6\u0ce2\u0ce3\u0d00-\u0d03\u0d3b\u0d3c\u0d3e-\u0d44"
+    "\u0d46-\u0d48\u0d4a-\u0d4d\u0d57\u0d62\u0d63\u0d81-\u0d83\u0dca"
+    "\u0dcf-\u0dd4\u0dd6\u0dd8-\u0ddf\u0df2\u0df3\u0e31\u0e34-\u0e3a"
+    "\u0e47-\u0e4e\u0eb1\u0eb4-\u0ebc\u0ec8-\u0ecd\u0f18\u0f19\u0f35"
+    "\u0f37\u0f39\u0f3e\u0f3f\u0f71-\u0f84\u0f86\u0f87\u0f8d-\u0f97"
+    "\u0f99-\u0fbc\u0fc6\u102b-\u103e\u1056-\u1059\u105e-\u1060"
+    "\u1062-\u1064\u1067-\u106d\u1071-\u1074\u1082-\u108d\u108f"
+    "\u109a-\u109d\u135d-\u135f\u1712-\u1715\u1732-\u1734\u1752\u1753"
+    "\u1772\u1773\u17b4-\u17d3\u17dd\u180b-\u180f\u1885\u1886\u18a9"
+    "\u1920-\u192b\u1930-\u193b\u1a17-\u1a1b\u1a55-\u1a5e\u1a60-\u1a7c"
+    "\u1a7f\u1ab0-\u1ace\u1b00-\u1b04\u1b34-\u1b44\u1b6b-\u1b73"
+    "\u1b80-\u1b82\u1ba1-\u1bad\u1be6-\u1bf3\u1c24-\u1c37\u1cd0-\u1cd2"
+    "\u1cd4-\u1ce8\u1ced\u1cf4\u1cf7-\u1cf9\u1dc0-\u1dff\u200c-\u200f"
+    "\u202a-\u202e\u2060-\u2064\u2066-\u206f\u20d0-\u20f0\u2cef-\u2cf1"
+    "\u2d7f\u2de0-\u2dff\u302a-\u302f\u3099\u309a\ua66f-\ua672"
+    "\ua674-\ua67d\ua69e\ua69f\ua6f0\ua6f1\ua802\ua806\ua80b\ua823-\ua827"
+    "\ua82c\ua880\ua881\ua8b4-\ua8c5\ua8e0-\ua8f1\ua8ff\ua926-\ua92d"
+    "\ua947-\ua953\ua980-\ua983\ua9b3-\ua9c0\ua9e5\uaa29-\uaa36\uaa43"
+    "\uaa4c\uaa4d\uaa7b-\uaa7d\uaab0\uaab2-\uaab4\uaab7\uaab8\uaabe\uaabf"
+    "\uaac1\uaaeb-\uaaef\uaaf5\uaaf6\uabe3-\uabea\uabec\uabed\ufb1e"
+    "\ufe00-\ufe0f\ufe20-\ufe2f\ufeff\ufff9-\ufffb\U000101fd\U000102e0"
+    "\U00010376-\U0001037a\U00010a01-\U00010a03\U00010a05\U00010a06"
+    "\U00010a0c-\U00010a0f\U00010a38-\U00010a3a\U00010a3f"
+    "\U00010ae5\U00010ae6\U00010d24-\U00010d27\U00010eab\U00010eac"
+    "\U00010f46-\U00010f50\U00010f82-\U00010f85\U00011000-\U00011002"
+    "\U00011038-\U00011046\U00011070\U00011073\U00011074"
+    "\U0001107f-\U00011082\U000110b0-\U000110ba\U000110bd\U000110c2"
+    "\U000110cd\U00011100-\U00011102\U00011127-\U00011134"
+    "\U00011145\U00011146\U00011173\U00011180-\U00011182"
+    "\U000111b3-\U000111c0\U000111c9-\U000111cc\U000111ce\U000111cf"
+    "\U0001122c-\U00011237\U0001123e\U000112df-\U000112ea"
+    "\U00011300-\U00011303\U0001133b\U0001133c\U0001133e-\U00011344"
+    "\U00011347\U00011348\U0001134b-\U0001134d\U00011357"
+    "\U00011362\U00011363\U00011366-\U0001136c\U00011370-\U00011374"
+    "\U00011435-\U00011446\U0001145e\U000114b0-\U000114c3"
+    "\U000115af-\U000115b5\U000115b8-\U000115c0\U000115dc\U000115dd"
+    "\U00011630-\U00011640\U000116ab-\U000116b7\U0001171d-\U0001172b"
+    "\U0001182c-\U0001183a\U00011930-\U00011935\U00011937\U00011938"
+    "\U0001193b-\U0001193e\U00011940\U00011942\U00011943"
+    "\U000119d1-\U000119d7\U000119da-\U000119e0\U000119e4"
+    "\U00011a01-\U00011a0a\U00011a33-\U00011a39\U00011a3b-\U00011a3e"
+    "\U00011a47\U00011a51-\U00011a5b\U00011a8a-\U00011a99"
+    "\U00011c2f-\U00011c36\U00011c38-\U00011c3f\U00011c92-\U00011ca7"
+    "\U00011ca9-\U00011cb6\U00011d31-\U00011d36\U00011d3a"
+    "\U00011d3c\U00011d3d\U00011d3f-\U00011d45\U00011d47"
+    "\U00011d8a-\U00011d8e\U00011d90\U00011d91\U00011d93-\U00011d97"
+    "\U00011ef3-\U00011ef6\U00013430-\U00013438\U00016af0-\U00016af4"
+    "\U00016b30-\U00016b36\U00016f4f\U00016f51-\U00016f87"
+    "\U00016f8f-\U00016f92\U00016fe4\U00016ff0\U00016ff1"
+    "\U0001bc9d\U0001bc9e\U0001bca0-\U0001bca3\U0001cf00-\U0001cf2d"
+    "\U0001cf30-\U0001cf46\U0001d165-\U0001d169\U0001d16d-\U0001d182"
+    "\U0001d185-\U0001d18b\U0001d1aa-\U0001d1ad\U0001d242-\U0001d244"
+    "\U0001da00-\U0001da36\U0001da3b-\U0001da6c\U0001da75\U0001da84"
+    "\U0001da9b-\U0001da9f\U0001daa1-\U0001daaf\U0001e000-\U0001e006"
+    "\U0001e008-\U0001e018\U0001e01b-\U0001e021\U0001e023\U0001e024"
+    "\U0001e026-\U0001e02a\U0001e130-\U0001e136\U0001e2ae"
+    "\U0001e2ec-\U0001e2ef\U0001e8d0-\U0001e8d6\U0001e944-\U0001e94a"
+    "\U000e0001\U000e0020-\U000e007f\U000e0100-\U000e01ef"
+)
+_EFS = rf"[{_WB4_IGNORE}]*"
+
 # Hiragana: no WB rule binds it — one char per token (same as IDEOGRAPHIC).
-_HIRA = "\u3041-\u309f"
+# U+3099-309A (combining kana voicing marks, Mn) live in the WB4 table and
+# attach to the preceding kana instead of standing alone.
+_HIRA = "\u3041-\u3096\u309b-\u309f"
 # Katakana (incl. phonetic extensions + halfwidth): WB13 binds runs.
 _KATA = "\u30a0-\u30ff\u31f0-\u31ff\uff66-\uff9f"
 # CJK ideographs tokenized one-char-per-token (IDEOGRAPHIC type).
@@ -67,8 +162,10 @@ _MIDNUMLET = ".\u2018\u2019\u2024\ufe52\uff07\uff0e"
 # Hebrew_Letter: letters + Yiddish digraphs + geresh U+05F3 (ALetter there).
 _HEBREW = "\u05d0-\u05ea\u05ef-\u05f3"
 
-# word char = \w minus ideographs/kana (those take the single-char/run branch)
+# word char = \w minus ideographs/kana (those take the single-char/run branch);
+# each word char may carry a run of WB4 ignorables (kept in the token).
 _W = rf"(?:(?![{_CJK_CLASS}])\w)"
+_WE = rf"(?:(?![{_CJK_CLASS}])\w{_EFS})"
 # UAX#29 word = word-char run, extendable across a mid-token char when the
 # IMMEDIATELY adjacent chars satisfy the class's rule:
 #   WB6/WB7:   ALetter  (MidLetter | MidNumLetQ) ALetter
@@ -78,7 +175,55 @@ _W = rf"(?:(?![{_CJK_CLASS}])\w)"
 # ALetter\u00d7Numeric adjacency (WB9/WB10) and ExtendNumLet '_' (WB13a/b)
 # need no separator handling — both live inside \w. Lookbehinds check the
 # char before the separator (always a word char here, never ideo/kana).
+# lookbehinds tolerate one trailing WB4 ignorable between the literal
+# word char and the mid-token separator (fixed-width alternatives).
+_LB_ALPHA = rf"(?:(?<=[^\W\d_])|(?<=[^\W\d_][{_WB4_IGNORE}]))"
+_LB_NUM = rf"(?:(?<=\d)|(?<=\d[{_WB4_IGNORE}]))"
+_LB_HEB = rf"(?:(?<=[{_HEBREW}])|(?<=[{_HEBREW}][{_WB4_IGNORE}]))"
 _UAX_WORD = (
+    rf"{_WE}+"
+    rf"(?:(?:"
+    rf"{_LB_ALPHA}[{_MIDLETTER}{_MIDNUMLET}']{_EFS}(?=(?![\d_]){_W})"
+    rf"|{_LB_NUM}[{_MIDNUM}{_MIDNUMLET}']{_EFS}(?=\d)"
+    rf"|{_LB_HEB}\"{_EFS}(?=[{_HEBREW}])"
+    rf"){_WE}+)*"
+    rf"(?:{_LB_HEB}'{_EFS})?"
+)
+TOKEN_RE = re.compile(
+    rf"(?:[{_KATA}]{_EFS})+"       # WB13: katakana runs bind (+ ignorables)
+    rf"|[{_IDEO}{_HIRA}]{_EFS}"    # ideograph / hiragana: one char per token
+    rf"|{_UAX_WORD}"
+)
+
+# EF-free twin: on text with NO WB4 ignorables every EF*/lookbehind
+# alternative above is a no-op, so this stripped pattern is provably
+# identical there — and ~4x faster (the big ignorable class is dead
+# weight at every char otherwise). One C-speed class search per row
+# dispatches; only rows actually carrying combining marks / format chars
+# pay for the exact pattern.
+_EF_PRESENT_RE = re.compile(rf"[{_WB4_IGNORE}]")
+
+
+def _expand_class(cls: str) -> frozenset:
+    """Expand a regex char-class body (literals + a-b ranges; the
+    backslash-u escapes are already decoded at this point) to a frozenset.
+    set.isdisjoint(str) is a C-speed per-char membership scan, ~50x
+    faster than searching a 300-range class with sre (which falls back
+    to a linear range scan per character for astral-bearing classes)."""
+    out = []
+    i = 0
+    while i < len(cls):
+        if i + 2 < len(cls) and cls[i + 1] == "-":
+            out.extend(map(chr, range(ord(cls[i]), ord(cls[i + 2]) + 1)))
+            i += 3
+        else:
+            out.append(cls[i])
+            i += 1
+    return frozenset(out)
+
+
+_EF_SET = _expand_class(_WB4_IGNORE)
+_UAX_WORD_NOEF = (
     rf"{_W}+"
     rf"(?:(?:"
     rf"(?<=[^\W\d_])[{_MIDLETTER}{_MIDNUMLET}'](?=(?![\d_]){_W})"
@@ -87,11 +232,18 @@ _UAX_WORD = (
     rf"){_W}+)*"
     rf"(?:(?<=[{_HEBREW}])')?"
 )
-TOKEN_RE = re.compile(
-    rf"[{_KATA}]+"          # WB13: katakana runs bind
-    rf"|[{_IDEO}{_HIRA}]"   # ideograph / hiragana: one char per token
-    rf"|{_UAX_WORD}"
+TOKEN_RE_NOEF = re.compile(
+    rf"[{_KATA}]+"
+    rf"|[{_IDEO}{_HIRA}]"
+    rf"|{_UAX_WORD_NOEF}"
 )
+
+
+def _token_re_for(text: str):
+    # isascii() is an O(1) header-flag read; no EF char is ASCII
+    if text.isascii() or _EF_SET.isdisjoint(text):
+        return TOKEN_RE_NOEF
+    return TOKEN_RE
 
 _POSSESSIVE_RE = re.compile(r"['’][sS]$")
 SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -99,7 +251,7 @@ SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def tokenize_standard(text: str) -> list[str]:
     """StandardTokenizer: UAX#29 word-break subset + 255-char split."""
-    toks = TOKEN_RE.findall(text)
+    toks = _token_re_for(text).findall(text)
     out = []
     for t in toks:
         if len(t) <= MAX_TOKEN_LENGTH:
@@ -230,7 +382,7 @@ def _tokenize_rows(s, profile: str):
         found = [_ASCII_TOKEN_RE.findall(t) for t in vals]
     else:
         found = [
-            (_ASCII_TOKEN_RE if a else TOKEN_RE).findall(t)
+            (_ASCII_TOKEN_RE if a else _token_re_for(t)).findall(t)
             for t, a in zip(vals, asc)
         ]
     if _LONG_TOKEN_RE.search("\x00".join(vals)) is not None:

@@ -152,3 +152,59 @@ def test_pages_deterministic():
     assert a.equals(b)
     langs = set(a.column("lang").to_pylist())
     assert langs <= {"en", "de", "fr", "es", "zh"}
+
+
+# WB4 (Extend | Format | ZWJ) ignorable handling — round-4 closure of the
+# UAX#29 delta: ignorables attach to the preceding word/kana char and stay
+# in the token text; they never start a token; U+200B ZERO WIDTH SPACE is
+# NOT ignorable (WordBreak=Other) and breaks.
+WB4_CASES = [
+    ("café bar", ["café", "bar"]),        # combining acute
+    ("foo­bar", ["foo­bar"]),               # soft hyphen (Format)
+    ("ab‍cd", ["ab‍cd"]),                   # ZWJ joins
+    ("ab‌cd", ["ab‌cd"]),                   # ZWNJ joins
+    ("ab​cd", ["ab", "cd"]),                     # ZWSP breaks
+    ("́abc", ["abc"]),                           # leading mark dropped
+    ("किताब", ["किताब"]),
+    ("がき", ["が", "き"]),  # dakuten attaches
+    ("café.com", ["café.com"]),           # EF before MidNumLet
+    ("\U0001f1fa\U0001f1f8 usa", ["usa"]),            # regional indicators dropped
+    ("שׁלום", ["שׁלום"]),
+]
+
+
+def test_wb4_ignorables_golden():
+    for text, expect in WB4_CASES:
+        assert tokenize_standard(text) == expect, repr(text)
+
+
+def test_noef_twin_identical_on_ef_free_text():
+    """TOKEN_RE_NOEF (the fast dispatch target) must agree with the exact
+    WB4 pattern on any string with no ignorable chars."""
+    import random
+
+    from lucene_solr_spark.analysis import _EF_SET, TOKEN_RE, TOKEN_RE_NOEF
+
+    rng = random.Random(7)
+    alphabet = "abcz19 .,;'\"-_中カたאé"
+    assert _EF_SET.isdisjoint(alphabet)
+    for _ in range(10_000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 40))
+        )
+        assert TOKEN_RE.findall(s) == TOKEN_RE_NOEF.findall(s), repr(s)
+
+
+def test_ef_set_matches_class_regex():
+    """The frozenset dispatcher and the regex class must define the same
+    ignorable set (spot-checked across the BMP + astral samples)."""
+    import random
+
+    from lucene_solr_spark.analysis import _EF_PRESENT_RE, _EF_SET
+
+    rng = random.Random(11)
+    for _ in range(20_000):
+        c = chr(rng.randrange(32, 0x30000))
+        assert (c in _EF_SET) == (
+            _EF_PRESENT_RE.match(c) is not None
+        ), hex(ord(c))
