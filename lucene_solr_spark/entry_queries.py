@@ -855,6 +855,13 @@ _after_window = [
     "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
     "tpch_q19_discounted_revenue", "tpch_q21_waiting_suppliers",
     "tpch_q22_sales_opportunity",
+    # round-4 thirtieth tranche: matheval distributions (Weibull/
+    # log-normal/zipf/gamma), markovChain relational matrix power,
+    # derivative/integrate, oscillate, seeded monteCarlo, fft, dbscan
+    "stream_weibull_cdf", "stream_lognormal_cdf", "stream_zipf_pmf",
+    "markov_chain_2step", "stream_derivative", "stream_integrate",
+    "stream_oscillate", "stream_gamma_cdf", "stream_monte_carlo",
+    "stream_fft", "ml_dbscan",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

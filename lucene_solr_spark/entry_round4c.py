@@ -367,3 +367,244 @@ REGISTRY_R4C = {
     "tpch_q21_waiting_suppliers": (q_tpch_q21, SQL_TPCH_Q21),
     "tpch_q22_sales_opportunity": (q_tpch_q22, SQL_TPCH_Q22),
 }
+
+
+# ===========================================================================
+# Tranche: math-evaluator distributions, markovChain, series calculus,
+# monteCarlo, fft, dbscan (SURVEY §3.9 — solr/solrj/.../io/eval).
+# ===========================================================================
+
+
+def q_stream_weibull_cdf(spark, sf_dir):
+    """weibullDistribution(k, λ).cumulativeProbability — closed form as
+    pure Column arithmetic; the identical formula is the oracle."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return ev.select(
+        "event_id",
+        F.round(ME.weibull_cdf_col(F.col("value"), 1.5, 60.0), 6).alias("cdf"),
+    ).orderBy("event_id")
+
+
+SQL_WEIBULL_CDF = """
+SELECT event_id,
+       ROUND(CASE WHEN value < 0 THEN 0.0
+                  ELSE 1.0 - exp(-pow(value / 60.0, 1.5)) END, 6) AS cdf
+FROM events WHERE event_id < 20 ORDER BY event_id
+"""
+
+
+def q_stream_lognormal_cdf(spark, sf_dir):
+    """logNormalDistribution(μ, σ).cumulativeProbability via the shared
+    A&S erf (exact arithmetic restated in SQL, as stream_norm_cdf)."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return ev.select(
+        "event_id",
+        F.round(
+            ME.lognormal_cdf_col(F.col("value"), 3.5, 0.9), 6
+        ).alias("cdf"),
+    ).orderBy("event_id")
+
+
+SQL_LOGNORMAL_CDF = """
+WITH z AS (
+  SELECT event_id, (ln(value) - 3.5) / (0.9 * sqrt(2.0)) AS x
+  FROM events WHERE event_id < 20 AND value > 0),
+e AS (
+  SELECT event_id, x, abs(x) AS ax,
+         1.0 / (1.0 + 0.3275911 * abs(x)) AS t
+  FROM z),
+erf AS (
+  SELECT event_id, x,
+         1.0 - (0.254829592 * t - 0.284496736 * t * t
+                + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+                + 1.061405429 * t * t * t * t * t) * exp(-ax * ax) AS y
+  FROM e)
+SELECT event_id,
+       ROUND(0.5 * (1.0 + CASE WHEN x < 0 THEN -y ELSE y END), 6) AS cdf
+FROM erf ORDER BY event_id
+"""
+
+
+def q_stream_zipf_pmf(spark, sf_dir):
+    """zipFDistribution(N=100, s=1.07).probability(k), k=1..20 — pure
+    generator; the harmonic normalizer is one `aggregate` expression."""
+    from .operators import matheval as ME
+
+    return ME.zipf_pmf_df(spark, n=100, exponent=1.07, k_max=20)
+
+
+SQL_ZIPF_PMF = """
+WITH h AS (
+  SELECT sum(1.0 / pow(i, 1.07)) AS hn
+  FROM generate_series(1, 100) t(i))
+SELECT k, ROUND((1.0 / pow(k, 1.07)) / hn, 9) AS pmf
+FROM generate_series(1, 20) t(k), h ORDER BY k
+"""
+
+
+def q_markov_chain_2step(spark, sf_dir):
+    """markovChain(): transition matrix estimated from per-user ordered
+    event streams, powered to 2 steps RELATIONALLY (join on the middle
+    state) — the only way a 10^6-state chain powers on a cluster."""
+    from .operators import matheval as ME
+
+    return ME.markov_two_step(_t(spark, sf_dir, "events"))
+
+
+SQL_MARKOV_2STEP = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events),
+pairs AS (
+  SELECT event_type AS src, nxt AS dst, count(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tm AS (
+  SELECT src, dst, n * 1.0 / sum(n) OVER (PARTITION BY src) AS p
+  FROM pairs)
+SELECT p1.src AS src, p2.dst AS dst, ROUND(sum(p1.p * p2.p), 9) AS p_two_step
+FROM tm p1 JOIN tm p2 ON p1.dst = p2.src
+GROUP BY p1.src, p2.dst ORDER BY src, dst
+"""
+
+
+def _daily_series(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .select(
+            (F.unix_timestamp("day") / F.lit(86400.0)).alias("t"),
+            "n",
+        )
+    )
+
+
+_SQL_DAILY = """
+  SELECT epoch(date_trunc('day', ts)) / 86400.0 AS t,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+"""
+
+
+def q_stream_derivative(spark, sf_dir):
+    """derivative(): central finite differences of the daily event-count
+    series (one lag/lead window over the tiny aggregate)."""
+    from .operators import matheval as ME
+
+    return ME.derivative_stream(_daily_series(spark, sf_dir), "t", "n")
+
+
+SQL_DERIVATIVE = f"""
+WITH daily AS ({_SQL_DAILY}),
+w AS (
+  SELECT t, n,
+         lag(n)  OVER (ORDER BY t) AS yp, lead(n) OVER (ORDER BY t) AS yn,
+         lag(t)  OVER (ORDER BY t) AS tp, lead(t) OVER (ORDER BY t) AS tn
+  FROM daily)
+SELECT t,
+       ROUND(CASE WHEN tp IS NULL THEN (yn - n) / (tn - t)
+                  WHEN tn IS NULL THEN (n - yp) / (t - tp)
+                  ELSE (yn - yp) / (tn - tp) END, 9) AS dydt
+FROM w ORDER BY t
+"""
+
+
+def q_stream_integrate(spark, sf_dir):
+    """integrate(): cumulative trapezoid of the daily series."""
+    from .operators import matheval as ME
+
+    return ME.integrate_stream(_daily_series(spark, sf_dir), "t", "n")
+
+
+SQL_INTEGRATE = f"""
+WITH daily AS ({_SQL_DAILY}),
+s AS (
+  SELECT t,
+         COALESCE((n + lag(n) OVER (ORDER BY t)) / 2.0
+                  * (t - lag(t) OVER (ORDER BY t)), 0.0) AS step
+  FROM daily)
+SELECT t, ROUND(sum(step) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+         AS integral
+FROM s ORDER BY t
+"""
+
+
+def q_stream_oscillate(spark, sf_dir):
+    """oscillate(A, ω, φ): A·sin(ωt + φ) at t = 0..63 — pure generator."""
+    from .operators import matheval as ME
+
+    return ME.oscillate_df(spark, 2.5, 0.3, 1.0, 64)
+
+
+SQL_OSCILLATE = """
+SELECT t, ROUND(2.5 * sin(0.3 * t + 1.0), 9) AS y
+FROM generate_series(0, 63) g(t) ORDER BY t
+"""
+
+
+def q_stream_gamma_cdf(spark, sf_dir):
+    """gammaDistribution(shape, scale).cumulativeProbability — the
+    regularized lower incomplete gamma (series + continued fraction,
+    published NR-style construction) in an Arrow-batched UDF. Rows-only:
+    the iterative recurrence is not SQL-expressible; pytest pins the
+    shape=1 case to the closed-form exponential CDF and monotonicity."""
+    from .operators import matheval as ME
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20)
+    return (
+        ME.gamma_cdf_stream(ev, "value", shape=2.0, scale=30.0)
+        .select("event_id", "cdf")
+        .orderBy("event_id")
+    )
+
+
+def q_stream_monte_carlo(spark, sf_dir):
+    """monteCarlo(): E[X·Y], X~N(10,3), Y~U(0,2) — 100k draws split
+    across 16 tasks, each seeded (seed, partition_id): deterministic at
+    ANY parallelism; ONE (sum, n) partial per task. Rows-only."""
+    from .operators import matheval as ME
+
+    return ME.monte_carlo_mean(spark)
+
+
+def q_stream_fft(spark, sf_dir):
+    """fft(): DFT magnitude spectrum of the daily event-count series
+    (numpy rfft over the tiny aggregate). Rows-only; pytest pins the
+    spectrum against a direct O(n²) DFT."""
+    from .operators import matheval as ME
+
+    return ME.fft_magnitudes(_daily_series(spark, sf_dir), "t", "n")
+
+
+def q_ml_dbscan(spark, sf_dir):
+    """dbscan() from scratch: eps-graph (JVM-side distances) -> degrees
+    -> core flags -> min-label components -> border attach. Rows-only;
+    pytest runs a numpy reference DBSCAN and requires identical clusters."""
+    from .operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ML.dbscan_embeddings(emb, eps=1.22, min_pts=4)
+
+
+REGISTRY_R4C.update(
+    {
+        "stream_weibull_cdf": (q_stream_weibull_cdf, SQL_WEIBULL_CDF),
+        "stream_lognormal_cdf": (q_stream_lognormal_cdf, SQL_LOGNORMAL_CDF),
+        "stream_zipf_pmf": (q_stream_zipf_pmf, SQL_ZIPF_PMF),
+        "markov_chain_2step": (q_markov_chain_2step, SQL_MARKOV_2STEP),
+        "stream_derivative": (q_stream_derivative, SQL_DERIVATIVE),
+        "stream_integrate": (q_stream_integrate, SQL_INTEGRATE),
+        "stream_oscillate": (q_stream_oscillate, SQL_OSCILLATE),
+        "stream_gamma_cdf": (q_stream_gamma_cdf, None),
+        "stream_monte_carlo": (q_stream_monte_carlo, None),
+        "stream_fft": (q_stream_fft, None),
+        "ml_dbscan": (q_ml_dbscan, None),
+    }
+)

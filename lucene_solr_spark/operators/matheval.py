@@ -1064,3 +1064,320 @@ def ols2_stream(
         F.round(b2, 6).alias("b2"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tranche: distribution evaluators with closed-form CDFs
+# (solr/solrj/.../io/eval/WeibullDistributionEvaluator.java ≈L30,
+# LogNormalDistributionEvaluator.java ≈L30, ZipFDistributionEvaluator.java
+# ≈L30, CumulativeProbabilityEvaluator.java ≈L40 — commons-math
+# distribution semantics). All pure Column arithmetic (codegen), each
+# mirrorable verbatim in oracle SQL.
+# ---------------------------------------------------------------------------
+
+
+def weibull_cdf_col(x: Column, shape: float, scale: float) -> Column:
+    """WeibullDistribution(shape k, scale λ).cumulativeProbability:
+    1 - exp(-(x/λ)^k) for x >= 0, else 0."""
+    k = float(shape)
+    lam = float(scale)
+    pos = F.lit(1.0) - F.exp(-F.pow(x / F.lit(lam), F.lit(k)))
+    return F.when(x < 0, F.lit(0.0)).otherwise(pos)
+
+
+def lognormal_cdf_col(x: Column, mu: float, sigma: float) -> Column:
+    """LogNormalDistribution(μ of log, σ of log).cumulativeProbability:
+    Φ((ln x - μ)/σ) via the same A&S 7.1.26 erf as norm_cdf_col —
+    identical arithmetic is restated in the oracle SQL."""
+    z = (F.log(x) - F.lit(float(mu))) / F.lit(float(sigma) * math.sqrt(2.0))
+    pos = F.lit(0.5) * (F.lit(1.0) + erf_col(z))
+    return F.when(x <= 0, F.lit(0.0)).otherwise(pos)
+
+
+def zipf_pmf_df(spark, n: int, exponent: float, k_max: int) -> DataFrame:
+    """ZipFDistribution(N, s).probability(k) for k = 1..k_max:
+    k^-s / H(N, s), the generalized harmonic normalizer computed with ONE
+    `aggregate` over a broadcast-free sequence literal (no data read at
+    all — the evaluator is a pure generator, like Solr's)."""
+    s = float(exponent)
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(n))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.pow(i.cast("double"), F.lit(s)),
+    )
+    ks = spark.range(1, int(k_max) + 1).select(F.col("id").alias("k"))
+    return ks.select(
+        "k",
+        F.round(
+            (F.lit(1.0) / F.pow(F.col("k").cast("double"), F.lit(s)))
+            / h,
+            9,
+        ).alias("pmf"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# markovChain() (solr/solrj/.../io/eval/MarkovChainEvaluator.java ≈L30):
+# transition matrix estimated FROM DATA (per-user ordered event streams),
+# then the t-step distribution by relational matrix power — a self-join
+# per squaring step, which is how a 10^6-state chain would have to be
+# powered on a cluster anyway (the dense matrix doesn't fit one box).
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """(src, dst, p): row-stochastic transition matrix over event_type,
+    estimated from each user's ts-ordered event sequence. One window
+    (partitionBy user) + one groupBy — both on the same user-hash
+    exchange at scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("tot"))
+    return pairs.join(tot, "src").select(
+        "src", "dst", (F.col("n") / F.col("tot")).alias("p")
+    )
+
+
+def markov_two_step(events: DataFrame) -> DataFrame:
+    """P² — two-step transition probabilities: p2(a, c) = Σ_b p(a,b)·p(b,c),
+    i.e. ONE equi-join on the middle state + one agg. States are few
+    (event types), so the join side is broadcast; at 10^6+ states the
+    same plan shuffles on the middle-state key."""
+    p = event_transition_matrix(events)
+    q = p.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2"),
+        F.col("p").alias("p2"),
+    )
+    return (
+        p.join(F.broadcast(q), F.col("dst") == F.col("mid"))
+        .groupBy(F.col("src"), F.col("dst2").alias("dst"))
+        .agg(F.round(F.sum(F.col("p") * F.col("p2")), 9).alias("p_two_step"))
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# derivative() / integrate() (DerivativeEvaluator.java ≈L30,
+# IntegrateEvaluator.java ≈L30) over a (t, y) series: central finite
+# differences and the cumulative trapezoid — one lag/lead window each,
+# partitioned by nothing only when the series is ALREADY a small
+# aggregate (daily buckets); the window key matches the upstream
+# groupBy exchange.
+# ---------------------------------------------------------------------------
+
+
+def derivative_stream(df: DataFrame, t_col: str, y_col: str) -> DataFrame:
+    """Central difference dy/dt: (y[i+1] - y[i-1]) / (t[i+1] - t[i-1]);
+    one-sided at the series ends."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(t_col)
+    yp = F.lag(y_col).over(w)
+    yn = F.lead(y_col).over(w)
+    tp = F.lag(t_col).over(w)
+    tn = F.lead(t_col).over(w)
+    dy = (
+        F.when(tp.isNull(), (yn - F.col(y_col)) / (tn - F.col(t_col)))
+        .when(tn.isNull(), (F.col(y_col) - yp) / (F.col(t_col) - tp))
+        .otherwise((yn - yp) / (tn - tp))
+    )
+    return df.select(
+        F.col(t_col), F.round(dy, 9).alias("dydt")
+    ).orderBy(t_col)
+
+
+def integrate_stream(df: DataFrame, t_col: str, y_col: str) -> DataFrame:
+    """Cumulative trapezoid ∫y dt: running sum of
+    (y[i] + y[i-1])/2 · (t[i] - t[i-1])."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(t_col)
+    step = (
+        (F.col(y_col) + F.lag(y_col).over(w))
+        / F.lit(2.0)
+        * (F.col(t_col) - F.lag(t_col).over(w))
+    )
+    cum = F.sum(F.coalesce(step, F.lit(0.0))).over(
+        Window.orderBy(t_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        F.col(t_col), F.round(cum, 9).alias("integral")
+    ).orderBy(t_col)
+
+
+def oscillate_df(spark, amplitude: float, angular_freq: float,
+                 phase: float, n: int) -> DataFrame:
+    """oscillate(A, ω, φ) (OscillateEvaluator.java ≈L30): A·sin(ωt + φ)
+    sampled at t = 0..n-1 — a pure generator, no input data."""
+    return (
+        spark.range(0, int(n))
+        .select(F.col("id").alias("t"))
+        .select(
+            "t",
+            F.round(
+                F.lit(float(amplitude))
+                * F.sin(
+                    F.lit(float(angular_freq)) * F.col("t").cast("double")
+                    + F.lit(float(phase))
+                ),
+                9,
+            ).alias("y"),
+        )
+        .orderBy("t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regularized lower incomplete gamma P(a, x) — series for x < a+1,
+# continued fraction otherwise (Numerical-Recipes-style gser/gcf
+# construction from the published formulas; same device as the betainc
+# above). Drives GammaDistribution.cumulativeProbability.
+# ---------------------------------------------------------------------------
+
+
+def _gammainc_p(a: float, x: float) -> float:
+    if x <= 0.0:
+        return 0.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        # series: P = gser
+        ap = a
+        summ = 1.0 / a
+        delt = summ
+        for _ in range(500):
+            ap += 1.0
+            delt *= x / ap
+            summ += delt
+            if abs(delt) < abs(summ) * 1e-14:
+                break
+        return summ * math.exp(-x + a * math.log(x) - lg)
+    # continued fraction: Q = gcf, P = 1 - Q (modified Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delt = d * c
+        h *= delt
+        if abs(delt - 1.0) < 1e-14:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def gamma_cdf_stream(
+    df: DataFrame, x_col: str, shape: float, scale: float
+) -> DataFrame:
+    """GammaDistribution(shape, scale).cumulativeProbability over a
+    column: P(shape, x/scale) via an Arrow-batched pandas UDF (the
+    incomplete-gamma recurrence is iterative — not Column-expressible).
+    Keeps the input order columns."""
+    import pandas as pd
+
+    a = float(shape)
+    sc = float(scale)
+
+    def _cdf_fn(s):
+        return s.map(lambda v: _gammainc_p(a, float(v) / sc))
+
+    # bind real annotation objects (module has stringified annotations and
+    # no top-level pandas import, so hint-style pandas_udf can't resolve)
+    _cdf_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _cdf = F.pandas_udf(_cdf_fn, "double")
+
+    return df.withColumn("cdf", F.round(_cdf(F.col(x_col)), 9))
+
+
+# ---------------------------------------------------------------------------
+# monteCarlo() (MonteCarloEvaluator.java ≈L40): re-evaluate an expression
+# n times with freshly sampled variables; here E[X·Y], X ~ N(μ,σ),
+# Y ~ U(a,b). Distributed + deterministic: the n draws split across
+# `parts` tasks, each task seeds its own numpy Generator with
+# (seed, partition_id) — same answer at any parallelism — and emits ONE
+# partial (sum, count); the final mean is a 1-row agg.
+# ---------------------------------------------------------------------------
+
+
+def monte_carlo_mean(
+    spark,
+    n: int = 100_000,
+    seed: int = 42,
+    mu: float = 10.0,
+    sigma: float = 3.0,
+    lo: float = 0.0,
+    hi: float = 2.0,
+    parts: int = 16,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    per = int(n) // int(parts)
+
+    def _partials(it):
+        for pdf in it:
+            for pid in pdf["pid"]:
+                g = np.random.default_rng((int(seed), int(pid)))
+                x = g.normal(mu, sigma, per)
+                y = g.uniform(lo, hi, per)
+                v = x * y
+                yield pd.DataFrame(
+                    {"s": [float(v.sum())], "n": [float(per)]}
+                )
+
+    pids = spark.range(0, int(parts)).select(F.col("id").alias("pid"))
+    partials = pids.repartition(int(parts), "pid").mapInPandas(
+        _partials, "s double, n double"
+    )
+    return partials.agg(
+        F.round(F.sum("s") / F.sum("n"), 6).alias("mc_mean"),
+        F.sum("n").cast("long").alias("n_samples"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fft() (FFTEvaluator.java ≈L30): DFT magnitude spectrum of a small
+# aggregated series (daily counts). The series at this point is one
+# row per bucket — tiny — so the transform itself runs in ONE
+# mapInPandas task over the collected-to-one-partition series; the
+# heavy part (the aggregation that produced the series) stays
+# distributed.
+# ---------------------------------------------------------------------------
+
+
+def fft_magnitudes(df: DataFrame, t_col: str, y_col: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def _fft(it):
+        rows = pd.concat(list(it), ignore_index=True)
+        rows = rows.sort_values(t_col, ignore_index=True)
+        mags = np.abs(np.fft.rfft(rows[y_col].to_numpy(dtype=float)))
+        yield pd.DataFrame(
+            {"freq_bin": np.arange(len(mags)), "magnitude": mags}
+        )
+
+    out = df.select(t_col, y_col).coalesce(1).mapInPandas(
+        _fft, "freq_bin long, magnitude double"
+    )
+    return out.select(
+        "freq_bin", F.round("magnitude", 6).alias("magnitude")
+    ).orderBy("freq_bin")

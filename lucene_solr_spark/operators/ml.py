@@ -212,3 +212,123 @@ def multi_kmeans_embeddings(
     return out.drop("_v").withColumn(
         "training_cost", F.round(F.lit(float(best_cost)), 4)
     )
+
+
+def dbscan_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1.22,
+    min_pts: int = 4,
+) -> DataFrame:
+    """dbscan() evaluator (solr/solrj/.../io/eval/DbscanEvaluator.java
+    ≈L30; commons-math DBSCANClusterer semantics) from scratch:
+      core point  = ≥ min_pts points (incl. itself) within eps;
+      clusters    = connected components of the core-core eps-graph;
+      border      = non-core with a core eps-neighbor — joins the
+                    smallest-labelled neighboring cluster (deterministic);
+      noise       = everything else (cluster -1).
+
+    Distributed shape: the eps-graph is built from DISTINCT unordered
+    pairs (a < b) with the distance as one JVM-side zip_with/aggregate
+    expression (no Python in the pair loop); degrees are one groupBy on
+    the symmetrized edges; components reuse the same min-label-propagation
+    loop as pipeline.dedup.connected_components. Candidate generation
+    here is the exact all-pairs block join — right for ≤10^5 vectors; at
+    10^8+ swap the pair source for the hyperplane-LSH bucket join in
+    vectors.py (same downstream plan), trading recall for the quadratic
+    blowup, exactly like decontam's documented brute/ANN crossover.
+
+    Returns (id, is_core, cluster) with cluster = min member id, -1 noise.
+    """
+    from ..pipeline.dedup import connected_components
+
+    pts = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    a = pts.select(F.col("id").alias("a"), F.col("x").alias("xa"))
+    b = pts.select(F.col("id").alias("b"), F.col("x").alias("xb"))
+    d2 = F.aggregate(
+        F.zip_with("xa", "xb", lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    edges = (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= float(eps) * float(eps))
+        .select("a", "b")
+        # localCheckpoint, not persist: the pair plan embeds a dim-wide
+        # zip_with/aggregate expression tree, and the CC loop would
+        # re-inline it into every iteration's logical plan (the round-3
+        # analyzer-blowup lesson) — truncate lineage here once
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("nbrs"))
+    core = (
+        pts.select("id")
+        .join(deg, pts["id"] == deg["a"], "left_outer")
+        .select(
+            "id",
+            (F.coalesce(F.col("nbrs"), F.lit(0)) + 1 >= int(min_pts)).alias(
+                "is_core"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    core_ids = core.filter("is_core").select(F.col("id"))
+    cc_edges = (
+        edges.join(
+            core_ids.withColumnRenamed("id", "a"),
+            "a",
+            "left_semi",
+        )
+        .join(
+            core_ids.withColumnRenamed("id", "b"),
+            "b",
+            "left_semi",
+        )
+        # using-column joins move the key first (['b','a']); restore order
+        .select("a", "b")
+    )
+    # isolated core points still form their own singleton cluster
+    comp = connected_components(cc_edges).withColumnRenamed(
+        "doc_id", "id"
+    )
+    core_clusters = (
+        core.filter("is_core")
+        .join(comp, "id", "left_outer")
+        .select(
+            "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+        )
+    )
+    border = (
+        core.filter(~F.col("is_core"))
+        .join(sym, core["id"] == sym["a"], "inner")
+        .join(
+            core_clusters.select(
+                F.col("id").alias("cid"), F.col("cluster").alias("ncl")
+            ),
+            F.col("b") == F.col("cid"),
+        )
+        .groupBy("id")
+        .agg(F.min("ncl").alias("cluster"))
+    )
+    out = (
+        core.join(core_clusters.withColumnRenamed("cluster", "_corecl"),
+                  "id", "left_outer")
+        .join(border.withColumnRenamed("cluster", "_bordcl"),
+              "id", "left_outer")
+        .select(
+            "id",
+            "is_core",
+            F.coalesce(
+                F.col("_corecl"), F.col("_bordcl"), F.lit(-1)
+            ).alias("cluster"),
+        )
+    )
+    return out.orderBy("id")

@@ -276,6 +276,12 @@ def connected_components(
     materialized blocks (at true cluster scale use reliable checkpoint() to
     HDFS, or GraphFrames' connectedComponents which implements the same
     large-star/small-star contraction with built-in checkpointing)."""
+    # normalize column ORDER first: union() is positional, and upstream
+    # using-column joins (e.g. left_semi on "b") reorder columns to
+    # ['b','a'] — without this select the swapped branch would align
+    # positionally with the original and the symmetrization silently
+    # collapses (found by the dbscan differential test)
+    edges = edges.select("a", "b")
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()

@@ -1,0 +1,164 @@
+"""Round-4 tranche-C internals: gamma CDF, monteCarlo, fft, dbscan,
+markovChain — differential oracles for the non-SQL-expressible parts."""
+
+import math
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_gammainc_shape1_is_exponential():
+    from lucene_solr_spark.operators.matheval import _gammainc_p
+
+    # P(1, x/θ) == 1 - exp(-x/θ) exactly (shape=1 gamma == exponential)
+    for x in (0.0, 0.1, 0.5, 1.0, 2.5, 7.0, 30.0):
+        assert _gammainc_p(1.0, x) == pytest.approx(
+            1.0 - math.exp(-x), abs=1e-12
+        )
+
+
+def test_gammainc_monotone_and_bounds():
+    from lucene_solr_spark.operators.matheval import _gammainc_p
+
+    for a in (0.5, 2.0, 5.0, 9.3):
+        prev = -1.0
+        for x in np.linspace(0.0, 40.0, 200):
+            v = _gammainc_p(a, float(x))
+            assert 0.0 <= v <= 1.0
+            assert v >= prev - 1e-12
+            prev = v
+        assert _gammainc_p(a, 500.0) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_gammainc_halfint_vs_erf():
+    from lucene_solr_spark.operators.matheval import _gammainc_p
+
+    # P(1/2, x) = erf(sqrt(x)) — an independent closed form
+    for x in (0.01, 0.3, 1.0, 4.0, 9.0):
+        assert _gammainc_p(0.5, x) == pytest.approx(
+            math.erf(math.sqrt(x)), abs=1e-10
+        )
+
+
+def test_monte_carlo_accuracy_and_determinism(spark):
+    from lucene_solr_spark.operators.matheval import monte_carlo_mean
+
+    r1 = monte_carlo_mean(spark, n=100_000, seed=42).collect()[0]
+    r2 = monte_carlo_mean(spark, n=100_000, seed=42).collect()[0]
+    # E[X·Y] = μ_X · E[Y] = 10 · 1 = 10; stderr ≈ sqrt(Var)/sqrt(n) ≈ 0.02
+    assert r1["mc_mean"] == pytest.approx(10.0, abs=0.15)
+    assert r1["mc_mean"] == r2["mc_mean"]  # seeded: bit-identical
+    assert r1["n_samples"] == 100_000
+
+
+def test_fft_matches_direct_dft(spark):
+    from lucene_solr_spark.operators.matheval import fft_magnitudes
+
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=33)
+    df = spark.createDataFrame(
+        [(float(i), float(v)) for i, v in enumerate(y)], "t double, n double"
+    )
+    got = {
+        r["freq_bin"]: r["magnitude"]
+        for r in fft_magnitudes(df, "t", "n").collect()
+    }
+    n = len(y)
+    for k in range(n // 2 + 1):
+        direct = abs(
+            sum(y[j] * np.exp(-2j * np.pi * k * j / n) for j in range(n))
+        )
+        assert got[k] == pytest.approx(direct, abs=1e-4)
+
+
+def _ref_dbscan(X, eps, min_pts):
+    """Textbook reference DBSCAN (numpy, quadratic)."""
+    n = len(X)
+    D = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+    nbrs = [np.where(D[i] <= eps)[0] for i in range(n)]  # includes self
+    core = np.array([len(nb) >= min_pts for nb in nbrs])
+    label = -np.ones(n, dtype=int)
+    # components over core-core edges, cluster id = min member id
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in nbrs[i]:
+            if core[j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    for i in range(n):
+        if core[i]:
+            label[i] = find(i)
+    # min member id labelling
+    comp_min = {}
+    for i in range(n):
+        if core[i]:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+    for i in range(n):
+        if core[i]:
+            label[i] = comp_min[find(i)]
+    # border: smallest neighboring core cluster
+    for i in range(n):
+        if core[i]:
+            continue
+        cand = [label[j] for j in nbrs[i] if core[j]]
+        if cand:
+            label[i] = min(cand)
+    return core, label
+
+
+def test_dbscan_matches_reference(spark):
+    from lucene_solr_spark.operators.ml import dbscan_embeddings
+
+    rng = np.random.default_rng(9)
+    # three separated blobs + scatter noise
+    X = np.vstack(
+        [
+            rng.normal((0, 0), 0.3, (30, 2)),
+            rng.normal((5, 5), 0.3, (30, 2)),
+            rng.normal((0, 6), 0.3, (30, 2)),
+            rng.uniform(-3, 9, (15, 2)),
+        ]
+    )
+    rows = [(i, [float(a), float(b)]) for i, (a, b) in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eps, min_pts = 0.8, 4
+    got = {
+        r["id"]: (r["is_core"], r["cluster"])
+        for r in dbscan_embeddings(df, eps=eps, min_pts=min_pts).collect()
+    }
+    # the Spark column is array<float>: the reference must see the same
+    # float32-truncated coordinates or near-threshold pairs disagree
+    Xf = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    core, label = _ref_dbscan(Xf, eps, min_pts)
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert got[i][0] == bool(core[i]), f"core flag {i}"
+        assert got[i][1] == int(label[i]), f"cluster {i}"
+    # sanity: the three blobs produced ≥3 distinct clusters
+    assert len({c for _, c in got.values() if c >= 0}) >= 3
+
+
+def test_markov_two_step_row_stochastic(spark):
+    from lucene_solr_spark.operators.matheval import markov_two_step
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = markov_two_step(ev).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], 0.0)
+        by_src[r["src"]] += r["p_two_step"]
+    for src, tot in by_src.items():
+        assert tot == pytest.approx(1.0, abs=1e-6), src
