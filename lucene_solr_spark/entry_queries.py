@@ -862,6 +862,9 @@ _after_window = [
     "markov_chain_2step", "stream_derivative", "stream_integrate",
     "stream_oscillate", "stream_gamma_cdf", "stream_monte_carlo",
     "stream_fft", "ml_dbscan",
+    # round-4 thirty-first tranche: TermAutomatonQuery NFA (generic
+    # engine vs hand-unrolled SQL), URP index-time field-mutation chain
+    "term_automaton_query", "urp_field_mutations",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

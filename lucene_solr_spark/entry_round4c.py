@@ -608,3 +608,132 @@ REGISTRY_R4C.update(
         "ml_dbscan": (q_ml_dbscan, None),
     }
 )
+
+
+# ===========================================================================
+# Tranche: TermAutomatonQuery (lucene/sandbox) — token-graph NFA query.
+# Automaton (start 0, accept {2}):
+#   0 -hash->1, 0 -merge->1, 1 -join->2, 1 -table->3, 3 -scan->2,
+#   0 -slow->4, 4 -ANY->1
+# i.e. matches "hash join", "merge join", "hash table scan",
+# "merge table scan", "slow ? join", "slow ? table scan". freq counts
+# DISTINCT start positions with an accepting path (as the span/sloppy
+# entries do); the oracle is the hand-unrolled union of the six paths.
+# ===========================================================================
+
+
+def q_term_automaton(spark, sf_dir):
+    from .entry_queries import _tok
+    from .operators.spans import term_automaton_query
+
+    tok = _tok(spark, sf_dir)
+    transitions = [
+        (0, "hash", 1), (0, "merge", 1),
+        (1, "join", 2), (1, "table", 3), (3, "scan", 2),
+        (0, "slow", 4), (4, None, 1),
+    ]
+    out = term_automaton_query(tok, transitions, accept_states=[2])
+    return out.orderBy(F.desc("freq"), F.asc("doc_id")).limit(50)
+
+
+SQL_TERM_AUTOMATON = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+starts AS (
+  -- hash|merge join
+  SELECT t1.doc_id, t1.pos AS start
+  FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term IN ('hash', 'merge') AND t2.term = 'join'
+  UNION
+  -- hash|merge table scan
+  SELECT t1.doc_id, t1.pos
+  FROM tok t1
+  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  WHERE t1.term IN ('hash', 'merge') AND t2.term = 'table'
+    AND t3.term = 'scan'
+  UNION
+  -- slow ANY join
+  SELECT t1.doc_id, t1.pos
+  FROM tok t1 JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  WHERE t1.term = 'slow' AND t3.term = 'join'
+  UNION
+  -- slow ANY table scan
+  SELECT t1.doc_id, t1.pos
+  FROM tok t1
+  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+  JOIN tok t4 ON t4.doc_id = t1.doc_id AND t4.pos = t1.pos + 3
+  WHERE t1.term = 'slow' AND t3.term = 'table' AND t4.term = 'scan')
+SELECT doc_id, count(*) AS freq
+FROM starts GROUP BY doc_id
+ORDER BY freq DESC, doc_id LIMIT 50
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "term_automaton_query": (q_term_automaton, SQL_TERM_AUTOMATON),
+    }
+)
+
+
+# ===========================================================================
+# Tranche: UpdateRequestProcessor index-time field mutations (SURVEY
+# §3.11 last row — RegexReplaceProcessorFactory, TrimFieldUpdateProcessor,
+# ConcatFieldUpdateProcessor, FirstFieldValueUpdateProcessor,
+# UUIDUpdateProcessor; each ≈L40 in solr/core/.../update/processor/).
+# One chained projection — every stage a built-in Column function, zero
+# UDFs, fully codegen'd. The UUID stage is the documented deterministic
+# variant (md5 of the doc key formatted as UUID) — Solr's random UUIDs
+# can't be oracle-checked; content-derived ids are what a reproducible
+# 10^12-doc pipeline wants anyway.
+# ===========================================================================
+
+
+def q_urp_field_mutations(spark, sf_dir):
+    from .entry_round4 import _t as _tt
+
+    d = _tt(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    clean = F.trim(
+        F.regexp_replace(F.substring("text", 1, 60), " +", " ")
+    )
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(md5, 1, 8),
+        F.substring(md5, 9, 4),
+        F.substring(md5, 13, 4),
+        F.substring(md5, 17, 4),
+        F.substring(md5, 21, 12),
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.concat_ws("/", "lang", "source").alias("path"),
+        F.split(clean, " ").getItem(0).alias("first_word"),
+        uuid.alias("doc_uuid"),
+    ).orderBy("doc_id")
+
+
+SQL_URP_MUTATIONS = """
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(substr(text, 1, 60), ' +', ' ', 'g'))
+           AS clean_text,
+         lang || '/' || source AS path,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id < 20)
+SELECT doc_id, clean_text, path,
+       string_split(clean_text, ' ')[1] AS first_word,
+       substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+         || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS doc_uuid
+FROM base ORDER BY doc_id
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "urp_field_mutations": (q_urp_field_mutations, SQL_URP_MUTATIONS),
+    }
+)

@@ -340,3 +340,93 @@ def span_multiterm_near(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
     )
+
+
+def term_automaton_query(
+    tok,
+    transitions,
+    accept_states,
+    max_steps: int = 8,
+):
+    """TermAutomatonQuery (lucene/sandbox/src/java/org/apache/lucene/
+    search/TermAutomatonQuery.java ≈L60): a token-level NFA evaluated
+    against consecutive positions. ``transitions`` is a list of
+    (src_state, term_or_None, dst_state) with start state 0; term None is
+    the ANY transition (TermAutomatonQuery.createState/addAnyTransition).
+    A document matches where some path from state 0 consumes tokens at
+    positions p, p+1, ... and lands in an accept state.
+
+    Distributed shape: the automaton is a broadcast 3-column literal
+    table; each NFA step is ONE equi-join of the frontier against the
+    positions table on (doc_id, next_pos) plus the broadcast transition
+    join — all steps reuse the doc_id-hash exchange. The frontier is
+    DISTINCT-ed per step ((doc_id, start, pos, state)): NFA state-set
+    semantics, which also bounds fan-out at 10^12 positions. Positions
+    strictly increase, so even cyclic automatons terminate; ``max_steps``
+    caps plan depth (Lucene's det-automaton equivalent of maxDeterminizedStates).
+
+    Returns (doc_id, freq) where freq = COUNT(DISTINCT start positions
+    with an accepting path) — the same counting the sloppy-phrase and
+    span entries use."""
+    from pyspark.sql import functions as F
+
+    spark = tok.sparkSession
+    trans = spark.createDataFrame(
+        [(int(s), t, int(d)) for s, t, d in transitions],
+        "src int, tterm string, dst int",
+    )
+    pos = tok.select(
+        F.col("doc_id").alias("d"),
+        F.col("term").alias("tk"),
+        F.col("pos").alias("p"),
+    )
+    start_trans = F.broadcast(trans.filter(F.col("src") == 0))
+    frontier = (
+        pos.join(
+            start_trans,
+            F.col("tterm").isNull() | (F.col("tterm") == F.col("tk")),
+        )
+        .select(
+            F.col("d").alias("doc_id"),
+            F.col("p").alias("start"),
+            (F.col("p") + 1).alias("nxt"),
+            F.col("dst").alias("state"),
+        )
+        .distinct()
+    )
+    accept = [int(s) for s in accept_states]
+    acc = frontier.filter(F.col("state").isin(accept)).select(
+        "doc_id", "start"
+    )
+    bt = F.broadcast(trans)
+    for _ in range(max_steps - 1):
+        frontier = (
+            frontier.join(
+                pos,
+                (F.col("doc_id") == F.col("d")) & (F.col("nxt") == F.col("p")),
+            )
+            .join(
+                bt,
+                (F.col("state") == F.col("src"))
+                & (F.col("tterm").isNull() | (F.col("tterm") == F.col("tk"))),
+            )
+            .select(
+                "doc_id",
+                "start",
+                (F.col("nxt") + 1).alias("nxt"),
+                F.col("dst").alias("state"),
+            )
+            .distinct()
+        )
+        if frontier.isEmpty():
+            break
+        acc = acc.unionByName(
+            frontier.filter(F.col("state").isin(accept)).select(
+                "doc_id", "start"
+            )
+        )
+    return (
+        acc.distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("freq"))
+    )
