@@ -865,6 +865,10 @@ _after_window = [
     # round-4 thirty-first tranche: TermAutomatonQuery NFA (generic
     # engine vs hand-unrolled SQL), URP index-time field-mutation chain
     "term_automaton_query", "urp_field_mutations",
+    # round-4 thirty-second tranche: multi-select tag-exclusion facet,
+    # block-join parent sort, def/map/exists value sources, let/get reuse
+    "facet_exclude_tags", "block_join_child_sort",
+    "function_def_map_exists", "let_get_stream",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -737,3 +737,145 @@ REGISTRY_R4C.update(
         "urp_field_mutations": (q_urp_field_mutations, SQL_URP_MUTATIONS),
     }
 )
+
+
+# ===========================================================================
+# Tranche: multi-select faceting (tag/ex exclusion), block-join parent
+# sort, def/map/exists function queries, let/get stream DAG reuse.
+# ===========================================================================
+
+
+def q_facet_exclude_tags(spark, sf_dir):
+    """facet.field={!ex=st}o_orderstatus with fq={!tag=st}status='O' and
+    fq=priority IN (URGENT,HIGH): the status filter is EXCLUDED from its
+    own facet (multi-select UI semantics) — counts spread over ALL
+    statuses while the result set itself stays filtered."""
+    from .operators.facets import facet_exclude_tag
+    from .entry_round4 import _t as _tt
+
+    o = _tt(spark, sf_dir, "orders")
+    filters = {
+        "st": F.col("o_orderstatus") == "O",
+        "prio": F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    }
+    return facet_exclude_tag(o, filters, "o_orderstatus", {"st"})
+
+
+SQL_FACET_EXCLUDE_TAGS = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus
+"""
+
+
+def q_block_join_child_sort(spark, sf_dir):
+    """ToParentBlockJoinSortField: open orders sorted by max child
+    l_extendedprice (missing last), top 15."""
+    from .operators.joins import block_join_parent_sort
+    from .entry_round4 import _t as _tt
+
+    o = _tt(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _tt(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    out = block_join_parent_sort(
+        o, li, "o_orderkey", F.col("l_extendedprice"), "max"
+    )
+    return (
+        out.select("o_orderkey", F.round("child_sort", 2).alias("child_sort"))
+        .orderBy(F.desc_nulls_last("child_sort"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+SQL_BLOCK_JOIN_CHILD_SORT = """
+SELECT o_orderkey, ROUND(child_sort, 2) AS child_sort FROM (
+  SELECT o_orderkey, (SELECT max(l_extendedprice) FROM lineitem
+                      WHERE l_orderkey = o_orderkey) AS child_sort
+  FROM orders WHERE o_orderstatus = 'O') t
+ORDER BY child_sort DESC NULLS LAST, o_orderkey LIMIT 15
+"""
+
+
+def q_function_def_map_exists(spark, sf_dir):
+    """def() / exists() / map() / if(lt()) value sources
+    (ValueSourceParser ≈L700-850, RangeMapFloatFunction ≈L40) as pure
+    Column expressions: seg = the segment unless MACHINERY (def over a
+    nullif), map negative balances to 0, flag small accounts."""
+    from .entry_round4 import _t as _tt
+
+    c = _tt(spark, sf_dir, "customer").filter(F.col("c_custkey") < 30)
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_or_null, F.lit("OTHER")).alias("seg_def"),
+        seg_or_null.isNotNull().alias("seg_exists"),
+        F.when(
+            (F.col("c_acctbal") >= -1000.0) & (F.col("c_acctbal") <= 0.0),
+            F.lit(0.0),
+        ).otherwise(F.col("c_acctbal")).alias("bal_mapped"),
+        F.when(F.col("c_acctbal") < 1000.0, F.lit("small"))
+        .otherwise(F.lit("large")).alias("size_if"),
+    ).orderBy("c_custkey")
+
+
+SQL_FUNCTION_DEF_MAP_EXISTS = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_def,
+       nullif(c_mktsegment, 'MACHINERY') IS NOT NULL AS seg_exists,
+       CASE WHEN c_acctbal >= -1000.0 AND c_acctbal <= 0.0 THEN 0.0
+            ELSE c_acctbal END AS bal_mapped,
+       CASE WHEN c_acctbal < 1000.0 THEN 'small' ELSE 'large' END AS size_if
+FROM customer WHERE c_custkey < 30 ORDER BY c_custkey
+"""
+
+
+def q_let_get_stream(spark, sf_dir):
+    """let(a=search(...), b=rollup(a), c=stats(a), get(b) x get(c))
+    (LetStream/GetStream ≈L40 each): the bound stream `a` is REUSED by
+    two consumers — persist() is the let-binding (evaluate once), each
+    get() is a plan reference; the tiny outputs cross-join at the end."""
+    from .entry_round4 import _t as _tt
+
+    a = (
+        _tt(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .persist()
+    )
+    b = a.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+    c = a.agg(F.count("*").alias("n_total"))
+    out = b.crossJoin(F.broadcast(c)).orderBy("l_returnflag")
+    return out.select("l_returnflag", "sum_qty", "n_total")
+
+
+SQL_LET_GET_STREAM = """
+WITH a AS (
+  SELECT * FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'),
+b AS (SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM a GROUP BY 1),
+c AS (SELECT count(*) AS n_total FROM a)
+SELECT l_returnflag, sum_qty, n_total FROM b, c ORDER BY l_returnflag
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "facet_exclude_tags": (q_facet_exclude_tags, SQL_FACET_EXCLUDE_TAGS),
+        "block_join_child_sort": (
+            q_block_join_child_sort,
+            SQL_BLOCK_JOIN_CHILD_SORT,
+        ),
+        "function_def_map_exists": (
+            q_function_def_map_exists,
+            SQL_FUNCTION_DEF_MAP_EXISTS,
+        ),
+        "let_get_stream": (q_let_get_stream, SQL_LET_GET_STREAM),
+    }
+)

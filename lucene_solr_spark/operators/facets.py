@@ -466,3 +466,26 @@ def percentiles_approx(df, col: str, ps: list, accuracy: int = 10000):
         for i, p in enumerate(ps)
     ]
     return df.agg(*cols)
+
+
+def facet_exclude_tag(
+    df: DataFrame,
+    filters: dict,
+    facet_field: str,
+    exclude_tags: set,
+) -> DataFrame:
+    """Multi-select faceting: facet.field={!ex=tag}f (solr/core/.../search/
+    facet — tag/ex filter exclusion, SimpleFacets ≈L400): compute facet
+    counts over the base DataFrame with every tagged filter applied EXCEPT
+    the excluded tags. ``filters`` is {tag: Column-predicate}. The facet
+    domain re-derives from the SAME scan — one pass, one map-side-combined
+    agg; nothing is re-queried."""
+    dom = df
+    for tag, cond in filters.items():
+        if tag not in exclude_tags:
+            dom = dom.filter(cond)
+    return (
+        dom.groupBy(facet_field)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(facet_field))
+    )

@@ -93,3 +93,23 @@ def block_join_children(
     """ToChildBlockJoinQuery: children of matching parents."""
     keep = parents.filter(parent_filter).select(parent_key)
     return children.join(keep, parent_key, "left_semi")
+
+
+def block_join_parent_sort(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    sort_child_col,
+    selector: str = "max",
+) -> DataFrame:
+    """ToParentBlockJoinSortField (lucene/join/.../ToParentBlockJoinSortField
+    .java ≈L40): sort PARENTS by a selector over a child field. Left
+    outer: parents with no children keep a NULL sort value (missing-last
+    is the caller's orderBy concern). One child-side agg + one join, both
+    on the parent key — a single exchange at scale."""
+    sel = {
+        "max": F.max(sort_child_col),
+        "min": F.min(sort_child_col),
+    }[selector]
+    child_vals = children.groupBy(parent_key).agg(sel.alias("child_sort"))
+    return parents.join(child_vals, parent_key, "left_outer")
