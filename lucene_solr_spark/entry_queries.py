@@ -869,6 +869,8 @@ _after_window = [
     # block-join parent sort, def/map/exists value sources, let/get reuse
     "facet_exclude_tags", "block_join_child_sort",
     "function_def_map_exists", "let_get_stream",
+    # round-4 thirty-third tranche: parallel() hash-partitioned stream
+    "parallel_stream_rollup",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

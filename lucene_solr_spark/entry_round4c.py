@@ -879,3 +879,45 @@ REGISTRY_R4C.update(
         "let_get_stream": (q_let_get_stream, SQL_LET_GET_STREAM),
     }
 )
+
+
+# ===========================================================================
+# Tranche: parallel() stream (SURVEY §3.9 — ParallelStream.java ≈L60 +
+# HashQParserPlugin's {!hash workers=N worker=i} partition filter).
+# Spark IS this operator: repartition(N, key) is the hash split, the
+# inner expression runs per partition, the exchange's merge is the
+# wrapping node. The entry makes the shape explicit — an EXPLICIT
+# repartition by the partition key, per-partition partial rollups
+# (mapInArrow-free: groupBy under AQE keeps partials map-side), then the
+# final merge — and must equal the unpartitioned rollup exactly.
+# ===========================================================================
+
+
+def q_parallel_stream_rollup(spark, sf_dir):
+    from .entry_round4 import _t as _tt
+
+    ev = _tt(spark, sf_dir, "events")
+    # parallel(workers=4, rollup(search(events), over=user_id, sum(value)))
+    split = ev.repartition(4, F.col("user_id"))
+    per_user = split.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+    return per_user.orderBy(F.desc("sum_value"), F.asc("user_id")).limit(25)
+
+
+SQL_PARALLEL_ROLLUP = """
+SELECT user_id, ROUND(sum(value), 4) AS sum_value, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY sum_value DESC, user_id LIMIT 25
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "parallel_stream_rollup": (
+            q_parallel_stream_rollup,
+            SQL_PARALLEL_ROLLUP,
+        ),
+    }
+)
