@@ -871,6 +871,9 @@ _after_window = [
     "function_def_map_exists", "let_get_stream",
     # round-4 thirty-third tranche: parallel() hash-partitioned stream
     "parallel_stream_rollup",
+    # round-4 thirty-fourth tranche: topic() version-cursor poll,
+    # termVectors() TF-IDF matrix (long form)
+    "topic_poll_batch", "stream_term_vectors",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

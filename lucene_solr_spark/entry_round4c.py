@@ -921,3 +921,116 @@ REGISTRY_R4C.update(
         ),
     }
 )
+
+
+# ===========================================================================
+# Tranche: topic() version-cursor poll + matheval termVectors().
+# ===========================================================================
+
+
+def q_topic_poll_batch(spark, sf_dir):
+    """topic(checkpoint, q) (TopicStream.java ≈L60): at-least-once
+    incremental pull — emit only rows with _version_ (here the monotone
+    event_id) above the subscriber's checkpoint, capped to one batch in
+    version order; the NEXT checkpoint the subscriber would ack is the
+    batch max, returned on every row (TopicStream carries it per tuple).
+    Segment-level cursoring over a real index is TopicCursor
+    (streaming/incremental.py, tested in tests/test_streaming.py); this
+    entry is the version-filter contract itself. Scale shape: the
+    version predicate pushes to the scan (min-max pruning skips whole
+    files below the checkpoint); the cap is TakeOrderedAndProject."""
+    from .entry_round4 import _t as _tt
+
+    checkpoint = 9950
+    batch = 25
+    ev = _tt(spark, sf_dir, "events").filter(F.col("event_id") > checkpoint)
+    picked = (
+        ev.select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+        .limit(batch)
+    )
+    from pyspark.sql import Window
+
+    return picked.withColumn(
+        "next_checkpoint",
+        F.max("event_id").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).orderBy("event_id")
+
+
+SQL_TOPIC_POLL = """
+WITH batch AS (
+  SELECT event_id, event_type, user_id
+  FROM events WHERE event_id > 9950
+  ORDER BY event_id LIMIT 25)
+SELECT event_id, event_type, user_id,
+       (SELECT max(event_id) FROM batch) AS next_checkpoint
+FROM batch ORDER BY event_id
+"""
+
+
+def q_stream_term_vectors(spark, sf_dir):
+    """termVectors() math evaluator (solr/solrj/.../io/eval/
+    TermVectorsEvaluator.java ≈L40): docs x top-terms TF-IDF matrix.
+    Terms = the 8 highest-df terms (df ties broken by term); value =
+    tf * ln(numDocs / (df + 1)). Emitted in long form (doc_id, term, w)
+    — the matrix a 10^12-doc corpus can actually materialize; the wide
+    form is a pivot away. df/numDocs come from the same token scan,
+    aggregated once and broadcast."""
+    from .entry_queries import _tok
+
+    tok = _tok(spark, sf_dir)
+    n_docs = tok.select("doc_id").distinct().count()
+    df_t = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    top = df_t.orderBy(F.desc("df"), F.asc("term")).limit(8)
+    tf = (
+        tok.filter(F.col("doc_id") < 5)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.join(F.broadcast(top), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / (F.col("df") + 1)),
+                6,
+            ).alias("w"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+SQL_TERM_VECTORS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+top AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 8),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE doc_id < 5 GROUP BY doc_id, term)
+SELECT tf.doc_id, tf.term AS term,
+       ROUND(tf.tf * ln(CAST(nd.n AS DOUBLE) / (top.df + 1)), 6) AS w
+FROM tf JOIN top ON tf.term = top.term, nd
+ORDER BY tf.doc_id, tf.term
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "topic_poll_batch": (q_topic_poll_batch, SQL_TOPIC_POLL),
+        "stream_term_vectors": (q_stream_term_vectors, SQL_TERM_VECTORS),
+    }
+)

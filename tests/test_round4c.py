@@ -162,3 +162,76 @@ def test_markov_two_step_row_stochastic(spark):
         by_src[r["src"]] += r["p_two_step"]
     for src, tot in by_src.items():
         assert tot == pytest.approx(1.0, abs=1e-6), src
+
+
+def _ref_nfa_freq(tokens, transitions, accept):
+    """Reference NFA: for each start position, BFS over (pos, state)."""
+    by_src = {}
+    for s, t, d in transitions:
+        by_src.setdefault(s, []).append((t, d))
+    n = len(tokens)
+    count = 0
+    for start in range(n):
+        states = {0}
+        pos = start
+        matched = False
+        while states and pos < n:
+            nxt = set()
+            for st in states:
+                for t, d in by_src.get(st, []):
+                    if t is None or t == tokens[pos]:
+                        nxt.add(d)
+            pos += 1
+            if nxt & set(accept):
+                matched = True
+                break
+            states = nxt
+        if matched:
+            count += 1
+    return count
+
+
+def test_term_automaton_matches_reference_nfa(spark):
+    """Randomized differential: the distributed NFA must agree with a
+    per-doc Python NFA on random automatons over a random tiny corpus
+    (incl. ANY transitions and branching)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.spans import term_automaton_query
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, [rng.choice(vocab) for _ in range(rng.randrange(3, 12))])
+        for i in range(40)
+    ]
+    rows = [
+        (doc_id, term, pos + 1)
+        for doc_id, toks in docs
+        for pos, term in enumerate(toks)
+    ]
+    tok = spark.createDataFrame(rows, "doc_id long, term string, pos int")
+    for trial in range(6):
+        n_states = rng.randrange(2, 5)
+        transitions = []
+        for _ in range(rng.randrange(2, 7)):
+            s = rng.randrange(0, n_states)
+            d = rng.randrange(1, n_states)
+            t = rng.choice(vocab + [None])
+            transitions.append((s, t, d))
+        # ensure at least one transition out of the start state
+        transitions.append((0, rng.choice(vocab), rng.randrange(1, n_states)))
+        accept = [n_states - 1]
+        got = {
+            r["doc_id"]: r["freq"]
+            for r in term_automaton_query(
+                tok, transitions, accept, max_steps=12
+            ).collect()
+        }
+        for doc_id, toks in docs:
+            want = _ref_nfa_freq(toks, transitions, accept)
+            assert got.get(doc_id, 0) == want, (
+                trial, doc_id, toks, transitions, want, got.get(doc_id, 0),
+            )
