@@ -874,6 +874,8 @@ _after_window = [
     # round-4 thirty-fourth tranche: topic() version-cursor poll,
     # termVectors() TF-IDF matrix (long form)
     "topic_poll_batch", "stream_term_vectors",
+    # round-4 thirty-fifth tranche: audio chunk plan, pivot+stats facet
+    "multimodal_audio_chunks", "facet_pivot_stats",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1034,3 +1034,82 @@ REGISTRY_R4C.update(
         "stream_term_vectors": (q_stream_term_vectors, SQL_TERM_VECTORS),
     }
 )
+
+
+# ===========================================================================
+# Tranche: multimodal audio-chunk plan (ASR-style export windows).
+# ===========================================================================
+
+
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Fixed-length overlapping audio windows (5 s / 0.5 s overlap): the
+    1->N chunk fan-out plan over the opaque-binary media table; decode of
+    each window stays the documented stub. Audio durations derive
+    deterministically from media_id (one row keeps NULL duration to
+    witness the unknown-length branch). Rows-only: the media table is
+    synthesized, not an sf_dir parquet; pytest pins the stride/clip
+    arithmetic against a python reference."""
+    from .pipeline.multimodal import audio_chunk_plan, synthetic_media
+
+    media = synthetic_media(spark, 64)
+    media = media.withColumn(
+        "duration_ms",
+        F.when(
+            (F.col("kind") == "audio") & (F.col("media_id") != 1),
+            (F.lit(3500) + F.col("media_id") * 211 % 15000).cast("int"),
+        ).otherwise(F.col("duration_ms")),
+    )
+    out = audio_chunk_plan(media, chunk_ms=5000, overlap_ms=500)
+    return out.orderBy("media_id", "chunk_idx")
+
+
+REGISTRY_R4C.update(
+    {
+        "multimodal_audio_chunks": (q_multimodal_audio_chunks, None),
+    }
+)
+
+
+# ===========================================================================
+# Tranche: facet.pivot with stats (pivot + stats component integration —
+# solr/core/.../handler/component/FacetComponent + StatsComponent via
+# stats.field={!tag=..} facet.pivot={!stats=..}): per pivot cell,
+# count + sum/avg/min/max of a metric. ONE groupBy on the two pivot
+# levels — the stats ride the same map-side-combined agg as the counts.
+# ===========================================================================
+
+
+def q_facet_pivot_stats(spark, sf_dir):
+    from .entry_round4 import _t as _tt
+
+    li = _tt(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_FACET_PIVOT_STATS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       ROUND(sum(l_quantity), 2) AS sum_qty,
+       ROUND(avg(l_discount), 6) AS avg_disc,
+       ROUND(min(l_extendedprice), 2) AS min_price,
+       ROUND(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "facet_pivot_stats": (q_facet_pivot_stats, SQL_FACET_PIVOT_STATS),
+    }
+)

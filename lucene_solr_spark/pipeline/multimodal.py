@@ -119,3 +119,53 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def audio_chunk_plan(
+    media: DataFrame,
+    chunk_ms: int = 5000,
+    overlap_ms: int = 500,
+) -> DataFrame:
+    """Audio chunking *plan* for ASR-style training export: fixed-length
+    windows with overlap — one row per (media_id, chunk_idx) carrying
+    [start_ms, end_ms). The decode/resample of each window is the stubbed
+    step (`_decode_real`); the PLAN — stride arithmetic, 1->N fan-out via
+    sequence+explode (codegen, no UDF), tail window clipped to duration —
+    is the real Spark shape, identical at 10^12 rows. Audio rows without
+    a duration chunk as a single unknown-length window (chunk_idx 0,
+    end_ms NULL) rather than dropping silently."""
+    stride = int(chunk_ms - overlap_ms)
+    assert stride > 0
+    dur = F.col("duration_ms")
+    n_chunks = F.when(
+        dur.isNull() | (dur <= 0), F.lit(1)
+    ).otherwise(
+        F.greatest(
+            F.ceil((dur - F.lit(overlap_ms)) / F.lit(stride)).cast("int"),
+            F.lit(1),
+        )
+    )
+    out = (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", dur.alias("_dur"), n_chunks.alias("_n"))
+        .select(
+            "media_id",
+            "_dur",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn("start_ms", F.col("chunk_idx") * stride)
+        .withColumn(
+            "end_ms",
+            F.when(F.col("_dur").isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                F.least(
+                    F.col("start_ms") + F.lit(chunk_ms),
+                    F.col("_dur").cast("long"),
+                )
+            ),
+        )
+        .drop("_dur")
+    )
+    return out

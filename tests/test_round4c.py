@@ -235,3 +235,49 @@ def test_term_automaton_matches_reference_nfa(spark):
             assert got.get(doc_id, 0) == want, (
                 trial, doc_id, toks, transitions, want, got.get(doc_id, 0),
             )
+
+
+def test_audio_chunk_plan_arithmetic(spark):
+    """Stride/clip arithmetic vs a python reference, incl. the NULL
+    duration branch and the tail clip."""
+    from lucene_solr_spark.pipeline.multimodal import (
+        audio_chunk_plan,
+        synthetic_media,
+    )
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, 30).withColumn(
+        "duration_ms",
+        F.when(
+            (F.col("kind") == "audio") & (F.col("media_id") != 1),
+            (F.lit(3500) + F.col("media_id") * 211 % 15000).cast("int"),
+        ).otherwise(F.col("duration_ms")),
+    )
+    chunk_ms, overlap = 5000, 500
+    stride = chunk_ms - overlap
+    rows = audio_chunk_plan(media, chunk_ms, overlap).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"])
+        )
+    audio_ids = [i for i in range(30) if i % 3 == 1]
+    assert set(got) == set(audio_ids)
+    import math
+
+    for mid in audio_ids:
+        if mid == 1:
+            assert got[mid] == [(0, 0, None)]
+            continue
+        dur = 3500 + mid * 211 % 15000
+        n = max(math.ceil((dur - overlap) / stride), 1)
+        want = []
+        for k in range(n):
+            start = k * stride
+            want.append((k, start, min(start + chunk_ms, dur)))
+        assert sorted(got[mid]) == want, (mid, dur, got[mid], want)
+        # overlap property: next chunk starts before previous ends
+        for (k1, s1, e1), (k2, s2, e2) in zip(want, want[1:]):
+            assert s2 < e1
+        # coverage property: last chunk reaches the duration
+        assert want[-1][2] == dur
