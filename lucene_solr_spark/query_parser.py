@@ -644,3 +644,107 @@ def resolve_field_aliases(
     for f, b in qf.items():
         expand(f, b, ())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Query#toString analog: render a parsed AST back to classic query-parser
+# syntax. Contract (pinned by the grammar-fuzz round-trip test): for any
+# string s the classic parser accepts, parse(render(parse(s))) ==
+# parse(s) — i.e. rendering is a faithful fixed point of the parse. The
+# reference's Query.toString has the same re-parseable intent for the
+# classic syntax subset (lucene/core/.../search/Query.java ≈L40 toString;
+# QueryParser round-trips in TestQueryParser).
+# ---------------------------------------------------------------------------
+
+
+def _render_num(x: float) -> str:
+    s = f"{x:g}"
+    return s
+
+
+def _render_atom(q: Query) -> str:
+    from .query import (
+        Boolean,
+        Boost,
+        ConstantScore,
+        Fuzzy,
+        LangFilter,
+        MatchAll,
+        Phrase,
+        Prefix,
+        Term,
+        TermRange,
+        Wildcard,
+    )
+
+    if isinstance(q, Term):
+        return q.term
+    if isinstance(q, Phrase):
+        body = '"' + " ".join(q.terms) + '"'
+        return body + (f"~{q.slop}" if q.slop else "")
+    if isinstance(q, Prefix):
+        return q.prefix + "*"
+    if isinstance(q, Wildcard):
+        return q.pattern
+    if isinstance(q, Fuzzy):
+        return f"{q.term}~{q.max_edits}"
+    if isinstance(q, TermRange):
+        lo = q.lower if q.lower is not None else "*"
+        hi = q.upper if q.upper is not None else "*"
+        return (
+            ("[" if q.include_lower else "{")
+            + f"{lo} TO {hi}"
+            + ("]" if q.include_upper else "}")
+        )
+    if isinstance(q, Boost):
+        child = q.child
+        if isinstance(child, Boolean):
+            return f"({_render_bool(child)})^{_render_num(q.boost)}"
+        return f"{_render_atom(child)}^{_render_num(q.boost)}"
+    if isinstance(q, ConstantScore) and isinstance(q.child, LangFilter):
+        return f"lang:{q.child.lang}"
+    if isinstance(q, Boolean):
+        return f"({_render_bool(q)})"
+    if isinstance(q, MatchAll):
+        return ""
+    raise ValueError(f"render_classic: unsupported node {type(q).__name__}")
+
+
+def _render_bool(b) -> str:
+    from .query import MatchAll
+
+    parts = []
+    for c in b.must:
+        if isinstance(c, MatchAll):
+            # BooleanQuery#rewrite adds +MatchAll to MUST_NOT-only
+            # queries; "-x" alone re-parses back to exactly that, so the
+            # synthetic MatchAll is omitted from the rendering.
+            continue
+        parts.append("+" + _render_atom(c))
+    for c in b.should:
+        parts.append(_render_atom(c))
+    for c in b.filter:
+        parts.append(_render_atom(c))
+    for c in b.must_not:
+        parts.append("-" + _render_atom(c))
+    return " ".join(parts)
+
+
+def render_classic(q: Query) -> str:
+    """AST -> classic syntax; parse_classic(render_classic(p)) == p for
+    every AST the classic parser produces (grammar-fuzz-pinned)."""
+    from .query import Boolean, Boost, ConstantScore, LangFilter, MatchAll
+
+    if isinstance(q, MatchAll):
+        return ""
+    if isinstance(q, Boolean):
+        return _render_bool(q)
+    # a bare metadata filter at the root only unwraps back out of the
+    # Boolean if it re-enters as MUST (filter-only Booleans don't
+    # single-clause-unwrap) — render with the + it was parsed from
+    inner = q.child if isinstance(q, Boost) else q
+    if isinstance(inner, ConstantScore) and isinstance(
+        inner.child, LangFilter
+    ):
+        return "+" + _render_atom(q)
+    return _render_atom(q)

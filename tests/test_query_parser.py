@@ -316,3 +316,76 @@ def test_resolve_field_aliases_cycle_raises():
 
     with _pytest.raises(ValueError, match="cycle"):
         resolve_field_aliases({"a": 1.0}, {"a": {"b": 1.0}, "b": {"a": 1.0}})
+
+
+def test_render_classic_fixed_point_fuzz():
+    """Grammar fuzz: for every random string the classic parser accepts,
+    parse(render(parse(s))) == parse(s) — the Query#toString contract
+    (re-parseable rendering) over the whole classic subset."""
+    import random
+
+    from lucene_solr_spark.query_parser import (
+        QueryParseError,
+        parse_classic,
+        render_classic,
+    )
+
+    rng = random.Random(99)
+    words = ["hash", "join", "scan", "merge", "tablex", "qz"]
+
+    def atom():
+        r = rng.random()
+        if r < 0.35:
+            return rng.choice(words)
+        if r < 0.45:
+            return '"%s"%s' % (
+                " ".join(rng.sample(words, rng.randrange(1, 3))),
+                rng.choice(["", "~1", "~2"]),
+            )
+        if r < 0.55:
+            return rng.choice(words)[:4] + "*"
+        if r < 0.62:
+            return rng.choice(words).replace("a", "?", 1)
+        if r < 0.70:
+            return "%s~%d" % (rng.choice(words), rng.randrange(0, 3))
+        if r < 0.80:
+            lo = rng.choice(["*", rng.choice(words)])
+            hi = rng.choice(["*", rng.choice(words)])
+            return "%s%s TO %s%s" % (
+                rng.choice("[{"), lo, hi, rng.choice("]}"),
+            )
+        if r < 0.86:
+            return "lang:" + rng.choice(["en", "de", "fr"])
+        return rng.choice(words)
+
+    def clause(depth):
+        mod = rng.choice(["", "", "", "+", "-", "NOT "])
+        if depth < 2 and rng.random() < 0.25:
+            body = "(" + expr(depth + 1) + ")"
+        else:
+            body = atom()
+        boost = rng.choice(["", "", "^2", "^0.5", "^1.5"])
+        return mod + body + boost
+
+    def expr(depth=0):
+        n = rng.randrange(1, 4)
+        parts = [clause(depth)]
+        for _ in range(n - 1):
+            conj = rng.choice(["", "", "AND", "OR"])
+            parts.append((conj + " " if conj else "") + clause(depth))
+        return " ".join(parts)
+
+    accepted = 0
+    for _ in range(3000):
+        s = expr()
+        try:
+            p1 = parse_classic(s, profile="standard")
+        except QueryParseError:
+            continue
+        accepted += 1
+        r = render_classic(p1)
+        p2 = parse_classic(r, profile="standard")
+        assert p1 == p2, (s, r, p1, p2)
+        # idempotence of the rendering itself
+        assert render_classic(p2) == r, (s, r)
+    assert accepted > 1500, accepted  # the generator mostly emits valid syntax
