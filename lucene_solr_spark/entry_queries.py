@@ -876,6 +876,8 @@ _after_window = [
     "topic_poll_batch", "stream_term_vectors",
     # round-4 thirty-fifth tranche: audio chunk plan, pivot+stats facet
     "multimodal_audio_chunks", "facet_pivot_stats",
+    # round-4 thirty-sixth tranche: harmonicFit fixed-frequency tier
+    "stream_harmonic_fit",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1113,3 +1113,91 @@ REGISTRY_R4C.update(
         "facet_pivot_stats": (q_facet_pivot_stats, SQL_FACET_PIVOT_STATS),
     }
 )
+
+
+# ===========================================================================
+# Tranche: harmonicFit() (solr/solrj/.../io/eval/HarmonicFitEvaluator.java
+# ≈L40; commons-math harmonic fitting). Deterministic fixed-frequency
+# tier: with known ω (here the weekly cycle, 2π/7 over day index) the
+# model y = b1·sin(ωt) + b2·cos(ωt) + b0 is LINEAR — exactly the
+# ols2_stream 9-sum distributed agg on transformed basis columns;
+# amplitude = √(b1²+b2²), phase = atan2(b2, b1). (The reference's
+# frequency-estimating tier is Levenberg–Marquardt — nonlinear and
+# iterative; the fixed-ω fit is the deterministic, one-agg scale path.)
+# ===========================================================================
+
+
+def q_stream_harmonic_fit(spark, sf_dir):
+    import math
+
+    from pyspark.sql import Window
+
+    from .entry_round4 import _t as _tt
+    from .operators.matheval import ols2_stream
+
+    omega = 2.0 * math.pi / 7.0
+    daily = (
+        _tt(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    t = F.row_number().over(Window.orderBy("day")).cast("double")
+    basis = daily.select(
+        "n",
+        F.sin(F.lit(omega) * t).alias("s"),
+        F.cos(F.lit(omega) * t).alias("c"),
+    )
+    fit = ols2_stream(basis, "n", "s", "c")
+    return fit.select(
+        F.col("b0").alias("offset"),
+        "b1",
+        "b2",
+        F.round(F.sqrt(F.col("b1") ** 2 + F.col("b2") ** 2), 6).alias(
+            "amplitude"
+        ),
+        F.round(F.atan2(F.col("b2"), F.col("b1")), 6).alias("phase"),
+        "r2",
+    )
+
+
+SQL_HARMONIC_FIT = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1),
+basis AS (
+  SELECT n,
+         sin(2 * pi() / 7 * row_number() OVER (ORDER BY day)) AS s,
+         cos(2 * pi() / 7 * row_number() OVER (ORDER BY day)) AS c
+  FROM daily),
+g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS cnt,
+         sum(s) AS s1, sum(c) AS s2, sum(n) AS sy,
+         sum(s*s) AS s11r, sum(c*c) AS s22r, sum(s*c) AS s12r,
+         sum(s*n) AS s1yr, sum(c*n) AS s2yr, sum(n*n) AS syyr
+  FROM basis),
+cc AS (
+  SELECT cnt, s1, s2, sy,
+         s11r - s1*s1/cnt AS s11, s22r - s2*s2/cnt AS s22,
+         s12r - s1*s2/cnt AS s12, s1yr - s1*sy/cnt AS s1y,
+         s2yr - s2*sy/cnt AS s2y, syyr - sy*sy/cnt AS syy
+  FROM g),
+b AS (
+  SELECT cnt, s1, s2, sy, s1y, s2y, syy,
+         (s22*s1y - s12*s2y) / (s11*s22 - s12*s12) AS b1r,
+         (s11*s2y - s12*s1y) / (s11*s22 - s12*s12) AS b2r
+  FROM cc)
+SELECT ROUND((sy - b1r*s1 - b2r*s2) / cnt, 6) AS "offset",
+       ROUND(b1r, 6) AS b1, ROUND(b2r, 6) AS b2,
+       ROUND(sqrt(ROUND(b1r, 6) * ROUND(b1r, 6)
+                  + ROUND(b2r, 6) * ROUND(b2r, 6)), 6) AS amplitude,
+       ROUND(atan2(ROUND(b2r, 6), ROUND(b1r, 6)), 6) AS phase,
+       ROUND((b1r*s1y + b2r*s2y) / syy, 6) AS r2
+FROM b
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "stream_harmonic_fit": (q_stream_harmonic_fit, SQL_HARMONIC_FIT),
+    }
+)
