@@ -878,6 +878,8 @@ _after_window = [
     "multimodal_audio_chunks", "facet_pivot_stats",
     # round-4 thirty-sixth tranche: harmonicFit fixed-frequency tier
     "stream_harmonic_fit",
+    # round-4 thirty-seventh tranche: echo/tuple/list/cat literal sources
+    "echo_tuple_list_cat",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

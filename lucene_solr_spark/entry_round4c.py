@@ -1201,3 +1201,55 @@ REGISTRY_R4C.update(
         "stream_harmonic_fit": (q_stream_harmonic_fit, SQL_HARMONIC_FIT),
     }
 )
+
+
+# ===========================================================================
+# Tranche: literal/concat stream sources (SURVEY §3.9 — EchoStream /
+# TupStream / ListStream ≈L150 each, CatStream in solr/core). echo() is
+# a 1-row literal, tuple() a named-field literal row, list() the
+# concatenation of its sub-streams, cat() streams file lines (here: the
+# first lines of the documents table standing in for the configset file
+# tree, line-numbered). All four are createDataFrame/union/read mappings
+# — the entry witnesses the composition in one plan.
+# ===========================================================================
+
+
+def q_echo_tuple_list_cat(spark, sf_dir):
+    from .entry_round4 import _t as _tt
+
+    echo = spark.createDataFrame(
+        [("echo", "hello world", 0)], "src string, line string, line_no int"
+    )
+    tup = spark.createDataFrame(
+        [("tuple", "a=1,b=two", 0)], "src string, line string, line_no int"
+    )
+    cat = (
+        _tt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 3)
+        .select(
+            F.lit("cat").alias("src"),
+            F.substring("text", 1, 30).alias("line"),
+            F.col("doc_id").cast("int").alias("line_no"),
+        )
+    )
+    # list(echo, tuple, cat): ordered concatenation
+    return echo.unionByName(tup).unionByName(cat).orderBy("src", "line_no")
+
+
+SQL_ECHO_TUPLE_LIST_CAT = """
+SELECT * FROM (
+  SELECT 'echo' AS src, 'hello world' AS line, 0 AS line_no
+  UNION ALL
+  SELECT 'tuple', 'a=1,b=two', 0
+  UNION ALL
+  SELECT 'cat', substr(text, 1, 30), CAST(doc_id AS INT)
+  FROM documents WHERE doc_id < 3)
+ORDER BY src, line_no
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "echo_tuple_list_cat": (q_echo_tuple_list_cat, SQL_ECHO_TUPLE_LIST_CAT),
+    }
+)
