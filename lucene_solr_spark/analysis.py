@@ -1183,3 +1183,49 @@ def analyze_stages(text: str) -> list[tuple[str, int, str]]:
     for pos, t in stopped:
         rows.append(("4_porter", pos, porter_stem(t)))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Miscellaneous token-filter utilities (SURVEY §3.2 "trivial Arrow ops"
+# row — lucene/analysis/common/.../miscellaneous/): TrimFilter,
+# LengthFilter, LimitTokenCountFilter, and the KeywordRepeatFilter +
+# stemmer + RemoveDuplicatesTokenFilter stack (index both the surface
+# form AND its stem at the SAME position, dropping the duplicate when
+# the stem equals the surface — the standard "match exact and stemmed"
+# recipe).
+# ---------------------------------------------------------------------------
+
+
+def trim_filter(token: str) -> str:
+    """TrimFilter (TrimFilter.java ≈L30): strip surrounding whitespace
+    (keyword-tokenizer fields)."""
+    return token.strip()
+
+
+def length_filter(tokens: list, min_len: int, max_len: int) -> list:
+    """LengthFilter (LengthFilter.java ≈L30): keep len in [min, max]."""
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def limit_token_count(tokens: list, max_count: int) -> list:
+    """LimitTokenCountFilter (≈L30): truncate the stream after N tokens
+    (maxFieldLength analog)."""
+    return tokens[: max_count]
+
+
+def keyword_repeat_porter(text: str) -> list:
+    """StandardTokenizer -> LowerCase -> KeywordRepeatFilter ->
+    PorterStem -> RemoveDuplicatesTokenFilter: [(term, pos)] where each
+    position holds the surface form and (when different) its stem —
+    KeywordRepeatFilter emits the token twice with the first marked
+    KEYWORD (stemmer passes it through), RemoveDuplicates drops the
+    second copy when stemming changed nothing (same term, same posinc=0).
+    """
+    out = []
+    for pos, tok in enumerate(tokenize_standard(text)):
+        surface = tok.lower()
+        stem = porter_stem(surface)
+        out.append((surface, pos))
+        if stem != surface:
+            out.append((stem, pos))
+    return out

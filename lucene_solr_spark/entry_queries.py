@@ -880,6 +880,8 @@ _after_window = [
     "stream_harmonic_fit",
     # round-4 thirty-seventh tranche: echo/tuple/list/cat literal sources
     "echo_tuple_list_cat",
+    # round-4 thirty-eighth tranche: misc token-filter utilities
+    "analysis_keyword_repeat", "analysis_length_limit",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

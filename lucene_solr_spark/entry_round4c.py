@@ -1253,3 +1253,75 @@ REGISTRY_R4C.update(
         "echo_tuple_list_cat": (q_echo_tuple_list_cat, SQL_ECHO_TUPLE_LIST_CAT),
     }
 )
+
+
+# ===========================================================================
+# Tranche: miscellaneous token-filter utilities (SURVEY §3.2 utilities
+# row): KeywordRepeat+Porter+RemoveDuplicates stack; Length/LimitTokenCount.
+# ===========================================================================
+
+
+def q_analysis_keyword_repeat(spark, sf_dir):
+    """KeywordRepeatFilter -> PorterStem -> RemoveDuplicates: per doc,
+    (pos, term) rows holding surface AND stem at the same position (dup
+    dropped when stemming is identity). Arrow-batched over the docs
+    (the per-row kernel is the same function the pytest golden vectors
+    pin); rows-only — Porter is not SQL-expressible."""
+    import pandas as pd
+
+    from .analysis import keyword_repeat_porter
+    from .entry_round4 import _t as _tt
+
+    d = _tt(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for term, pos in keyword_repeat_porter(text[:200]):
+                    rows.append((int(doc_id), int(pos), term))
+            yield pd.DataFrame(rows, columns=["doc_id", "pos", "term"])
+
+    out = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, pos int, term string"
+    )
+    return out.orderBy("doc_id", "pos", "term")
+
+
+def q_analysis_length_limit(spark, sf_dir):
+    """LengthFilter(3..8) + LimitTokenCountFilter(40) over the whitespace
+    stream: per doc, tokens kept. Both filters are pure Column
+    predicates at scale (length + position cap), so the SQL oracle is a
+    full restatement."""
+    from .entry_queries import _tok
+
+    tok = _tok(spark, sf_dir).filter(F.col("doc_id") < 10)
+    kept = tok.filter(
+        (F.length("term") >= 3) & (F.length("term") <= 8)
+        & (F.col("pos") <= 40)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_LENGTH_LIMIT = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE doc_id < 10)
+SELECT doc_id, count(*) AS n_kept
+FROM tok
+WHERE length(term) BETWEEN 3 AND 8 AND pos <= 40
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "analysis_keyword_repeat": (q_analysis_keyword_repeat, None),
+        "analysis_length_limit": (q_analysis_length_limit, SQL_LENGTH_LIMIT),
+    }
+)

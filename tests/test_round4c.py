@@ -281,3 +281,28 @@ def test_audio_chunk_plan_arithmetic(spark):
             assert s2 < e1
         # coverage property: last chunk reaches the duration
         assert want[-1][2] == dur
+
+
+def test_keyword_repeat_porter_golden():
+    from lucene_solr_spark.analysis import keyword_repeat_porter
+
+    assert keyword_repeat_porter("Running quickly tests") == [
+        ("running", 0), ("run", 0),
+        ("quickly", 1), ("quickli", 1),
+        ("tests", 2), ("test", 2),
+    ]
+    # identity stems deduplicate (RemoveDuplicatesTokenFilter)
+    assert keyword_repeat_porter("run fast") == [("run", 0), ("fast", 1)]
+    assert keyword_repeat_porter("") == []
+
+
+def test_length_limit_trim_filters():
+    from lucene_solr_spark.analysis import (
+        length_filter,
+        limit_token_count,
+        trim_filter,
+    )
+
+    assert length_filter(["ab", "abc", "x" * 9], 3, 8) == ["abc"]
+    assert limit_token_count(list(range(10)), 3) == [0, 1, 2]
+    assert trim_filter("\t a b \n") == "a b"
