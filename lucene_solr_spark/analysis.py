@@ -1229,3 +1229,24 @@ def keyword_repeat_porter(text: str) -> list:
         if stem != surface:
             out.append((stem, pos))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ElisionFilter (lucene/analysis/common/.../util/ElisionFilter.java ≈L30)
+# with FrenchAnalyzer.DEFAULT_ARTICLES (.../fr/FrenchAnalyzer.java ≈L60):
+# strip a leading "article + apostrophe" contraction ("l'avion" ->
+# "avion"); case-insensitive on the article, both ASCII ' and U+2019.
+# ---------------------------------------------------------------------------
+
+FRENCH_ELISION_ARTICLES = (
+    "l", "m", "t", "qu", "n", "s", "j", "d", "c",
+    "jusqu", "quoiqu", "lorsqu", "puisqu",
+)
+
+
+def elision_filter(token: str, articles=FRENCH_ELISION_ARTICLES) -> str:
+    for apos in ("'", "’"):
+        i = token.find(apos)
+        if i > 0 and token[:i].lower() in articles:
+            return token[i + 1 :]
+    return token

@@ -882,6 +882,9 @@ _after_window = [
     "echo_tuple_list_cat",
     # round-4 thirty-eighth tranche: misc token-filter utilities
     "analysis_keyword_repeat", "analysis_length_limit",
+    # round-4 thirty-ninth tranche: ElisionFilter (python impl vs
+    # independent SQL-regex oracle)
+    "analysis_elision_fr",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

@@ -1325,3 +1325,67 @@ REGISTRY_R4C.update(
         "analysis_length_limit": (q_analysis_length_limit, SQL_LENGTH_LIMIT),
     }
 )
+
+
+# ===========================================================================
+# Tranche: ElisionFilter (FrenchAnalyzer DEFAULT_ARTICLES). The synthetic
+# corpus has no apostrophe contractions, so the entry injects them
+# deterministically (every 3rd position becomes "l'<term>", every 7th
+# "jusqu'<term>") and then runs the REAL python filter (Arrow-batched)
+# — the oracle is an INDEPENDENT SQL restatement via regexp_replace, so
+# the two implementations cross-check.
+# ===========================================================================
+
+
+def q_analysis_elision_fr(spark, sf_dir):
+    import pandas as pd
+
+    from .analysis import elision_filter
+    from .entry_queries import _tok
+
+    tok = _tok(spark, sf_dir).filter(F.col("doc_id") < 5)
+    injected = tok.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") % 7 == 0, F.concat(F.lit("jusqu'"), "term"))
+        .when(F.col("pos") % 3 == 0, F.concat(F.lit("l'"), "term"))
+        .otherwise(F.col("term"))
+        .alias("term"),
+    )
+
+    def apply_elision(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["term"] = pdf["term"].map(elision_filter)
+            yield pdf
+
+    out = injected.mapInPandas(
+        apply_elision, "doc_id long, pos int, term string"
+    )
+    return out.orderBy("doc_id", "pos")
+
+
+SQL_ELISION_FR = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+  FROM documents WHERE doc_id < 5),
+inj AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos % 7 = 0 THEN 'jusqu''' || term
+              WHEN pos % 3 = 0 THEN 'l''' || term
+              ELSE term END AS term
+  FROM tok)
+SELECT doc_id, pos,
+       regexp_replace(term,
+         '^(l|m|t|qu|n|s|j|d|c|jusqu|quoiqu|lorsqu|puisqu)[''’]', '', 'i')
+         AS term
+FROM inj ORDER BY doc_id, pos
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "analysis_elision_fr": (q_analysis_elision_fr, SQL_ELISION_FR),
+    }
+)

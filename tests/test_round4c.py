@@ -306,3 +306,16 @@ def test_length_limit_trim_filters():
     assert length_filter(["ab", "abc", "x" * 9], 3, 8) == ["abc"]
     assert limit_token_count(list(range(10)), 3) == [0, 1, 2]
     assert trim_filter("\t a b \n") == "a b"
+
+
+def test_elision_filter_spec_vectors():
+    from lucene_solr_spark.analysis import elision_filter as e
+
+    assert e("l'avion") == "avion"
+    assert e("L'avion") == "avion"          # case-insensitive article
+    assert e("jusqu'ici") == "ici"
+    assert e("quoiqu'il") == "il"
+    assert e("aujourd'hui") == "aujourd'hui"  # not an article
+    assert e("d'") == ""
+    assert e("avion") == "avion"
+    assert e("qu’elle") == "elle"       # U+2019 apostrophe
