@@ -885,6 +885,8 @@ _after_window = [
     # round-4 thirty-ninth tranche: ElisionFilter (python impl vs
     # independent SQL-regex oracle)
     "analysis_elision_fr",
+    # round-4 fortieth tranche: cosineSimilarity() pairwise matrix
+    "stream_cosine_matrix",
 ]
 _window = {k: REGISTRY[k] for k in _R04_WINDOW + _after_window if k in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _window}

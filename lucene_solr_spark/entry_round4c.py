@@ -1389,3 +1389,71 @@ REGISTRY_R4C.update(
         "analysis_elision_fr": (q_analysis_elision_fr, SQL_ELISION_FR),
     }
 )
+
+
+# ===========================================================================
+# Tranche: cosineSimilarity() matrix (CosineSimilarityEvaluator.java
+# ≈L30) — pairwise cosine over the first 8 embeddings, long form
+# (i, j, cos). Dot products and norms are JVM-side zip_with/aggregate
+# expressions; the oracle recomputes from unnested (vec_id, idx, v)
+# rows — an independent relational formulation.
+# ===========================================================================
+
+
+def q_stream_cosine_matrix(spark, sf_dir):
+    from .entry_round4 import _t as _tt
+
+    emb = (
+        _tt(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id"), F.col("embedding").cast("array<double>").alias("x")
+        )
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("x").alias("xa"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("x").alias("xb"))
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(dot / (nrm(F.col("xa")) * nrm(F.col("xb"))), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy("i", "j")
+    )
+
+
+SQL_COSINE_MATRIX = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 8),
+dots AS (
+  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.v * b.v) AS dot
+  FROM flat a JOIN flat b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM flat GROUP BY 1)
+SELECT d.i, d.j, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM dots d
+JOIN norms na ON na.vec_id = d.i
+JOIN norms nb ON nb.vec_id = d.j
+ORDER BY d.i, d.j
+"""
+
+
+REGISTRY_R4C.update(
+    {
+        "stream_cosine_matrix": (q_stream_cosine_matrix, SQL_COSINE_MATRIX),
+    }
+)
