@@ -319,3 +319,34 @@ def test_elision_filter_spec_vectors():
     assert e("d'") == ""
     assert e("avion") == "avion"
     assert e("qu’elle") == "elle"       # U+2019 apostrophe
+
+
+def test_wb4_tokens_flow_through_build_and_search(spark, tmp_path):
+    """End-to-end WB4: a decomposed-accent token ("cafe" + U+0301) and a
+    soft-hyphen joined token survive the FULL pipeline — vectorized
+    analyzer, packed index build, term stats, BM25 search — and are
+    found by a query in the same surface form."""
+    from lucene_solr_spark.indexer import build_index, read_index
+    from lucene_solr_spark.search import Searcher
+
+    cafe = "café"          # -> café (one token, mark kept)
+    softh = "ware­house"    # -> one token incl. soft hyphen
+    rows = [
+        (
+            f"http://e/{i}",
+            f"{cafe} menu prices" if i % 2 == 0 else f"{softh} stock level",
+            "en",
+        )
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = str(tmp_path / "wb4idx")
+    build_index(spark, pages, out, profile="standard", num_buckets=2)
+    s = Searcher(read_index(spark, out))
+    hits1 = s.search(cafe, k=20).collect()
+    assert len(hits1) == 10, hits1
+    hits2 = s.search(softh, k=20).collect()
+    assert len(hits2) == 10, hits2
+    # the split forms must NOT match the joined token
+    assert s.search("warehouse", k=5).count() == 0
+    assert s.search("cafe", k=5).count() == 0
