@@ -1201,17 +1201,25 @@ FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10) t
 
 def q_span_multiterm_near(spark, sf_dir):
     """SpanMultiTermQueryWrapper(prefix s*) as the second clause of an
-    ordered near(slop=2) with 'merge'."""
+    ordered near(slop=2) with 'merge'. The prefix expansion is capped at
+    BooleanQuery#maxClauseCount exactly like the engine's _expand_terms
+    path (search.py) — the collect is driver-bounded by construction."""
     from .operators.spans import span_multiterm_near
+    from .search import MAX_CLAUSE_COUNT, TooManyClauses
 
     tok = _tok(spark, sf_dir)
-    s_terms = [
-        r["term"]
-        for r in tok.filter(F.col("term").startswith("s"))
+    rows = (
+        tok.filter(F.col("term").startswith("s"))
         .select("term")
         .distinct()
+        .limit(MAX_CLAUSE_COUNT + 1)
         .collect()
-    ]
+    )
+    if len(rows) > MAX_CLAUSE_COUNT:
+        raise TooManyClauses(
+            f"span multiterm expansion exceeds {MAX_CLAUSE_COUNT}"
+        )
+    s_terms = [r["term"] for r in rows]
     return span_multiterm_near(
         tok, "merge", s_terms, slop=2, in_order=True
     ).orderBy("doc_id")

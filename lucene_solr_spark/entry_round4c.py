@@ -115,7 +115,7 @@ def q_tpch_q12(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
     j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
@@ -266,7 +266,7 @@ def q_tpch_q21(spark, sf_dir):
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     ).select("l_orderkey", "l_suppkey")
     pairs = li.select("l_orderkey", "l_suppkey").distinct()
     late_pairs = late.distinct()
@@ -411,20 +411,24 @@ def q_stream_lognormal_cdf(spark, sf_dir):
 
 SQL_LOGNORMAL_CDF = """
 WITH z AS (
-  SELECT event_id, (ln(value) - 3.5) / (0.9 * sqrt(2.0)) AS x
-  FROM events WHERE event_id < 20 AND value > 0),
+  SELECT event_id, value,
+         CASE WHEN value > 0
+              THEN (ln(value) - 3.5) / (0.9 * sqrt(2.0)) ELSE 0.0 END AS x
+  FROM events WHERE event_id < 20),
 e AS (
-  SELECT event_id, x, abs(x) AS ax,
+  SELECT event_id, value, x, abs(x) AS ax,
          1.0 / (1.0 + 0.3275911 * abs(x)) AS t
   FROM z),
 erf AS (
-  SELECT event_id, x,
+  SELECT event_id, value, x,
          1.0 - (0.254829592 * t - 0.284496736 * t * t
                 + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
                 + 1.061405429 * t * t * t * t * t) * exp(-ax * ax) AS y
   FROM e)
 SELECT event_id,
-       ROUND(0.5 * (1.0 + CASE WHEN x < 0 THEN -y ELSE y END), 6) AS cdf
+       ROUND(CASE WHEN value <= 0 THEN 0.0
+                  ELSE 0.5 * (1.0 + CASE WHEN x < 0 THEN -y ELSE y END)
+             END, 6) AS cdf
 FROM erf ORDER BY event_id
 """
 
@@ -834,7 +838,9 @@ FROM customer WHERE c_custkey < 30 ORDER BY c_custkey
 def q_let_get_stream(spark, sf_dir):
     """let(a=search(...), b=rollup(a), c=stats(a), get(b) x get(c))
     (LetStream/GetStream ≈L40 each): the bound stream `a` is REUSED by
-    two consumers — persist() is the let-binding (evaluate once), each
+    two consumers — localCheckpoint(eager) is the let-binding (evaluate
+    once, bounded per-entry: blocks are dropped with the RDD, unlike a
+    persist() the long-running sweep driver would accumulate), each
     get() is a plan reference; the tiny outputs cross-join at the end."""
     from .entry_round4 import _t as _tt
 
@@ -844,7 +850,7 @@ def q_let_get_stream(spark, sf_dir):
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-07-01")
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     b = a.groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("sum_qty")

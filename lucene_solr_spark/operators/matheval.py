@@ -1368,7 +1368,12 @@ def fft_magnitudes(df: DataFrame, t_col: str, y_col: str) -> DataFrame:
     import pandas as pd
 
     def _fft(it):
-        rows = pd.concat(list(it), ignore_index=True)
+        batches = list(it)
+        if not batches:
+            yield pd.DataFrame({"freq_bin": pd.Series([], dtype="int64"),
+                                "magnitude": pd.Series([], dtype="float64")})
+            return
+        rows = pd.concat(batches, ignore_index=True)
         rows = rows.sort_values(t_col, ignore_index=True)
         mags = np.abs(np.fft.rfft(rows[y_col].to_numpy(dtype=float)))
         yield pd.DataFrame(

@@ -731,8 +731,20 @@ def _render_bool(b) -> str:
 
 
 def render_classic(q: Query) -> str:
-    """AST -> classic syntax; parse_classic(render_classic(p)) == p for
-    every AST the classic parser produces (grammar-fuzz-pinned)."""
+    """AST -> classic syntax (Query.toString() analog).
+
+    Fixed-point contract — analysis-stable profiles ONLY:
+    parse_classic(render_classic(p), profile=P) == p holds for profiles P
+    whose analysis chain is idempotent on its own output (e.g.
+    'standard': lowercase only), and that is what the 3000-string fuzz
+    test pins. Under profile='en' the rendered terms are POST-analysis
+    stems, and re-parsing re-analyzes them: stems that collide with
+    stopwords are dropped ('being'->'be'->stopword) and Porter is not
+    idempotent ('university'->'univers'->'univ'), so the round-trip can
+    change the AST — same caveat as Lucene's own QueryParser.toString(),
+    which is documented as not guaranteed to re-parse identically.
+    Re-parse a rendered 'en' query with an analysis-free profile
+    (e.g. 'keyword'/'standard') to recover the AST exactly."""
     from .query import Boolean, Boost, ConstantScore, LangFilter, MatchAll
 
     if isinstance(q, MatchAll):

@@ -389,3 +389,26 @@ def test_render_classic_fixed_point_fuzz():
         # idempotence of the rendering itself
         assert render_classic(p2) == r, (s, r)
     assert accepted > 1500, accepted  # the generator mostly emits valid syntax
+
+
+def test_render_classic_en_profile_contract():
+    """Pin the documented 'en'-profile behavior: rendered terms are
+    POST-analysis stems, so re-parsing under profile='en' re-analyzes
+    them and may change the AST (stem->stopword collision, Porter
+    non-idempotence) — while re-parsing the rendering with the
+    analysis-stable 'standard' profile recovers the AST exactly."""
+    from lucene_solr_spark.query_parser import parse_classic, render_classic
+
+    # stem collides with a stopword: 'being' -> 'be' (stopword) -> dropped
+    p1 = parse_classic("being hash", profile="en")
+    r = render_classic(p1)
+    assert "be" in r and "hash" in r
+    p_en = parse_classic(r, profile="en")
+    assert p_en != p1  # the documented round-trip divergence under 'en'
+    assert parse_classic(r, profile="standard") == p1  # exact recovery
+
+    # Porter non-idempotence: 'university' -> 'univers' -> 'univ'
+    p2 = parse_classic("university", profile="en")
+    r2 = render_classic(p2)
+    assert parse_classic(r2, profile="standard") == p2
+    assert parse_classic(r2, profile="en") != p2
