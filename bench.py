@@ -150,6 +150,32 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     )
     timed("prefix_count", lambda: searcher.count(Prefix("w0001")))
 
+    # ---- serving fast path (serve.py): in-process per-shard searcher ------
+    # p50 over repeated queries with the posting cache warm — the Lucene
+    # steady-state serving regime (terms dict + hot postings RAM-resident).
+    from lucene_solr_spark.serve import ServingSearcher
+
+    t0 = time.perf_counter()
+    serving = ServingSearcher(idx_dir)
+    serve_init_s = time.perf_counter() - t0
+    serve_qs = {
+        "serve_term_top10": Term("search"),
+        "serve_bool_and_top10": Boolean(must=[Term("search"), Term("engin")]),
+        "serve_bool_or_top10": Boolean(
+            should=[Term("search"), Term("engin"), Term("index")]
+        ),
+        "serve_phrase_top10": Phrase(("search", "engin")),
+    }
+    serve_reps = 30
+    for name, q in serve_qs.items():
+        serving.search(q, 10, with_fields=False)  # warm the posting cache
+        samples = []
+        for _ in range(serve_reps):
+            t0 = time.perf_counter()
+            serving.search(q, 10, with_fields=False)
+            samples.append(time.perf_counter() - t0)
+        queries[name] = round(statistics.median(samples), 5)
+
     # ---- driver-table headliners (documents/lineitem at sf_dir) -----------
     import __spark_entry__ as entry
 
@@ -175,6 +201,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "n_docs_indexed": n_docs,
         "docs_per_sec": round(docs_per_sec, 1),
         "bm25_term_p50_ms": round(queries["term_top10"] * 1000, 1),
+        "serve_bm25_p50_ms": round(queries["serve_term_top10"] * 1000, 3),
+        "serve_init_s": round(serve_init_s, 3),
         "build_phase_s": build_stats.get("phase_s", {}),
     }
     shutil.rmtree(idx_dir, ignore_errors=True)

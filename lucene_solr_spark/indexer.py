@@ -1360,6 +1360,7 @@ def read_index(spark: SparkSession, index_dir: str) -> dict:
         "postings": spark.read.parquet(os.path.join(index_dir, "postings")),
         "term_stats": spark.read.parquet(os.path.join(index_dir, "term_stats")),
         "stats": stats,
+        "path": index_dir,
     }
     packed_dir = os.path.join(index_dir, "packed")
     if os.path.isdir(packed_dir):

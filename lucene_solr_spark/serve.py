@@ -1,0 +1,659 @@
+"""In-process serving fast path: ``Searcher.serve()``.
+
+Why this exists (and why it is NOT a scale lie)
+-----------------------------------------------
+The distributed read path (search.py) compiles every query to a Spark
+plan; even a fully pruned plan pays Spark's per-job scheduling floor
+(~0.3-0.4 s on local[32]), which is 3-4x the reference's "p50 << 100 ms"
+serving latency. Lucene never pays that floor because SERVING in Lucene
+is a per-shard, in-process affair: an IndexSearcher holds the terms dict
+(FST) in RAM, posting lists come off the OS page cache, and scoring is a
+tight loop inside one process (IndexSearcher.java, SegmentReader.java —
+SURVEY.md §4.2).
+
+At 100 TB that is exactly how this engine would serve too: the BUILD and
+MERGE are distributed Spark jobs (indexer.py); the built index is then
+range/hash-split into shards, and each serving node runs THIS class over
+its own shard directory, answering queries in-process and fanning out /
+merging top-k across shards (the SolrCloud distributed-search model:
+per-shard searchers + a coordinator merge, TopDocs.merge). Nothing here
+pretends a 100 TB index fits in one process — the class guards its RAM
+budget explicitly and hands anything larger back to the distributed
+path:
+
+* the terms dictionary (term -> df, ttf) IS loaded fully — that is the
+  FST-in-RAM analog and is O(vocab), not O(corpus); Lucene makes the
+  same bet.
+* posting lists are fetched lazily per term straight from the index's
+  bucket-partitioned parquet (partition-pruned, column-pruned pyarrow
+  reads — the mmap analog; NO Spark job) and kept in an LRU byte-budget
+  cache (the page-cache analog).
+* before fetching, the query's candidate volume is estimated from the
+  already-resident df stats; a query whose uncached posting volume
+  exceeds ``max_fetch_bytes`` raises CandidateVolumeExceeded, and the
+  ``Searcher.serve()`` wrapper falls back to the distributed plan. The
+  cutover is the honest "this query's working set does not fit this
+  shard's RAM budget" case.
+
+Rank identity: scoring replicates search.py's compiled Column arithmetic
+op-for-op in float64 numpy (same IEEE ops in the same association
+order), so ranks — and scores to the last ulp for single-clause queries
+— match the distributed path; tests/test_serve.py pins rank identity
+across the query-type matrix.
+
+Reference parity: IndexSearcher#search(Query, int) over a single
+segment; TermStates pre-warm == FST residency; LRU postings cache ==
+page cache; CandidateVolumeExceeded fallback == the coordinator routing
+a too-hot query to the batch tier.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import re
+from collections import OrderedDict
+
+import numpy as np
+
+from . import BM25_B, BM25_K1
+from .query import (
+    Blended,
+    Boolean,
+    Boost,
+    ConstantScore,
+    DisMax,
+    Fuzzy,
+    LangFilter,
+    MatchAll,
+    MultiPhrase,
+    Phrase,
+    Prefix,
+    Query,
+    Regexp,
+    Synonym,
+    Term,
+    TermInSet,
+    TermRange,
+    Wildcard,
+)
+from .search import _collect_terms
+from .xxhash import bucket_of_term
+
+
+class CandidateVolumeExceeded(RuntimeError):
+    """The query's uncached posting volume exceeds the serving RAM
+    budget — route it to the distributed path."""
+
+
+def _load_stats(index_dir: str) -> dict:
+    stats_files = glob.glob(os.path.join(index_dir, "stats", "part-*"))
+    with open(stats_files[0]) as f:
+        return json.loads(f.readline())
+
+
+class ServingSearcher:
+    """One shard's in-process searcher over an index directory.
+
+    Parameters
+    ----------
+    index_dir : the build_index() output directory (bucket-partitioned
+        parquet: postings/, term_stats/, docmeta/, stats/).
+    similarity : 'bm25' (default) or 'classic' — must match the
+        comparison Searcher for rank-identity.
+    cache_bytes : LRU budget for resident posting arrays (page-cache
+        analog). Evicts least-recently-used terms past the budget.
+    max_fetch_bytes : per-query cap on UNCACHED posting bytes the query
+        may pull in; estimated from df before any I/O. Exceeding it
+        raises CandidateVolumeExceeded (fallback signal).
+    """
+
+    _ROW_BYTES = 12  # resident bytes per posting row: int64 doc_id + int32 tf
+
+    def __init__(
+        self,
+        index_dir: str,
+        similarity: str = "bm25",
+        cache_bytes: int = 256 << 20,
+        max_fetch_bytes: int = 64 << 20,
+    ):
+        import pyarrow.dataset as pads
+
+        self.index_dir = index_dir
+        self.similarity = similarity
+        self.cache_bytes = int(cache_bytes)
+        self.max_fetch_bytes = int(max_fetch_bytes)
+        st = _load_stats(index_dir)
+        self.stats = st
+        self.n_docs = int(st["doc_count"])
+        self.avgdl = float(st["avgdl"])
+        self.num_buckets = int(st.get("num_buckets", 16))
+        self.profile = st.get("profile", "en")
+
+        # --- terms dict pre-warm (FST residency; TermStates for EVERY
+        # term, so the stats bind is a dict lookup, never I/O) ---
+        tdict = pads.dataset(
+            os.path.join(index_dir, "term_stats"),
+            format="parquet",
+            partitioning="hive",
+        ).to_table(columns=["term", "df", "ttf"])
+        terms = tdict.column("term").to_pylist()
+        dfs = tdict.column("df").to_numpy()
+        ttfs = tdict.column("ttf").to_numpy()
+        self._term_stats: dict[str, tuple[int, int]] = {
+            t: (int(d), int(tt)) for t, d, tt in zip(terms, dfs, ttfs)
+        }
+        self._sorted_terms: list[str] = sorted(self._term_stats)
+
+        # --- docmeta columns in RAM: dlq (norms array analog) + lang;
+        # urls load lazily on the first with_fields request ---
+        dm = pads.dataset(
+            os.path.join(index_dir, "docmeta"), format="parquet"
+        ).to_table(columns=["doc_id", "dlq", "lang"])
+        ids = dm.column("doc_id").to_numpy()
+        if len(ids) != self.n_docs or (
+            len(ids) and int(ids.max()) != self.n_docs - 1
+        ):
+            raise ValueError(
+                "ServingSearcher requires dense doc ids [0, n_docs)"
+            )
+        self._dlq = np.zeros(self.n_docs, dtype=np.float64)
+        self._dlq[ids] = dm.column("dlq").to_numpy().astype(np.float64)
+        lang = np.empty(self.n_docs, dtype=object)
+        lang[ids] = dm.column("lang").to_pylist()
+        self._lang = lang
+        self._urls: np.ndarray | None = None
+
+        self._postings_ds = pads.dataset(
+            os.path.join(index_dir, "postings"),
+            format="parquet",
+            partitioning="hive",
+        )
+        # LRU: term -> (doc_ids int64 asc, tf float64); byte-accounted
+        self._cache: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
+        self._cache_nbytes = 0
+        # positions cache (phrase path): term -> dict(doc_id -> int32 array)
+        self._pos_cache: "OrderedDict[str, dict]" = OrderedDict()
+        self.fetches = 0  # cold I/O count (observability)
+
+    # ---- posting residency (page-cache analog) ---------------------------
+    def _estimate_fetch_bytes(self, terms: set) -> int:
+        return sum(
+            self._term_stats[t][0] * self._ROW_BYTES
+            for t in terms
+            if t in self._term_stats and t not in self._cache
+        )
+
+    def _ensure_resident(self, terms: set) -> None:
+        import pyarrow.compute as pc
+
+        need = sorted(
+            t
+            for t in terms
+            if t in self._term_stats and t not in self._cache
+        )
+        if not need:
+            return
+        est = self._estimate_fetch_bytes(set(need))
+        if est > self.max_fetch_bytes:
+            raise CandidateVolumeExceeded(
+                f"query needs ~{est >> 20} MiB of uncached postings "
+                f"(cap {self.max_fetch_bytes >> 20} MiB)"
+            )
+        by_bucket: dict[int, list[str]] = {}
+        for t in need:
+            by_bucket.setdefault(
+                bucket_of_term(t, self.num_buckets), []
+            ).append(t)
+        for b, ts in by_bucket.items():
+            tab = self._postings_ds.to_table(
+                columns=["term", "doc_id", "tf"],
+                filter=(pc.field("bucket") == b)
+                & pc.field("term").isin(ts),
+            )
+            self.fetches += 1
+            tcol = np.asarray(tab.column("term").to_pylist(), dtype=object)
+            did = tab.column("doc_id").to_numpy()
+            tf = tab.column("tf").to_numpy().astype(np.float64)
+            for t in ts:
+                m = tcol == t
+                ids_t = did[m]
+                tf_t = tf[m]
+                order = np.argsort(ids_t, kind="stable")
+                self._put(t, ids_t[order], tf_t[order])
+        for t in need:  # negative entries are free: absent from _term_stats
+            if t not in self._cache:
+                self._put(t, np.empty(0, np.int64), np.empty(0, np.float64))
+
+    def _put(self, term: str, ids: np.ndarray, tf: np.ndarray) -> None:
+        self._cache[term] = (ids, tf)
+        self._cache.move_to_end(term)
+        self._cache_nbytes += ids.nbytes + tf.nbytes
+        while self._cache_nbytes > self.cache_bytes and len(self._cache) > 1:
+            _t, (i0, t0) = self._cache.popitem(last=False)
+            self._cache_nbytes -= i0.nbytes + t0.nbytes
+
+    def _postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(term)
+        if hit is None:
+            self._ensure_resident({term})
+            hit = self._cache[term]
+        else:
+            self._cache.move_to_end(term)
+        return hit
+
+    def _positions(self, term: str) -> dict:
+        import pyarrow.compute as pc
+
+        hit = self._pos_cache.get(term)
+        if hit is not None:
+            self._pos_cache.move_to_end(term)
+            return hit
+        b = bucket_of_term(term, self.num_buckets)
+        tab = self._postings_ds.to_table(
+            columns=["doc_id", "positions"],
+            filter=(pc.field("bucket") == b) & (pc.field("term") == term),
+        )
+        self.fetches += 1
+        out = {
+            int(d): np.asarray(p, dtype=np.int64)
+            for d, p in zip(
+                tab.column("doc_id").to_pylist(),
+                tab.column("positions").to_pylist(),
+            )
+        }
+        self._pos_cache[term] = out
+        if len(self._pos_cache) > 64:
+            self._pos_cache.popitem(last=False)
+        return out
+
+    # ---- scoring (float64 replicas of score.py Column arithmetic) --------
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _score_rows(
+        self, tf: np.ndarray, dlq: np.ndarray, df: int, boost: float
+    ) -> np.ndarray:
+        if self.similarity == "classic":
+            idf = math.log((self.n_docs + 1.0) / (df + 1.0)) + 1.0
+            return boost * np.sqrt(tf) * idf * idf / np.sqrt(dlq)
+        # same association order as score.py bm25_score:
+        # boost * idf * tf / (tf + k1*((1-b) + b*dlq/avgdl))
+        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        return boost * self._idf(df) * tf / (tf + norm)
+
+    # ---- multi-term expansion against the RAM terms dict ------------------
+    def _expand_terms(self, q: Query) -> list[str]:
+        if isinstance(q, Prefix):
+            pred = lambda t: t.startswith(q.prefix)  # noqa: E731
+        elif isinstance(q, Wildcard):
+            rx = re.compile(
+                "^"
+                + "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in q.pattern
+                )
+                + "$"
+            )
+            pred = rx.match
+        elif isinstance(q, Regexp):
+            rx = re.compile("^" + q.pattern + "$")
+            pred = rx.match
+        elif isinstance(q, Fuzzy):
+            lev = _levenshtein_capped
+            pred = lambda t: lev(t, q.term, q.max_edits)  # noqa: E731
+        elif isinstance(q, TermRange):
+            lo, hi = q.lower, q.upper
+
+            def pred(t):
+                if lo is not None and (t < lo or (t == lo and not q.include_lower)):
+                    return False
+                if hi is not None and (t > hi or (t == hi and not q.include_upper)):
+                    return False
+                return True
+
+        elif isinstance(q, TermInSet):
+            want = set(q.terms)
+            pred = lambda t: t in want  # noqa: E731
+        else:  # pragma: no cover
+            raise TypeError(q)
+        return [t for t in self._sorted_terms if pred(t)]
+
+    # ---- evaluation: every node -> (unique doc_ids, scores) --------------
+    def _eval(self, q: Query, scored: bool = True):
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if isinstance(q, Term):
+            st = self._term_stats.get(q.term)
+            if st is None:
+                return empty
+            ids, tf = self._postings(q.term)
+            if not scored:
+                return ids, np.zeros(len(ids))
+            return ids, self._score_rows(tf, self._dlq[ids], st[0], q.boost)
+
+        if isinstance(q, Synonym):
+            present = [t for t in q.terms if t in self._term_stats]
+            if not present:
+                return empty
+            df_max = max(self._term_stats[t][0] for t in present)
+            parts = [self._postings(t) for t in present]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            uids, inv = np.unique(ids, return_inverse=True)
+            tf_sum = np.zeros(len(uids))
+            np.add.at(tf_sum, inv, tfs)
+            if not scored:
+                return uids, np.zeros(len(uids))
+            return uids, self._score_rows(
+                tf_sum, self._dlq[uids], df_max, q.boost
+            )
+
+        if isinstance(q, Blended):
+            present = [t for t in q.terms if t in self._term_stats]
+            if not present:
+                return empty
+            df_max = max(self._term_stats[t][0] for t in present)
+            parts = [self._postings(t) for t in present]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            row_s = (
+                self._score_rows(tfs, self._dlq[ids], df_max, q.boost)
+                if scored
+                else np.zeros(len(ids))
+            )
+            uids, inv = np.unique(ids, return_inverse=True)
+            s_sum = np.zeros(len(uids))
+            np.add.at(s_sum, inv, row_s)
+            return uids, s_sum
+
+        if isinstance(q, Phrase):
+            return self._eval_phrase(q, scored)
+
+        if isinstance(q, MultiPhrase):
+            return self._eval_multi_phrase(q, scored)
+
+        if isinstance(q, (Prefix, Wildcard, Regexp, Fuzzy, TermRange, TermInSet)):
+            # CONSTANT_SCORE_REWRITE — uncapped by clause count exactly
+            # like the distributed _compile_multiterm semi-join; the
+            # serving-side control is posting VOLUME (_ensure_resident's
+            # max_fetch_bytes guard -> CandidateVolumeExceeded -> the
+            # hybrid falls back to the distributed plan)
+            terms = self._expand_terms(q)
+            if not terms:
+                return empty
+            self._ensure_resident(set(terms))
+            ids = np.unique(
+                np.concatenate([self._postings(t)[0] for t in terms])
+            )
+            boost = float(getattr(q, "boost", 1.0))
+            return ids, np.full(len(ids), boost if scored else 0.0)
+
+        if isinstance(q, MatchAll):
+            ids = np.arange(self.n_docs, dtype=np.int64)
+            return ids, np.full(self.n_docs, float(q.boost))
+
+        if isinstance(q, Boost):
+            ids, s = self._eval(q.child, scored)
+            return ids, s * q.boost
+
+        if isinstance(q, ConstantScore):
+            ids, _ = self._eval(q.child, scored=False)
+            return ids, np.full(len(ids), float(q.boost))
+
+        if isinstance(q, DisMax):
+            mx = np.full(self.n_docs, -np.inf)
+            sm = np.zeros(self.n_docs)
+            matched = np.zeros(self.n_docs, dtype=bool)
+            for c in q.children:
+                ids, s = self._eval(c, scored)
+                # each child emits unique ids -> plain fancy indexing
+                mx[ids] = np.maximum(mx[ids], s)
+                sm[ids] += s
+                matched[ids] = True
+            ids = np.nonzero(matched)[0].astype(np.int64)
+            score = (
+                mx[ids] + q.tie_breaker * (sm[ids] - mx[ids])
+            ) * q.boost
+            return ids, score
+
+        if isinstance(q, LangFilter):
+            ids, s = self._eval(q.child, scored)
+            keep = self._lang[ids] == q.lang
+            return ids[keep], s[keep]
+
+        if isinstance(q, Boolean):
+            return self._eval_boolean(q, scored)
+
+        raise TypeError(f"serving path does not support {type(q).__name__}")
+
+    def _eval_boolean(self, q: Boolean, scored: bool):
+        score = np.zeros(self.n_docs)
+        must_cnt = np.zeros(self.n_docs, dtype=np.int32)
+        should_cnt = np.zeros(self.n_docs, dtype=np.int32)
+        n_must = len(q.must) + len(q.filter)
+        # every _eval branch emits unique doc ids (same invariant the
+        # distributed _compile_boolean documents), so plain fancy-indexed
+        # += is exact — no np.add.at needed
+        for c in q.must:
+            ids, s = self._eval(c, scored)
+            score[ids] += s
+            must_cnt[ids] += 1
+        for c in q.filter:
+            ids, _ = self._eval(c, scored=False)
+            must_cnt[ids] += 1
+        for c in q.should:
+            ids, s = self._eval(c, scored)
+            score[ids] += s
+            should_cnt[ids] += 1
+        cond = must_cnt == n_must
+        msm = q.min_should_match
+        if n_must == 0:
+            msm = max(msm, 1)
+        if q.should:
+            cond &= should_cnt >= msm
+        elif n_must == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        for c in q.must_not:
+            ids, _ = self._eval(c, scored=False)
+            cond[ids] = False
+        ids = np.nonzero(cond)[0].astype(np.int64)
+        return ids, score[ids] * q.boost
+
+    def _eval_phrase(self, q: Phrase, scored: bool):
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        terms = list(q.terms)
+        if any(t not in self._term_stats for t in terms):
+            return empty
+        pos = [self._positions(t) for t in terms]
+        docs = set(pos[0])
+        for p in pos[1:]:
+            docs &= set(p)
+        out_ids, out_tf = [], []
+        for d in sorted(docs):
+            starts = pos[0][d]
+            for i in range(1, len(terms)):
+                starts = np.intersect1d(
+                    starts, pos[i][d] - i, assume_unique=True
+                )
+                if len(starts) == 0:
+                    break
+            if len(starts):
+                out_ids.append(d)
+                out_tf.append(len(starts))
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        ptf = np.asarray(out_tf, dtype=np.float64)
+        if not scored:
+            return ids, np.zeros(len(ids))
+        # PhraseWeight: idf = sum of constituent idfs, freq = phrase freq
+        idf_sum = sum(self._idf(self._term_stats[t][0]) for t in terms)
+        dlq = self._dlq[ids]
+        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        return ids, q.boost * idf_sum * ptf / (ptf + norm)
+
+    def _eval_multi_phrase(self, q: MultiPhrase, scored: bool):
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        present: list[list[str]] = []
+        for slot in q.slots:
+            have = [t for t in slot if t in self._term_stats]
+            if not have:
+                return empty
+            present.append(have)
+
+        def slot_pos(terms: list[str]) -> dict:
+            merged: dict[int, np.ndarray] = {}
+            for t in terms:
+                for d, p in self._positions(t).items():
+                    prev = merged.get(d)
+                    merged[d] = (
+                        p
+                        if prev is None
+                        else np.unique(np.concatenate([prev, p]))
+                    )
+            return merged
+
+        pos = [slot_pos(s) for s in present]
+        docs = set(pos[0])
+        for p in pos[1:]:
+            docs &= set(p)
+        out_ids, out_tf = [], []
+        for d in sorted(docs):
+            starts = np.unique(pos[0][d])
+            for i in range(1, len(pos)):
+                starts = np.intersect1d(starts, np.unique(pos[i][d]) - i)
+                if len(starts) == 0:
+                    break
+            if len(starts):
+                out_ids.append(d)
+                out_tf.append(len(starts))
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        ptf = np.asarray(out_tf, dtype=np.float64)
+        if not scored:
+            return ids, np.zeros(len(ids))
+        idf_sum = sum(
+            self._idf(self._term_stats[t][0]) for s in present for t in s
+        )
+        dlq = self._dlq[ids]
+        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        return ids, q.boost * idf_sum * ptf / (ptf + norm)
+
+    # ---- public API -------------------------------------------------------
+    def parse(self, text: str) -> Query:
+        from .query import parse
+
+        return parse(text, self.profile)
+
+    def search(self, q, k: int = 10, with_fields: bool = True) -> list:
+        """Top-k [(doc_id, score[, url])] by (score desc, doc_id asc) —
+        the TopScoreDocCollector contract, computed in-process."""
+        if isinstance(q, str):
+            q = self.parse(q)
+        terms: set = set()
+        _collect_terms(q, terms)
+        # single pre-flight volume check over ALL the query's terms (the
+        # per-_postings lazy path would check one term at a time)
+        self._ensure_resident(terms)
+        ids, scores = self._eval(q, scored=True)
+        n = len(ids)
+        if n == 0:
+            return []
+        if n > k:
+            # partial-select the k-th score, keep every row at-or-above
+            # it (ties included) so the exact (score desc, doc_id asc)
+            # sort below sees the full tie group
+            kth = np.partition(-scores, k - 1)[k - 1]
+            cand = np.nonzero(-scores <= kth)[0]
+        else:
+            cand = np.arange(n)
+        order = np.lexsort((ids[cand], -scores[cand]))
+        top = cand[order[:k]]
+        if not with_fields:
+            return [(int(ids[i]), float(scores[i])) for i in top]
+        urls = self._load_urls()
+        return [
+            (int(ids[i]), float(scores[i]), str(urls[ids[i]])) for i in top
+        ]
+
+    def count(self, q) -> int:
+        if isinstance(q, str):
+            q = self.parse(q)
+        terms: set = set()
+        _collect_terms(q, terms)
+        self._ensure_resident(terms)
+        ids, _ = self._eval(q, scored=True)
+        return int(len(ids))
+
+    def _load_urls(self) -> np.ndarray:
+        if self._urls is None:
+            import pyarrow.dataset as pads
+
+            dm = pads.dataset(
+                os.path.join(self.index_dir, "docmeta"), format="parquet"
+            ).to_table(columns=["doc_id", "url"])
+            urls = np.empty(self.n_docs, dtype=object)
+            urls[dm.column("doc_id").to_numpy()] = dm.column(
+                "url"
+            ).to_pylist()
+            self._urls = urls
+        return self._urls
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> bool:
+    """edit_distance(a, b) <= cap, banded (O(len*cap))."""
+    if abs(len(a) - len(b)) > cap:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = max(1, i - cap)
+        hi = min(len(b), i + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        if hi < len(b):
+            cur[hi + 1 :] = [cap + 1] * (len(b) - hi)
+        if min(cur[lo - 1 : hi + 1]) > cap:
+            return False
+        prev = cur
+    return prev[len(b)] <= cap
+
+
+class HybridSearcher:
+    """Searcher.serve() handle: in-process fast path with transparent
+    fallback to the distributed plan when the query is unsupported or
+    its candidate volume exceeds the serving RAM budget (the per-shard
+    coordinator's serve-or-batch routing decision)."""
+
+    def __init__(self, serving: ServingSearcher, distributed):
+        self.serving = serving
+        self.distributed = distributed
+        self.served = 0
+        self.fell_back = 0
+
+    def search(self, q, k: int = 10, with_fields: bool = True) -> list:
+        try:
+            out = self.serving.search(q, k, with_fields=with_fields)
+            self.served += 1
+            return out
+        except (CandidateVolumeExceeded, TypeError):
+            self.fell_back += 1
+            rows = self.distributed.search(
+                q, k, with_fields=with_fields
+            ).collect()
+            if with_fields:
+                return [
+                    (r["doc_id"], r["score"], r["url"]) for r in rows
+                ]
+            return [(r["doc_id"], r["score"]) for r in rows]
