@@ -53,24 +53,34 @@ def assign_dense_ids(
     ids stay dense regardless — the downstream id join is what fans out)."""
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     order = list(order_by) if order_by else [key]
-    ranged = df.repartitionByRange(p, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # ONE pass computes BOTH the per-partition local rank (the window can
+    # run before the global offsets are known) and the rows the counting
+    # aggregation reads — so with persist_exchange there is exactly ONE
+    # materialization, and the counts come from the SAME materialized rows
+    # the ranks did (stronger than the round-4 pinned-exchange fix, which
+    # still ran the window as a second execution over the cache; profiling
+    # showed that second materialization was ~half the ids phase).
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = (
+        df.repartitionByRange(p, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rank", F.row_number().over(w))
     )
     if persist_exchange:
         from pyspark import StorageLevel
 
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_registry is not None:
-            cache_registry.append(ranged)
+            cache_registry.append(local)
     # <= `partitions` rows — driver-side by design, O(p) not O(rows); with
-    # persist_exchange this also materializes the shared exchange.
+    # persist_exchange this also materializes the shared pass.
     # require_unique rides the SAME counting pass: range partitioning
     # co-locates equal keys, so sum(per-partition countDistinct) IS the
     # global distinct count — no separate full-scan job for the dup check.
     aggs = [F.count("*").alias("count")]
     if require_unique:
         aggs.append(F.countDistinct(key).alias("n_uniq"))
-    counts = ranged.groupBy("_pid").agg(*aggs).orderBy("_pid").collect()
+    counts = local.groupBy("_pid").agg(*aggs).orderBy("_pid").collect()
     if require_unique:
         n_rows = sum(r["count"] for r in counts)
         n_uniq = sum(r["n_uniq"] for r in counts)
@@ -87,9 +97,10 @@ def assign_dense_ids(
         [(pid, off) for pid, off in offsets.items()],
         "_pid int, _offset long",  # explicit: offsets may be empty (0-row df)
     )
-    w = Window.partitionBy("_pid").orderBy(*order)
+    # offsets apply as a pure map over the (possibly cached) local ranks —
+    # no second window, no second sort, no extra exchange
     return (
-        ranged.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(id_col, F.row_number().over(w) + F.col("_offset") - 1)
-        .drop("_pid", "_offset")
+        local.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, F.col("_rank") + F.col("_offset") - 1)
+        .drop("_pid", "_rank", "_offset")
     )

@@ -539,6 +539,9 @@ def build_index(
     else:
         _sort_order = None
         _ids_in = pages.select("url")
+    # assign_dense_ids(persist_exchange=True) caches its single
+    # (url, _pid, _rank) pass; ids_small is a pure projection of that
+    # cache, so a second persist here would only double the cached bytes
     ids_small = assign_dense_ids(
         _ids_in,
         "url",
@@ -547,8 +550,7 @@ def build_index(
         cache_registry=reg,
         require_unique=True,
         order_by=_sort_order,
-    ).select("url", "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
-    reg.append(ids_small)
+    ).select("url", "doc_id")
     if doc_base:
         ids_small = ids_small.withColumn(
             "doc_id", F.col("doc_id") + F.lit(doc_base)
