@@ -322,12 +322,60 @@ def analyze_wdgf(text: str) -> list[tuple[str, int]]:
 # per-row path for them
 GRAPH_PROFILES = {"wdgf"}
 
+def analyze_de(text: str) -> list[tuple[str, int]]:
+    """GermanAnalyzer core chain: Standard -> LowerCase -> Snowball German
+    (lucene/analysis/common/.../de/GermanAnalyzer.java ≈L60). Stop list
+    deliberately empty (documented deviation: the reference ships the
+    Snowball German stop list; positions here carry no stop holes)."""
+    from .snowball import german_stem
+
+    return [(german_stem(t.lower()), i) for i, t in enumerate(tokenize_standard(text))]
+
+
+def analyze_fr(text: str) -> list[tuple[str, int]]:
+    """FrenchAnalyzer core chain: Standard -> Elision -> LowerCase ->
+    Snowball French (.../fr/FrenchAnalyzer.java ≈L70). Stop list empty
+    (same documented deviation as analyze_de)."""
+    from .snowball import french_stem
+
+    out = []
+    for i, t in enumerate(tokenize_standard(text)):
+        t = elision_filter(t).lower()
+        if t:
+            out.append((french_stem(t), i))
+    return out
+
+
+def analyze_es(text: str) -> list[tuple[str, int]]:
+    """SpanishAnalyzer core chain: Standard -> LowerCase -> Snowball
+    Spanish (.../es/SpanishAnalyzer.java ≈L60). Stop list empty (same
+    documented deviation as analyze_de)."""
+    from .snowball import spanish_stem
+
+    return [(spanish_stem(t.lower()), i) for i, t in enumerate(tokenize_standard(text))]
+
+
+def analyze_lang(text: str, lang: str) -> list[tuple[str, int]]:
+    """Language-gated chain dispatch (the per-language field routing a
+    Solr schema does with text_en/text_de/text_fr/text_es field types):
+    en -> EnglishAnalyzer chain, de/fr/es -> Snowball chains, anything
+    else -> StandardAnalyzer (tokenize+lowercase, no stem — the honest
+    fallback for languages without a shipped stemmer)."""
+    if lang in ("en", "english"):
+        return analyze_en(text)
+    fn = ANALYZERS.get(lang)
+    return fn(text) if fn is not None else analyze_standard(text)
+
+
 ANALYZERS = {
     "en": analyze_en,
     "english": analyze_en,
     "standard": analyze_standard,
     "simple": analyze_simple,
     "wdgf": analyze_wdgf,
+    "de": analyze_de,
+    "fr": analyze_fr,
+    "es": analyze_es,
 }
 
 
@@ -351,7 +399,10 @@ def analyze(text: str, profile: str = "en", stem_cache: dict | None = None):
 # lookahead — that would be quadratic) so CJK runs may false-positive, which
 # only costs re-tokenizing those rows via tokenize_standard (identical output)
 _LONG_TOKEN_RE = re.compile(r"\w{256}")
-_CHAIN_MEMO: dict[str, dict] = {"en": {}, "english": {}, "standard": {}, "simple": {}}
+_CHAIN_MEMO: dict[str, dict] = {
+    "en": {}, "english": {}, "standard": {}, "simple": {},
+    "de": {}, "fr": {}, "es": {},
+}
 
 # ASCII fast path: on pure-ASCII rows (str.isascii, a C check) the CJK
 # alternatives and the per-char (?!CJK) lookahead in TOKEN_RE are dead
@@ -403,6 +454,19 @@ def _chain_one(tok: str, profile: str) -> str | None:
         return porter_stem(t)
     if profile == "standard":
         return tok.lower()
+    if profile == "de":
+        from .snowball import german_stem
+
+        return german_stem(tok.lower())
+    if profile == "fr":
+        from .snowball import french_stem
+
+        t = elision_filter(tok).lower()
+        return french_stem(t) if t else None
+    if profile == "es":
+        from .snowball import spanish_stem
+
+        return spanish_stem(tok.lower())
     return tok  # simple: tokenizer already lowercased
 
 

@@ -705,6 +705,10 @@ from .entry_round4c import REGISTRY_R4C  # noqa: E402
 
 REGISTRY.update(REGISTRY_R4C)
 
+from .entry_round5 import REGISTRY_R5  # noqa: E402
+
+REGISTRY.update(REGISTRY_R5)
+
 # ---------------------------------------------------------------------------
 # Driver-evidence window rotation (round 4 — final rotation). The driver
 # checks the FIRST 50 registry entries per round. Rounds 1-3 witnessed 129

@@ -1,0 +1,147 @@
+"""Round-5 driver-contract entries.
+
+Tranche 41 — Snowball multilingual stemming (snowball.py): the German /
+French / Spanish chains the round-4 verdict ranked as the top remaining
+real-user gap. Each entry injects a FIXED vocabulary into the token
+stream (deterministic by position) and stems it with the Python
+implementation; the DuckDB oracle independently hard-codes the expected
+stem per vocabulary word (the golden vectors of tests/test_snowball.py,
+each hand-traced through the published Snowball specification) — so the
+value-hash compares the distributed chain against an independently
+stated truth, not against itself.
+
+Reference twins: lucene/analysis/common/src/java/org/apache/lucene/
+analysis/{de/GermanAnalyzer.java, fr/FrenchAnalyzer.java,
+es/SpanishAnalyzer.java} + the generated SnowballStemmer subclasses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .entry_queries import _tok
+
+
+def _stem_entry(spark, sf_dir, vocab: list, stem_fn, elision: bool = False):
+    """Inject vocab[pos % n] as the term, stem via mapInPandas."""
+    tok = _tok(spark, sf_dir).filter(F.col("doc_id") < 10)
+    arr = F.array(*[F.lit(w) for w in vocab])
+    injected = tok.select(
+        "doc_id",
+        "pos",
+        F.element_at(arr, (F.col("pos") % len(vocab)) + 1).alias("word"),
+    )
+
+    def apply_stem(it):
+        from .analysis import elision_filter
+
+        for pdf in it:
+            pdf = pdf.copy()
+            if elision:
+                pdf["stem"] = pdf["word"].map(
+                    lambda w: stem_fn(elision_filter(w).lower())
+                )
+            else:
+                pdf["stem"] = pdf["word"].map(lambda w: stem_fn(w.lower()))
+            yield pdf[["doc_id", "pos", "word", "stem"]]
+
+    out = injected.mapInPandas(
+        apply_stem, "doc_id long, pos int, word string, stem string"
+    )
+    return out.orderBy("doc_id", "pos")
+
+
+_DE_VOCAB = [
+    ("laufen", "lauf"),
+    ("lebendig", "lebend"),
+    ("bedürfnisse", "bedurfnis"),
+    ("kategorie", "kategori"),
+    ("abhängen", "abhang"),
+    ("häuser", "haus"),
+    ("zeitungen", "zeitung"),
+    ("heimlichkeit", "heimlich"),
+    ("straße", "strass"),
+    ("forderung", "forder"),
+]
+
+_FR_VOCAB = [
+    ("continuité", "continu"),
+    ("majestueux", "majestu"),
+    ("principaux", "principal"),
+    ("l'amitié", "amiti"),
+    ("politique", "polit"),
+    ("mangeaient", "mang"),
+    ("nationale", "national"),
+    ("confusion", "confus"),
+    ("administrativement", "administr"),
+    ("chèvres", "chevr"),
+]
+
+_ES_VOCAB = [
+    ("apresuradamente", "apresur"),
+    ("comiendo", "com"),
+    ("guerra", "guerr"),
+    ("agradecería", "agradec"),
+    ("haciéndola", "hac"),
+    ("llegues", "lleg"),
+    ("valientes", "valient"),
+    ("amablemente", "amabl"),
+    ("conveniencia", "convenient"),
+    ("cañón", "cañon"),
+]
+
+
+def q_analysis_stem_de(spark, sf_dir):
+    from .snowball import german_stem
+
+    return _stem_entry(spark, sf_dir, [w for w, _ in _DE_VOCAB], german_stem)
+
+
+def q_analysis_stem_fr(spark, sf_dir):
+    from .snowball import french_stem
+
+    return _stem_entry(
+        spark, sf_dir, [w for w, _ in _FR_VOCAB], french_stem, elision=True
+    )
+
+
+def q_analysis_stem_es(spark, sf_dir):
+    from .snowball import spanish_stem
+
+    return _stem_entry(spark, sf_dir, [w for w, _ in _ES_VOCAB], spanish_stem)
+
+
+def _stem_sql(vocab: list) -> str:
+    arr = ", ".join("'%s'" % w.replace("'", "''") for w, _ in vocab)
+    cases = "\n".join(
+        "         WHEN '%s' THEN '%s'"
+        % (w.replace("'", "''"), s.replace("'", "''"))
+        for w, s in vocab
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+  FROM documents WHERE doc_id < 10),
+inj AS (
+  SELECT doc_id, pos,
+         ([{arr}])[(pos % {len(vocab)}) + 1] AS word
+  FROM tok)
+SELECT doc_id, pos, word,
+       CASE word
+{cases}
+       END AS stem
+FROM inj ORDER BY doc_id, pos
+"""
+
+
+SQL_STEM_DE = _stem_sql(_DE_VOCAB)
+SQL_STEM_FR = _stem_sql(_FR_VOCAB)
+SQL_STEM_ES = _stem_sql(_ES_VOCAB)
+
+
+REGISTRY_R5: dict[str, tuple] = {
+    "analysis_stem_de": (q_analysis_stem_de, SQL_STEM_DE),
+    "analysis_stem_fr": (q_analysis_stem_fr, SQL_STEM_FR),
+    "analysis_stem_es": (q_analysis_stem_es, SQL_STEM_ES),
+}

@@ -253,3 +253,64 @@ class MultiFieldSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+
+def build_multilang_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    langs: tuple = ("en", "de", "fr", "es"),
+    default_profile: str = "standard",
+    **build_kw,
+) -> dict:
+    """Language-gated indexing — the Solr per-language-collection pattern
+    (one schema/analyzer per language; SolrCloud routes each document to
+    its language's collection and fans queries out across them).
+
+    Each language's documents build their OWN index under
+    ``out_dir/<lang>/`` with that language's analysis chain (en ->
+    EnglishAnalyzer, de/fr/es -> Snowball chains from snowball.py, other
+    -> `default_profile`, the stem-disabled StandardAnalyzer fallback).
+    Unlike build_multifield_index, the per-language indexes do NOT share
+    a doc-id space (disjoint url subsets — exactly the per-collection
+    model); cross-language search merges by score with the url as the
+    stable key (multilang_search).
+
+    Scale: L independent runs of the proven single-field build plan, each
+    over ONLY its language's partition of the corpus — the lang filter is
+    pushed to the parquet scan, and no new shuffle shape appears.
+    """
+    from .analysis import ANALYZERS
+
+    out = {}
+    for lang in langs:
+        profile = lang if lang in ANALYZERS else default_profile
+        d = docs.filter(F.col("lang") == lang).select("url", "lang", "text")
+        sub = os.path.join(out_dir, lang)
+        build_index(spark, d, sub, profile=profile, **build_kw)
+        out[lang] = read_index(spark, sub)
+    return out
+
+
+def multilang_search(
+    indexes: dict, queries_by_lang: dict, k: int = 10
+) -> DataFrame:
+    """Cross-language top-k merge: run each language's (already analyzed
+    or analyzable) query against its own index and merge by
+    (score desc, url asc) — the SolrCloud inter-collection TopDocs.merge
+    with url as the global stable key (per-collection doc ids are not
+    comparable). ``queries_by_lang`` maps lang -> query (str or AST)."""
+    frames = []
+    for lang, q in queries_by_lang.items():
+        ix = indexes.get(lang)
+        if ix is None:
+            continue
+        s = Searcher(ix)
+        top = s.search(q, k, with_fields=True).select(
+            F.lit(lang).alias("lang"), "url", "score"
+        )
+        frames.append(top)
+    if not frames:
+        raise ValueError("no queried language has an index")
+    u = reduce(lambda a, b: a.unionByName(b), frames)
+    return u.orderBy(F.desc("score"), F.asc("url")).limit(k)
