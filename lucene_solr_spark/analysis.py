@@ -61,7 +61,11 @@ MAX_TOKEN_LENGTH = 255
 # mid-token lookbehind rules tolerate ONE trailing ignorable between the
 # literal word char and the separator (runs of 2+ ignorables immediately
 # before a mid-token separator fall back to a break). Regional indicators
-# (U+1F1E6-1F1FF) stay dropped — StandardTokenizer emits no emoji either.
+# (U+1F1E6-1F1FF, WB15/WB16): a run of RIs chunks into PAIRS (emoji flag
+# sequences), an odd trailing RI stands alone — the Lucene 7.3+
+# StandardTokenizer emoji tokenization (LUCENE-8122) for flags; WB4
+# ignorables may intervene between the pair's halves. Closed round 5 —
+# no remaining UAX#29 deltas beyond the documented Cf-prepend micro-note.
 # ---------------------------------------------------------------------------
 _WB4_IGNORE = (
     "\u00ad\u0300-\u036f\u0483-\u0489\u0591-\u05bd\u05bf\u05c1\u05c2"
@@ -189,9 +193,15 @@ _UAX_WORD = (
     rf"){_WE}+)*"
     rf"(?:{_LB_HEB}'{_EFS})?"
 )
+# WB15/WB16: regional-indicator runs chunk into pairs (flag sequences);
+# a greedy {1,2} quantifier over an RI class yields exactly that pairing
+# (2,2,...,then the odd 1). WB4 ignorables may sit between the halves.
+_RI = "\U0001f1e6-\U0001f1ff"
+
 TOKEN_RE = re.compile(
     rf"(?:[{_KATA}]{_EFS})+"       # WB13: katakana runs bind (+ ignorables)
     rf"|[{_IDEO}{_HIRA}]{_EFS}"    # ideograph / hiragana: one char per token
+    rf"|[{_RI}](?:{_EFS}[{_RI}])?{_EFS}"  # WB15/16: RI pair | lone RI
     rf"|{_UAX_WORD}"
 )
 
@@ -235,6 +245,7 @@ _UAX_WORD_NOEF = (
 TOKEN_RE_NOEF = re.compile(
     rf"[{_KATA}]+"
     rf"|[{_IDEO}{_HIRA}]"
+    rf"|[{_RI}]{{1,2}}"
     rf"|{_UAX_WORD_NOEF}"
 )
 

@@ -168,7 +168,8 @@ WB4_CASES = [
     ("किताब", ["किताब"]),
     ("がき", ["が", "き"]),  # dakuten attaches
     ("café.com", ["café.com"]),           # EF before MidNumLet
-    ("\U0001f1fa\U0001f1f8 usa", ["usa"]),            # regional indicators dropped
+    # WB15/16 (round 5): flag pair is its own token (LUCENE-8122)
+    ("\U0001f1fa\U0001f1f8 usa", ["\U0001f1fa\U0001f1f8", "usa"]),
     ("שׁלום", ["שׁלום"]),
 ]
 
@@ -208,3 +209,36 @@ def test_ef_set_matches_class_regex():
         assert (c in _EF_SET) == (
             _EF_PRESENT_RE.match(c) is not None
         ), hex(ord(c))
+
+
+def test_regional_indicator_flag_sequences():
+    """WB15/16 (LUCENE-8122 emoji-flag tokenization): RI runs chunk into
+    pairs, an odd trailing RI stands alone, WB4 ignorables may intervene
+    within the pair, and RI tokens never merge with adjacent words."""
+    from lucene_solr_spark.analysis import tokenize_standard
+
+    US = "\U0001F1FA\U0001F1F8"
+    FR = "\U0001F1EB\U0001F1F7"
+    D = "\U0001F1E9"
+    assert tokenize_standard(f"go {US} now") == ["go", US, "now"]
+    assert tokenize_standard(US + FR) == [US, FR]       # WB16 pairing
+    assert tokenize_standard(US + FR + D) == [US, FR, D]  # odd run
+    assert tokenize_standard(f"a{US}b") == ["a", US, "b"]
+    # WB4 ignorable (VS16) between the pair's halves stays in-token
+    vs = "\U0001F1FA️\U0001F1F8"
+    assert tokenize_standard(vs) == [vs]
+    # six-RI run -> three flags
+    run = US + FR + US
+    assert tokenize_standard(run) == [US, FR, US]
+
+
+def test_regional_indicator_survives_chains():
+    """Flag tokens pass the en/standard chains unharmed (no stop, no
+    stem: porter's <=2-char guard covers the 2-codepoint pair)."""
+    from lucene_solr_spark.analysis import analyze, analyze_flat
+
+    US = "\U0001F1FA\U0001F1F8"
+    assert (US, 1) in analyze(f"visit {US} today", "standard")
+    assert (US, 1) in analyze(f"visit {US} today", "en")
+    row_idx, terms, pos, field_len = analyze_flat([f"visit {US} today"], "en")
+    assert US in set(terms.tolist())
