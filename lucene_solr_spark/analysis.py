@@ -945,6 +945,105 @@ def synonym_graph(
     return out
 
 
+def synonym_graph_tokens(
+    tokens: list[tuple[str, int]],
+    rules: dict[tuple[str, ...], tuple[str, ...]],
+) -> list[tuple[str, int, int]]:
+    """Index-time SynonymGraphFilter with TRUE graph positions — the
+    round-4 verdict's flatten-lossy closure. Returns
+    [(term, position, posLength)] where positions are graph NODES in
+    topological order and a token occupies the edge [pos, pos+posLength)
+    (PositionLengthAttribute, .../synonym/SynonymGraphFilter.java ≈L80).
+
+    A matched rule inserts a parallel path between the match's boundary
+    nodes; the region spans max(len(input), len(output)) positions, each
+    path's tokens take one node step except the last, which stretches to
+    the region end — exactly the TestSynonymGraphFilter shapes:
+
+      "fast wi fi network" + (wi fi -> wifi):
+        fast@0, wifi@1(len 2), wi@1, fi@2, network@3
+      "fast wifi network"  + (wifi -> wi fi):
+        fast@0, wifi@1(len 2), wi@1, fi@2, network@3
+
+    Unlike the flatten (synonym_graph above, kept for the documented
+    lossy path), downstream consumers that understand posLength
+    (graph_phrase_freq) neither false-match across a stacked multi-word
+    output nor miss the single-token side of a span.
+
+    Holes (stopword position gaps in the input) break match contiguity,
+    same contiguity rule as the flatten; the hole's width is preserved
+    in the output node numbering.
+    """
+    if not tokens:
+        return []
+    max_len = max((len(k) for k in rules), default=0)
+    terms = [t for t, _ in tokens]
+    out: list[tuple[str, int, int]] = []
+    node = 0  # next output node for the current input position
+    i = 0
+    prev_in_pos: int | None = None
+    while i < len(tokens):
+        # carry input holes into the output axis
+        if prev_in_pos is not None:
+            node += max(tokens[i][1] - prev_in_pos - 1, 0)
+        matched = 0
+        for ln in range(min(max_len, len(tokens) - i), 0, -1):
+            key = tuple(terms[i : i + ln])
+            if key in rules and tokens[i + ln - 1][1] - tokens[i][1] == ln - 1:
+                outs = rules[key]
+                width = max(ln, len(outs))
+                for j in range(ln):  # original path (keepOrig=true)
+                    pl = 1 if j < ln - 1 else width - (ln - 1)
+                    out.append((terms[i + j], node + j, pl))
+                for j in range(len(outs)):  # synonym path
+                    pl = 1 if j < len(outs) - 1 else width - (len(outs) - 1)
+                    out.append((outs[j], node + j, pl))
+                node += width
+                matched = ln
+                break
+        if not matched:
+            out.append((terms[i], node, 1))
+            node += 1
+        prev_in_pos = tokens[i + (matched or 1) - 1][1]
+        i += matched or 1
+    out.sort(key=lambda tp: (tp[1], -tp[2], tp[0]))
+    return out
+
+
+def graph_phrase_freq(
+    graph: list[tuple[str, int, int]], phrase: list[str]
+) -> int:
+    """Count phrase matches over a posLength token graph: the phrase
+    matches along a PATH — each term's token must start at the node
+    where the previous term's token ended (pos + posLength), the
+    SpanNearQuery-over-graph semantics query-time SynonymGraphFilter
+    relies on (Lucene matches graphs at query time only; our index-side
+    consumer gets the same path rule)."""
+    if not phrase:
+        return 0
+    by_term: dict[str, list[tuple[int, int]]] = {}
+    for t, p, pl in graph:
+        by_term.setdefault(t, []).append((p, pl))
+    first = by_term.get(phrase[0], [])
+    count = 0
+    for p0, pl0 in first:
+        frontier = {p0 + pl0}
+        ok = True
+        for t in phrase[1:]:
+            nxt = {
+                p + pl
+                for p, pl in by_term.get(t, [])
+                if p in frontier
+            }
+            if not nxt:
+                ok = False
+                break
+            frontier = nxt
+        if ok:
+            count += 1
+    return count
+
+
 def analyze_with_offsets(
     text: str, profile: str = "en"
 ) -> list[tuple[str, int, int, int]]:
