@@ -145,3 +145,31 @@ REGISTRY_R5: dict[str, tuple] = {
     "analysis_stem_fr": (q_analysis_stem_fr, SQL_STEM_FR),
     "analysis_stem_es": (q_analysis_stem_es, SQL_STEM_ES),
 }
+
+
+# ---------------------------------------------------------------------------
+# Tranche 42 — IVF-PQ composition (IVFADC, Jegou 2011): trained coarse
+# cells -> residual PQ codes -> per-cell ADC scan -> exact rerank.
+# rows_only: the trained KMeans/PQ codebooks are not SQL-expressible;
+# recall >= 0.9 vs brute force + partition-prune plan are pinned in
+# tests/test_ivfpq.py.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    import os
+
+    from .pipeline.pq import ivfpq_build, ivfpq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    codes, centroids, cb = ivfpq_build(
+        emb, n_centroids=8, m=8, ksub=16, seed=42
+    )
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    out = ivfpq_topk(
+        emb, codes, centroids, cb, q, nprobe=6, candidates=64, k=10
+    )
+    return out
+
+
+REGISTRY_R5["ann_ivfpq_topk"] = (q_ann_ivfpq_topk, None)

@@ -309,3 +309,114 @@ def sq8_search(
     mins, maxs = sq8_stats(emb, vec_col)
     codes = sq8_encode(emb, mins, maxs, id_col=id_col, vec_col=vec_col)
     return sq8_topk(codes, mins, maxs, query_vec, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC, Jegou et al. 2011 "Product Quantization for Nearest
+# Neighbor Search" §IV) — the 10^12-vector composition: a trained coarse
+# quantizer prunes the scan to nprobe cells, PQ codes of the RESIDUAL
+# (x - centroid) are ADC-scored inside those cells only, and the exact
+# rerank touches just the shortlist's raw vectors. Storage per vector:
+# 4B cell id + m code bytes; the scan reads nprobe/n_centroids of that.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    emb: DataFrame, n_centroids: int = 16, m: int = 8, ksub: int = 16,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Train coarse KMeans + residual PQ codebooks; encode the corpus ->
+    (codes_df(id, centroid, pq_code), centroids, codebooks).
+
+    Residual encoding: each vector's PQ code is over x - c[cell], so one
+    shared codebook set serves every cell (the IVFADC design — the
+    residual distribution is far more compact than the raw one). At
+    corpus scale the codes table is written partitionBy('centroid') so a
+    probe is a partition-pruned scan (asserted in tests)."""
+    from .similarity import ivf_train
+
+    assigned, centroids = ivf_train(
+        emb, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+    )
+    cen = np.asarray(centroids, dtype=np.float64)
+    cen_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    res = assigned.select(
+        id_col,
+        "centroid",
+        F.zip_with(
+            as_double_arr(F.col(vec_col)),
+            F.element_at(cen_lit, F.col("centroid") + 1),
+            lambda a, b: a - b,
+        ).alias("_residual"),
+    )
+    cb = pq_train(res, m=m, ksub=ksub, seed=seed, vec_col="_residual")
+    codes = pq_encode(res, cb, id_col=id_col, vec_col="_residual").join(
+        assigned.select(id_col, "centroid"), id_col
+    )
+    return codes.select(id_col, "centroid", "pq_code"), cen, cb
+
+
+def as_double_arr(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def ivfpq_topk(
+    emb: DataFrame, codes: DataFrame, centroids: np.ndarray,
+    codebooks: np.ndarray, query_vec: list, nprobe: int = 4,
+    candidates: int = 64, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC query: rank cells driver-side (tiny centroid table), prune
+    the codes scan to the nprobe nearest cells, ADC-score inside them,
+    shortlist `candidates` by approximate dot, exact-rerank the
+    shortlist's raw vectors.
+
+    By linearity dot(q, x) = dot(q, c + r) = dot(q, c) + dot(q, r)
+    ≈ dot(q, c[cell]) + Σ_i LUT_i[code_i] with LUT_i[j] =
+    dot(q_i, cb[i][j]) — so the residual LUT (m*ksub literal doubles)
+    is CELL-INDEPENDENT and only the scalar dot(q, c) offset is
+    per-cell (a literal map over the probed cells). Unit-norm corpora
+    (ours) make dot ranking == cosine ranking; the exact rerank fixes
+    residual quantization error on the shortlist regardless."""
+    from .similarity import cosine_topk
+
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    cn = centroids / (
+        np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12
+    )
+    sims = cn @ (q / (np.linalg.norm(q) + 1e-12))
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+
+    # shared residual LUT: dot(q_i, cb[i][j]) — the residual part of the
+    # approximate dot is cell-independent by linearity
+    lut_expr = F.lit(0.0)
+    for i in range(m):
+        qi = q[i * dsub : (i + 1) * dsub]
+        lut = [float(codebooks[i, j] @ qi) for j in range(ksub)]
+        code_i = F.element_at(F.col("pq_code"), i + 1).cast("int")
+        lut_expr = lut_expr + F.element_at(
+            F.array(*[F.lit(v) for v in lut]), code_i + F.lit(1)
+        )
+    # per-cell constant offset dot(q, c), bound as a literal map
+    off = F.create_map(
+        *[
+            x
+            for cell in probes
+            for x in (F.lit(cell), F.lit(float(centroids[cell] @ q)))
+        ]
+    )
+    pruned = codes.filter(F.col("centroid").isin(probes))
+    approx = pruned.select(
+        F.col(id_col),
+        (off[F.col("centroid")] + lut_expr).alias("_adc"),
+    )
+    short = (
+        approx.orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(candidates)
+        .select(id_col)
+    )
+    cand_vecs = emb.join(F.broadcast(short), id_col, "left_semi")
+    return cosine_topk(cand_vecs, query_vec, k=k, id_col=id_col, vec_col=vec_col)
