@@ -115,7 +115,12 @@ def ngram_jaccard_vs_doc(
     shuffles are the broadcast semi-join on the ref doc's grams and the
     per-doc count aggregation."""
     shingles = shingle_grams(docs, n, text_col)
-    ref = shingles.filter(F.col("doc_id") == ref_doc).select("gram")
+    # persist the ref gram set: the count action and the broadcast join
+    # below would otherwise each recompute the shingle transform on the
+    # ref doc's partition (round-4 advice-pattern fix, as pack_shards)
+    ref = (
+        shingles.filter(F.col("doc_id") == ref_doc).select("gram").persist()
+    )
     ref_n = ref.count()
     inter = (
         shingles.join(F.broadcast(ref), "gram", "left_semi")
