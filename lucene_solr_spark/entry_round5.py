@@ -173,3 +173,44 @@ def q_ann_ivfpq_topk(spark, sf_dir):
 
 
 REGISTRY_R5["ann_ivfpq_topk"] = (q_ann_ivfpq_topk, None)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 43 — LambdaMART TRAINING (Burges 2010; closes the verdict's
+# last missing row: inference existed, training now does too).
+# rows_only: spark.ml tree fits are not SQL-expressible; NDCG-improves
+# and evaluator-compatibility are pinned in tests/test_lambdamart.py.
+# ---------------------------------------------------------------------------
+
+
+def q_ltr_lambdamart_train(spark, sf_dir):
+    from .operators.ml import lambdamart_train
+    from .operators.search_features import ltr_trees_rescore
+
+    ev = _t_events(spark, sf_dir).filter(F.col("event_id") < 400)
+    data = ev.select(
+        (F.col("event_id") % 8).cast("string").alias("qid"),
+        F.col("event_id").alias("doc_id"),
+        # deterministic learnable label: monotone in value with a bucket
+        F.least(F.lit(4.0), F.floor(F.col("value") / 40.0).cast("double")).alias(
+            "label"
+        ),
+        (F.col("value") / 200.0).alias("f1"),
+        (F.col("event_id") % 7).cast("double").alias("f2"),
+    )
+    trees = lambdamart_train(
+        data, "qid", "label", ["f1", "f2"], n_trees=3, lr=0.2, max_depth=2
+    )
+    one_q = data.filter(F.col("qid") == "0")
+    return ltr_trees_rescore(
+        one_q, features={}, trees=trees, k=10
+    ).select("doc_id", "label", F.round("ltr_score", 4).alias("ltr_score"))
+
+
+def _t_events(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+REGISTRY_R5["ltr_lambdamart_train"] = (q_ltr_lambdamart_train, None)
