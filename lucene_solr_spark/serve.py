@@ -88,6 +88,12 @@ class CandidateVolumeExceeded(RuntimeError):
     budget — route it to the distributed path."""
 
 
+class UnsupportedQuery(TypeError):
+    """Query node type the serving path does not evaluate — route it to
+    the distributed path (a dedicated type so HybridSearcher's fallback
+    never swallows a genuine TypeError bug)."""
+
+
 def _load_stats(index_dir: str) -> dict:
     stats_files = glob.glob(os.path.join(index_dir, "stats", "part-*"))
     with open(stats_files[0]) as f:
@@ -428,7 +434,9 @@ class ServingSearcher:
         if isinstance(q, Boolean):
             return self._eval_boolean(q, scored)
 
-        raise TypeError(f"serving path does not support {type(q).__name__}")
+        raise UnsupportedQuery(
+            f"serving path does not support {type(q).__name__}"
+        )
 
     def _eval_boolean(self, q: Boolean, scored: bool):
         score = np.zeros(self.n_docs)
@@ -647,7 +655,7 @@ class HybridSearcher:
             out = self.serving.search(q, k, with_fields=with_fields)
             self.served += 1
             return out
-        except (CandidateVolumeExceeded, TypeError):
+        except (CandidateVolumeExceeded, UnsupportedQuery):
             self.fell_back += 1
             rows = self.distributed.search(
                 q, k, with_fields=with_fields
