@@ -598,6 +598,26 @@ class ServingSearcher:
         ids, _ = self._eval(q, scored=True)
         return int(len(ids))
 
+    def search_after(
+        self, q, after_score: float, after_doc: int, k: int = 10
+    ) -> list:
+        """searchAfter pagination — same (sort tuple) > after filter as
+        the distributed Searcher.search_after, in-process."""
+        if isinstance(q, str):
+            q = self.parse(q)
+        terms: set = set()
+        _collect_terms(q, terms)
+        self._ensure_resident(terms)
+        ids, scores = self._eval(q, scored=True)
+        keep = (scores < after_score) | (
+            (scores == after_score) & (ids > after_doc)
+        )
+        ids, scores = ids[keep], scores[keep]
+        if len(ids) == 0:
+            return []
+        order = np.lexsort((ids, -scores))[:k]
+        return [(int(ids[i]), float(scores[i])) for i in order]
+
     def _load_urls(self) -> np.ndarray:
         if self._urls is None:
             import pyarrow.dataset as pads

@@ -189,3 +189,20 @@ def test_steady_state_latency_beats_spark_floor(both):
         serving.search("search engine", 10, with_fields=False)
     per = (time.time() - t0) / n
     assert per < 0.05, f"warm serve query took {per*1000:.1f} ms"
+
+
+def test_search_after_pagination(both):
+    """Page 2 via searchAfter must equal rows k..2k of a double-size
+    search, and match the distributed search_after."""
+    dist, serving = both
+    q = Boolean(should=[Term("search"), Term("web")])
+    full = serving.search(q, 10, with_fields=False)
+    assert len(full) == 10
+    last_score, last_doc = full[4][1], full[4][0]
+    page2 = serving.search_after(q, last_score, last_doc, k=5)
+    assert page2 == full[5:10]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in dist.search_after(q, last_score, last_doc, k=5).collect()
+    ]
+    assert [d for d, _ in page2] == [d for d, _ in want]
