@@ -135,6 +135,13 @@ class ServingSearcher:
         self.stats = st
         self.n_docs = int(st["doc_count"])
         self.avgdl = float(st["avgdl"])
+        # scoring stats default to this shard's own; set_global_stats
+        # (ShardedServing / ExactStatsCache analog) overrides them so a
+        # shard scores with COLLECTION-level df/N/avgdl while matching
+        # against its local postings
+        self.score_n_docs = self.n_docs
+        self.score_avgdl = self.avgdl
+        self._df_override: dict | None = None
         self.num_buckets = int(st.get("num_buckets", 16))
         self.profile = st.get("profile", "en")
 
@@ -279,17 +286,38 @@ class ServingSearcher:
 
     # ---- scoring (float64 replicas of score.py Column arithmetic) --------
     def _idf(self, df: int) -> float:
-        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return math.log(
+            1.0 + (self.score_n_docs - df + 0.5) / (df + 0.5)
+        )
+
+    def _df(self, term: str) -> int:
+        if self._df_override is not None:
+            return int(self._df_override.get(term, 0))
+        st = self._term_stats.get(term)
+        return int(st[0]) if st else 0
+
+    def set_global_stats(
+        self, n_docs: int, avgdl: float, dfs: dict
+    ) -> None:
+        """ExactStatsCache analog (solr/core/.../search/stats/
+        ExactStatsCache.java ≈L60): score with collection-level stats
+        so per-shard ranking merges rank-identically to a monolithic
+        index. `dfs` maps term -> global df."""
+        self.score_n_docs = int(n_docs)
+        self.score_avgdl = float(avgdl)
+        self._df_override = dict(dfs)
 
     def _score_rows(
         self, tf: np.ndarray, dlq: np.ndarray, df: int, boost: float
     ) -> np.ndarray:
         if self.similarity == "classic":
-            idf = math.log((self.n_docs + 1.0) / (df + 1.0)) + 1.0
+            idf = math.log((self.score_n_docs + 1.0) / (df + 1.0)) + 1.0
             return boost * np.sqrt(tf) * idf * idf / np.sqrt(dlq)
         # same association order as score.py bm25_score:
         # boost * idf * tf / (tf + k1*((1-b) + b*dlq/avgdl))
-        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        norm = BM25_K1 * (
+            (1.0 - BM25_B) + BM25_B * dlq / self.score_avgdl
+        )
         return boost * self._idf(df) * tf / (tf + norm)
 
     # ---- multi-term expansion against the RAM terms dict ------------------
@@ -339,13 +367,15 @@ class ServingSearcher:
             ids, tf = self._postings(q.term)
             if not scored:
                 return ids, np.zeros(len(ids))
-            return ids, self._score_rows(tf, self._dlq[ids], st[0], q.boost)
+            return ids, self._score_rows(
+                tf, self._dlq[ids], self._df(q.term), q.boost
+            )
 
         if isinstance(q, Synonym):
             present = [t for t in q.terms if t in self._term_stats]
             if not present:
                 return empty
-            df_max = max(self._term_stats[t][0] for t in present)
+            df_max = max(self._df(t) for t in present)
             parts = [self._postings(t) for t in present]
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
@@ -362,7 +392,7 @@ class ServingSearcher:
             present = [t for t in q.terms if t in self._term_stats]
             if not present:
                 return empty
-            df_max = max(self._term_stats[t][0] for t in present)
+            df_max = max(self._df(t) for t in present)
             parts = [self._postings(t) for t in present]
             ids = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
@@ -499,9 +529,11 @@ class ServingSearcher:
         if not scored:
             return ids, np.zeros(len(ids))
         # PhraseWeight: idf = sum of constituent idfs, freq = phrase freq
-        idf_sum = sum(self._idf(self._term_stats[t][0]) for t in terms)
+        idf_sum = sum(self._idf(self._df(t)) for t in terms)
         dlq = self._dlq[ids]
-        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        norm = BM25_K1 * (
+            (1.0 - BM25_B) + BM25_B * dlq / self.score_avgdl
+        )
         return ids, q.boost * idf_sum * ptf / (ptf + norm)
 
     def _eval_multi_phrase(self, q: MultiPhrase, scored: bool):
@@ -546,10 +578,12 @@ class ServingSearcher:
         if not scored:
             return ids, np.zeros(len(ids))
         idf_sum = sum(
-            self._idf(self._term_stats[t][0]) for s in present for t in s
+            self._idf(self._df(t)) for s in present for t in s
         )
         dlq = self._dlq[ids]
-        norm = BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlq / self.avgdl)
+        norm = BM25_K1 * (
+            (1.0 - BM25_B) + BM25_B * dlq / self.score_avgdl
+        )
         return ids, q.boost * idf_sum * ptf / (ptf + norm)
 
     # ---- public API -------------------------------------------------------
@@ -685,3 +719,57 @@ class HybridSearcher:
                     (r["doc_id"], r["score"], r["url"]) for r in rows
                 ]
             return [(r["doc_id"], r["score"]) for r in rows]
+
+
+class ShardedServing:
+    """Distributed serving: one ServingSearcher per shard directory plus
+    the coordinator merge — the SolrCloud read path (per-shard searchers,
+    TopDocs.merge) realized over build_index shards.
+
+    Exact global stats (ExactStatsCache): at construction the shards'
+    RAM-resident terms dicts merge into collection-level df per term and
+    collection N/avgdl, pushed back into every shard via
+    set_global_stats — so each shard scores every candidate with the SAME
+    idf/norm a monolithic index would, and the merged ranking is
+    RANK-IDENTICAL to one index over the union corpus (pinned in
+    tests/test_serve_sharded.py; Solr's default LocalStatsCache accepts
+    per-shard skew instead — we implement the exact tier).
+
+    The merge key is (score desc, url asc): per-shard doc ids are local
+    (each shard mints its own dense ids), and url is the global unique
+    key — the same total order the monolithic (score desc, doc_id asc)
+    produces, because doc ids are minted in url rank order.
+
+    Scale shape: shards serve independently (one process/node each); the
+    coordinator holds k rows per shard. The stats merge moves only the
+    terms dicts (O(vocab) per shard, one-time)."""
+
+    def __init__(self, shard_dirs: list, similarity: str = "bm25"):
+        self.shards = [
+            ServingSearcher(d, similarity=similarity) for d in shard_dirs
+        ]
+        n_total = sum(s.n_docs for s in self.shards)
+        # avgdl = total sum of field lengths / total docs; each shard's
+        # stats carry avgdl = sum_ttf/doc_count, so recombine exactly
+        sum_len = sum(s.avgdl * s.n_docs for s in self.shards)
+        avgdl = sum_len / n_total if n_total else 0.0
+        dfs: dict[str, int] = {}
+        for s in self.shards:
+            for t, (df, _ttf) in s._term_stats.items():
+                dfs[t] = dfs.get(t, 0) + df
+        for s in self.shards:
+            s.set_global_stats(n_total, avgdl, dfs)
+        self.n_docs = n_total
+
+    def search(self, q, k: int = 10) -> list:
+        """Top-k [(url, score)] merged across shards by
+        (score desc, url asc) — TopDocs.merge with the global key."""
+        rows = []
+        for s in self.shards:
+            for doc_id, score, url in s.search(q, k, with_fields=True):
+                rows.append((url, float(score)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
+
+    def count(self, q) -> int:
+        return sum(s.count(q) for s in self.shards)
