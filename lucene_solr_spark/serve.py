@@ -441,16 +441,38 @@ class ServingSearcher:
             return ids, np.full(len(ids), float(q.boost))
 
         if isinstance(q, DisMax):
-            mx = np.full(self.n_docs, -np.inf)
-            sm = np.zeros(self.n_docs)
-            matched = np.zeros(self.n_docs, dtype=bool)
-            for c in q.children:
-                ids, s = self._eval(c, scored)
-                # each child emits unique ids -> plain fancy indexing
-                mx[ids] = np.maximum(mx[ids], s)
-                sm[ids] += s
-                matched[ids] = True
-            ids = np.nonzero(matched)[0].astype(np.int64)
+            rows = [self._eval(c, scored) for c in q.children]
+            total = sum(len(r[0]) for r in rows)
+            if total * 4 >= self.n_docs:
+                mx = np.full(self.n_docs, -np.inf)
+                sm = np.zeros(self.n_docs)
+                matched = np.zeros(self.n_docs, dtype=bool)
+                for ids, s in rows:
+                    # each child emits unique ids -> plain fancy indexing
+                    mx[ids] = np.maximum(mx[ids], s)
+                    sm[ids] += s
+                    matched[ids] = True
+                ids = np.nonzero(matched)[0].astype(np.int64)
+            else:
+                # sparse: memory O(candidates), not O(shard) — see
+                # _eval_boolean's adaptive note
+                uids = np.unique(
+                    np.concatenate(
+                        [r[0] for r in rows] or [np.empty(0, np.int64)]
+                    )
+                )
+                if len(uids) == 0:
+                    return empty
+                mx = np.full(len(uids), -np.inf)
+                sm = np.zeros(len(uids))
+                for cids, s in rows:
+                    pos = np.searchsorted(uids, cids)
+                    mx[pos] = np.maximum(mx[pos], s)
+                    sm[pos] += s
+                score = (
+                    mx + q.tie_breaker * (sm - mx)
+                ) * q.boost
+                return uids, score
             score = (
                 mx[ids] + q.tie_breaker * (sm[ids] - mx[ids])
             ) * q.boost
@@ -469,37 +491,79 @@ class ServingSearcher:
         )
 
     def _eval_boolean(self, q: Boolean, scored: bool):
-        score = np.zeros(self.n_docs)
-        must_cnt = np.zeros(self.n_docs, dtype=np.int32)
-        should_cnt = np.zeros(self.n_docs, dtype=np.int32)
+        # evaluate every clause once (each emits unique ids — the same
+        # invariant the distributed _compile_boolean documents)
         n_must = len(q.must) + len(q.filter)
-        # every _eval branch emits unique doc ids (same invariant the
-        # distributed _compile_boolean documents), so plain fancy-indexed
-        # += is exact — no np.add.at needed
-        for c in q.must:
-            ids, s = self._eval(c, scored)
-            score[ids] += s
-            must_cnt[ids] += 1
-        for c in q.filter:
-            ids, _ = self._eval(c, scored=False)
-            must_cnt[ids] += 1
-        for c in q.should:
-            ids, s = self._eval(c, scored)
-            score[ids] += s
-            should_cnt[ids] += 1
-        cond = must_cnt == n_must
+        must_rows = [self._eval(c, scored) for c in q.must]
+        filt_rows = [self._eval(c, scored=False) for c in q.filter]
+        should_rows = [self._eval(c, scored) for c in q.should]
+        not_rows = [self._eval(c, scored=False) for c in q.must_not]
+        if not q.should and n_must == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         msm = q.min_should_match
         if n_must == 0:
             msm = max(msm, 1)
+
+        total = sum(
+            len(r[0]) for r in must_rows + filt_rows + should_rows + not_rows
+        )
+        # Adaptive aggregation: dense per-doc accumulators are fastest
+        # but allocate O(n_docs) PER QUERY — fine for a 1M-doc shard,
+        # 2.4 GB/query at 100M docs. Selective queries (candidate rows
+        # << corpus) aggregate SPARSELY over the union of clause ids
+        # instead: memory O(candidates), the shard size drops out.
+        if total * 4 >= self.n_docs:
+            score = np.zeros(self.n_docs)
+            must_cnt = np.zeros(self.n_docs, dtype=np.int32)
+            should_cnt = np.zeros(self.n_docs, dtype=np.int32)
+            for ids, s in must_rows:
+                score[ids] += s
+                must_cnt[ids] += 1
+            for ids, _ in filt_rows:
+                must_cnt[ids] += 1
+            for ids, s in should_rows:
+                score[ids] += s
+                should_cnt[ids] += 1
+            cond = must_cnt == n_must
+            if q.should:
+                cond &= should_cnt >= msm
+            for ids, _ in not_rows:
+                cond[ids] = False
+            ids = np.nonzero(cond)[0].astype(np.int64)
+            return ids, score[ids] * q.boost
+
+        # sparse path: factorize the union of ids into a compact index
+        all_ids = np.concatenate(
+            [r[0] for r in must_rows + filt_rows + should_rows]
+            or [np.empty(0, np.int64)]
+        )
+        uids = np.unique(all_ids)
+        if len(uids) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        score = np.zeros(len(uids))
+        must_cnt = np.zeros(len(uids), dtype=np.int32)
+        should_cnt = np.zeros(len(uids), dtype=np.int32)
+        for ids, s in must_rows:
+            pos = np.searchsorted(uids, ids)
+            score[pos] += s
+            must_cnt[pos] += 1
+        for ids, _ in filt_rows:
+            must_cnt[np.searchsorted(uids, ids)] += 1
+        for ids, s in should_rows:
+            pos = np.searchsorted(uids, ids)
+            score[pos] += s
+            should_cnt[pos] += 1
+        cond = must_cnt == n_must
         if q.should:
             cond &= should_cnt >= msm
-        elif n_must == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        for c in q.must_not:
-            ids, _ = self._eval(c, scored=False)
-            cond[ids] = False
-        ids = np.nonzero(cond)[0].astype(np.int64)
-        return ids, score[ids] * q.boost
+        for ids, _ in not_rows:
+            # excluded ids may lie outside the union; mask the overlap
+            if len(ids):
+                inset = np.isin(ids, uids, assume_unique=True)
+                if inset.any():
+                    cond[np.searchsorted(uids, ids[inset])] = False
+        keep = np.nonzero(cond)[0]
+        return uids[keep], score[keep] * q.boost
 
     def _eval_phrase(self, q: Phrase, scored: bool):
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
