@@ -198,10 +198,35 @@ _UAX_WORD = (
 # (2,2,...,then the odd 1). WB4 ignorables may sit between the halves.
 _RI = "\U0001f1e6-\U0001f1ff"
 
+# Extended_Pictographic core blocks (LUCENE-8122 emoji tokenization:
+# StandardTokenizer 7.3+ emits pictographic sequences as single <EMOJI>
+# tokens). ZWJ (U+200D) and variation selectors are WB4 ignorables, so
+# the `EFS PICTO` glue below binds ZWJ sequences (family emoji, skin
+# tones via the modifier block) into ONE token, exactly the reference's
+# emoji-sequence behavior. Out of scope (disclosed): keycap sequences
+# (digit + VS16 + U+20E3) tokenize as the bare digit — the combining
+# keycap rides as an ignorable on a word token.
+_PICTO = (
+    "☀-➿"            # Misc Symbols, Dingbats
+    "⬀-⯿"            # Misc Symbols and Arrows (⭐ etc.)
+    "\U0001f000-\U0001f0ff"    # Mahjong/Domino/Cards
+    "\U0001f300-\U0001f5ff"    # Misc Symbols & Pictographs
+    "\U0001f600-\U0001f64f"    # Emoticons
+    "\U0001f680-\U0001f6ff"    # Transport & Map
+    "\U0001f700-\U0001f77f"    # Alchemical
+    "\U0001f900-\U0001f9ff"    # Supplemental Symbols & Pictographs
+    "\U0001fa70-\U0001faff"    # Symbols & Pictographs Extended-A
+)
+_EMOD = "\U0001f3fb-\U0001f3ff"  # skin-tone modifiers (E_Modifier)
+
 TOKEN_RE = re.compile(
     rf"(?:[{_KATA}]{_EFS})+"       # WB13: katakana runs bind (+ ignorables)
     rf"|[{_IDEO}{_HIRA}]{_EFS}"    # ideograph / hiragana: one char per token
     rf"|[{_RI}](?:{_EFS}[{_RI}])?{_EFS}"  # WB15/16: RI pair | lone RI
+    # emoji sequences: a pictograph extends ONLY via ZWJ+pictograph
+    # (WB3c, family emoji) or a directly-attached skin-tone modifier
+    # (E_Base x E_Modifier); adjacent independent emoji stay separate
+    rf"|[{_PICTO}](?:{_EFS}(?:\u200d{_EFS}[{_PICTO}]|[{_EMOD}]))*{_EFS}"
     rf"|{_UAX_WORD}"
 )
 
@@ -246,6 +271,8 @@ TOKEN_RE_NOEF = re.compile(
     rf"[{_KATA}]+"
     rf"|[{_IDEO}{_HIRA}]"
     rf"|[{_RI}]{{1,2}}"
+    # no ZWJ can occur in EF-free text; only direct modifier attachment
+    rf"|[{_PICTO}][{_EMOD}]*"
     rf"|{_UAX_WORD_NOEF}"
 )
 

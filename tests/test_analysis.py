@@ -242,3 +242,26 @@ def test_regional_indicator_survives_chains():
     assert (US, 1) in analyze(f"visit {US} today", "en")
     row_idx, terms, pos, field_len = analyze_flat([f"visit {US} today"], "en")
     assert US in set(terms.tolist())
+
+
+def test_pictographic_emoji_sequences():
+    """LUCENE-8122 emoji tokenization beyond flags: ZWJ sequences bind
+    into one token, skin-tone modifiers attach directly, adjacent
+    independent emoji stay separate, pictographs never merge with
+    words."""
+    from lucene_solr_spark.analysis import tokenize_standard
+
+    family = "\U0001F468‍\U0001F469‍\U0001F467"  # man+ZWJ+woman+ZWJ+girl
+    thumbs = "\U0001F44D\U0001F3FD"  # thumbs-up + medium skin tone
+    grin = "\U0001F600"
+    assert tokenize_standard(f"hi {family} ok") == ["hi", family, "ok"]
+    assert tokenize_standard(grin + grin) == [grin, grin]
+    assert tokenize_standard(thumbs) == [thumbs]
+    assert tokenize_standard("go ⭐ now") == ["go", "⭐", "now"]
+    # RI flag followed by a pictograph: two tokens (no rule binds them)
+    us = "\U0001F1FA\U0001F1F8"
+    assert tokenize_standard(f"mix {us}{grin} end") == ["mix", us, grin, "end"]
+    # emoji survive the en chain (not stopped, not stemmed)
+    from lucene_solr_spark.analysis import analyze
+
+    assert (grin, 1) in analyze(f"see {grin} here", "en")
