@@ -696,6 +696,25 @@ class ServingSearcher:
         ids, _ = self._eval(q, scored=True)
         return int(len(ids))
 
+    def refresh(self) -> bool:
+        """SearcherManager#maybeRefresh analog (lucene/core/.../search/
+        SearcherManager.java ≈L60): re-open the shard after a commit.
+        Compares the on-disk stats snapshot with the resident one; when
+        changed, reloads the terms dict / docmeta arrays and drops the
+        posting caches (a new segment set invalidates them — Lucene
+        likewise opens fresh per-segment readers and lets the page cache
+        re-warm). Returns True if a newer index generation was loaded."""
+        new_stats = _load_stats(self.index_dir)
+        if new_stats == self.stats:
+            return False
+        self.__init__(
+            self.index_dir,
+            similarity=self.similarity,
+            cache_bytes=self.cache_bytes,
+            max_fetch_bytes=self.max_fetch_bytes,
+        )
+        return True
+
     def search_after(
         self, q, after_score: float, after_doc: int, k: int = 10
     ) -> list:

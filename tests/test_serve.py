@@ -206,3 +206,27 @@ def test_search_after_pagination(both):
         for r in dist.search_after(q, last_score, last_doc, k=5).collect()
     ]
     assert [d for d, _ in page2] == [d for d, _ in want]
+
+
+def test_refresh_reopens_after_rebuild(spark, pages_small, tmp_path):
+    """SearcherManager analog: after the index is rebuilt with more
+    docs, refresh() loads the new generation; an unchanged index
+    refreshes to False without dropping caches."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.indexer import build_index
+    from lucene_solr_spark.serve import ServingSearcher
+
+    pages = spark.read.parquet(pages_small)
+    idx = str(tmp_path / "ridx")
+    build_index(spark, pages.limit(400), idx, profile="en", num_buckets=4)
+    s = ServingSearcher(idx)
+    n0 = s.n_docs
+    s.search(Term("search"), 5, with_fields=False)  # warm a cache entry
+    assert s.refresh() is False  # unchanged: no-op, cache retained
+    assert len(s._cache) > 0
+    build_index(spark, pages, idx, profile="en", num_buckets=4)
+    assert s.refresh() is True
+    assert s.n_docs > n0
+    # new generation serves correctly
+    assert len(s.search(Term("search"), 5, with_fields=False)) > 0
