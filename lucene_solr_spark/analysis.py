@@ -393,6 +393,40 @@ def analyze_es(text: str) -> list[tuple[str, int]]:
     return [(spanish_stem(t.lower()), i) for i, t in enumerate(tokenize_standard(text))]
 
 
+def analyze_it(text: str) -> list[tuple[str, int]]:
+    """ItalianAnalyzer core chain: Standard -> Elision(It) -> LowerCase ->
+    Snowball Italian (.../it/ItalianAnalyzer.java ≈L70; Italian elision
+    articles per ItalianAnalyzer.DEFAULT_ARTICLES). Stop list empty
+    (same documented deviation as analyze_de)."""
+    from .snowball import italian_stem
+
+    out = []
+    for i, t in enumerate(tokenize_standard(text)):
+        t = elision_filter(t, IT_ELISION_ARTICLES).lower()
+        if t:
+            out.append((italian_stem(t), i))
+    return out
+
+
+def analyze_pt(text: str) -> list[tuple[str, int]]:
+    """PortugueseAnalyzer core chain: Standard -> LowerCase -> Snowball
+    Portuguese (.../pt/PortugueseAnalyzer.java ≈L60). Stop list empty
+    (same documented deviation as analyze_de)."""
+    from .snowball import portuguese_stem
+
+    return [
+        (portuguese_stem(t.lower()), i)
+        for i, t in enumerate(tokenize_standard(text))
+    ]
+
+
+IT_ELISION_ARTICLES = (
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d",
+)
+
+
 def analyze_lang(text: str, lang: str) -> list[tuple[str, int]]:
     """Language-gated chain dispatch (the per-language field routing a
     Solr schema does with text_en/text_de/text_fr/text_es field types):
@@ -414,6 +448,8 @@ ANALYZERS = {
     "de": analyze_de,
     "fr": analyze_fr,
     "es": analyze_es,
+    "it": analyze_it,
+    "pt": analyze_pt,
 }
 
 
@@ -439,7 +475,7 @@ def analyze(text: str, profile: str = "en", stem_cache: dict | None = None):
 _LONG_TOKEN_RE = re.compile(r"\w{256}")
 _CHAIN_MEMO: dict[str, dict] = {
     "en": {}, "english": {}, "standard": {}, "simple": {},
-    "de": {}, "fr": {}, "es": {},
+    "de": {}, "fr": {}, "es": {}, "it": {}, "pt": {},
 }
 
 # ASCII fast path: on pure-ASCII rows (str.isascii, a C check) the CJK
@@ -505,6 +541,15 @@ def _chain_one(tok: str, profile: str) -> str | None:
         from .snowball import spanish_stem
 
         return spanish_stem(tok.lower())
+    if profile == "it":
+        from .snowball import italian_stem
+
+        t = elision_filter(tok, IT_ELISION_ARTICLES).lower()
+        return italian_stem(t) if t else None
+    if profile == "pt":
+        from .snowball import portuguese_stem
+
+        return portuguese_stem(tok.lower())
     return tok  # simple: tokenizer already lowercased
 
 

@@ -214,3 +214,46 @@ def _t_events(spark, sf_dir):
 
 
 REGISTRY_R5["ltr_lambdamart_train"] = (q_ltr_lambdamart_train, None)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 44 — Italian / Portuguese Snowball (same oracle design as
+# tranche 41: golden stems stated independently in SQL).
+# ---------------------------------------------------------------------------
+
+_IT_VOCAB = [
+    ("abbandonata", "abbandon"),
+    ("pronto", "pront"),
+    ("felicità", "felic"),
+    ("mangiarla", "mang"),
+    ("nazionale", "nazional"),
+    ("azione", "azion"),
+    ("belli", "bell"),
+    ("amichevole", "amichevol"),
+]
+
+_PT_VOCAB = [
+    ("cantando", "cant"),
+    ("bonita", "bonit"),
+    ("importância", "import"),
+    ("corações", "coraçõ"),
+    ("nacional", "nacional"),
+    ("grandeza", "grandez"),
+    ("felizmente", "feliz"),
+]
+
+
+def q_analysis_stem_it(spark, sf_dir):
+    from .snowball import italian_stem
+
+    return _stem_entry(spark, sf_dir, [w for w, _ in _IT_VOCAB], italian_stem)
+
+
+def q_analysis_stem_pt(spark, sf_dir):
+    from .snowball import portuguese_stem
+
+    return _stem_entry(spark, sf_dir, [w for w, _ in _PT_VOCAB], portuguese_stem)
+
+
+REGISTRY_R5["analysis_stem_it"] = (q_analysis_stem_it, _stem_sql(_IT_VOCAB))
+REGISTRY_R5["analysis_stem_pt"] = (q_analysis_stem_pt, _stem_sql(_PT_VOCAB))

@@ -728,3 +728,382 @@ SNOWBALL_STEMMERS = {
     "fr": french_stem,
     "es": spanish_stem,
 }
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = set("aeiouàèìòù")
+_IT_ACUTE_TO_GRAVE = str.maketrans("áéíóú", "àèìòù")
+
+
+def _it_mark(word: str) -> str:
+    chars = list(word)
+    n = len(chars)
+
+    def v(i):
+        return 0 <= i < n and chars[i] in _IT_VOWELS and chars[i].islower()
+
+    for i in range(n):
+        c = chars[i]
+        if c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif c in "ui" and 0 < i < n - 1 and v(i - 1) and v(i + 1):
+            chars[i] = c.upper()
+    return "".join(chars)
+
+
+def _iberian_rv(w: str, vowels: set) -> int:
+    """RV as defined for Spanish/Italian/Portuguese."""
+    n = len(w)
+    if n < 3:
+        return n
+
+    def v(c):
+        return c in vowels
+
+    if not v(w[1]):
+        for i in range(2, n):
+            if v(w[i]):
+                return i + 1
+        return n
+    if v(w[0]) and v(w[1]):
+        for i in range(2, n):
+            if not v(w[i]):
+                return i + 1
+        return n
+    return 3
+
+
+def italian_stem(word: str) -> str:  # noqa: C901 — spec-shaped case tree
+    """Snowball Italian: acute→grave + U/I marking; step 0 attached
+    pronouns; step 1 standard suffixes; step 2 verb suffixes; steps
+    3a/3b residual; unmark."""
+    if len(word) <= 2:
+        return word.translate(_IT_ACUTE_TO_GRAVE)
+    w = _it_mark(word.translate(_IT_ACUTE_TO_GRAVE))
+    n = len(w)
+
+    def v(c):
+        return c in _IT_VOWELS  # marked U/I are uppercase -> consonant
+
+    rv = _iberian_rv(w, _IT_VOWELS)
+    r1, r2 = _std_regions_pred(w, v)
+
+    def in_rv(p):
+        return p >= rv
+
+    def in_r1(p):
+        return p >= r1
+
+    def in_r2(p):
+        return p >= r2
+
+    # ---- step 0: attached pronoun ----
+    PRON = sorted(
+        ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti",
+         "vi", "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+         "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+         "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+         "vele", "veli", "velo", "vene"],
+        key=len, reverse=True,
+    )
+    for p in PRON:
+        if not w.endswith(p):
+            continue
+        stem_end = len(w) - len(p)
+        base = w[:stem_end]
+        for grp, action in (("ando", "del"), ("endo", "del"),
+                            ("ar", "e"), ("er", "e"), ("ir", "e")):
+            gpos = stem_end - len(grp)
+            if base.endswith(grp) and in_rv(gpos) and in_rv(stem_end):
+                w = base if action == "del" else base + "e"
+                break
+        break
+
+    # ---- step 1: standard suffixes ----
+    removed1 = False
+    S1 = sorted(
+        [
+            "anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+            "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+            "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+            "ose", "mente", "atrice", "atrici", "ante", "anti",
+            "azione", "azioni", "atore", "atori", "logia", "logie",
+            "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+            "amento", "amenti", "imento", "imenti", "amente", "ità",
+            "ivo", "ivi", "iva", "ive",
+        ],
+        key=len, reverse=True,
+    )
+    m = next((s for s in S1 if w.endswith(s)), None)
+    if m is not None:
+        pos = len(w) - len(m)
+        if m in ("azione", "azioni", "atore", "atori"):
+            if in_r2(pos):
+                w = w[:pos]
+                removed1 = True
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif m in ("logia", "logie"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                removed1 = True
+        elif m in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                removed1 = True
+        elif m in ("enza", "enze"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+                removed1 = True
+        elif m in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(pos):
+                w = w[:pos]
+                removed1 = True
+        elif m == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                removed1 = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif (
+                    w.endswith(("os", "ic"))
+                    and in_r2(len(w) - 2)
+                ):
+                    w = w[:-2]
+                elif w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+        elif m == "ità":
+            if in_r2(pos):
+                w = w[:pos]
+                removed1 = True
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif m in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(pos):
+                w = w[:pos]
+                removed1 = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+        else:
+            if in_r2(pos):
+                w = w[:pos]
+                removed1 = True
+
+    # ---- step 2: verb suffixes ----
+    if not removed1:
+        S2 = sorted(
+            [
+                "ammo", "ando", "ano", "are", "arono", "asse", "assero",
+                "assi", "assimo", "ata", "ate", "ati", "ato", "ava",
+                "avamo", "avano", "avate", "avi", "avo", "emmo", "enda",
+                "ende", "endi", "endo", "erà", "erai", "eranno", "ere",
+                "erebbe", "erebbero", "erei", "eremmo", "eremo",
+                "ereste", "eresti", "erete", "erò", "erono", "essero",
+                "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+                "Iamo", "iamo", "immo", "irà", "irai", "iranno", "ire",
+                "irebbe", "irebbero", "irei", "iremmo", "iremo",
+                "ireste", "iresti", "irete", "irò", "irono", "isca",
+                "iscano", "isce", "isci", "isco", "iscono", "issero",
+                "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+                "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti",
+                "uto", "ar", "ir",
+            ],
+            key=len, reverse=True,
+        )
+        for s in S2:
+            if w.endswith(s):
+                pos = len(w) - len(s)
+                if in_rv(pos):
+                    w = w[:pos]
+                break
+
+    # ---- step 3a: final vowel (+ preceding i) ----
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w and w[-1] == "i" and in_rv(len(w) - 1):
+            w = w[:-1]
+    # ---- step 3b: ch/gh -> c/g ----
+    if w.endswith(("ch", "gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    return w.lower()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = set("aeiouáéíóúâêô")
+
+
+def portuguese_stem(word: str) -> str:  # noqa: C901 — spec-shaped case tree
+    """Snowball Portuguese: nasal-vowel marking (ã→a~, õ→o~); step 1
+    standard suffixes; step 2 verb suffixes; step 3 xor 4; step 5;
+    unmark."""
+    if len(word) <= 2:
+        return word
+    w = word.replace("ã", "a~").replace("õ", "o~")
+
+    def v(c):
+        return c in _PT_VOWELS  # '~' is a consonant-like marker
+
+    rv = _iberian_rv(w, _PT_VOWELS)
+    r1, r2 = _std_regions_pred(w, v)
+
+    def in_rv(p):
+        return p >= rv
+
+    def in_r1(p):
+        return p >= r1
+
+    def in_r2(p):
+        return p >= r2
+
+    altered = False
+
+    # ---- step 1: standard suffixes ----
+    S1 = sorted(
+        [
+            "eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+            "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+            "osos", "osas", "amento", "amentos", "imento", "imentos",
+            "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+            "ante", "antes", "ância",
+            "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+            "amente", "mente", "idade", "idades",
+            "iva", "ivo", "ivas", "ivos", "ira", "iras",
+        ],
+        key=len, reverse=True,
+    )
+    m = next((s for s in S1 if w.endswith(s)), None)
+    if m is not None:
+        pos = len(w) - len(m)
+        if m in ("adora", "ador", "aça~o", "adoras", "adores",
+                 "aço~es", "ante", "antes", "ância"):
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif m in ("logia", "logias"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                altered = True
+        elif m in ("uça~o", "uço~es"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                altered = True
+        elif m in ("ência", "ências"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+                altered = True
+        elif m == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                altered = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif m == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("idade", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif m in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif m in ("ira", "iras"):
+            if in_rv(pos) and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+                altered = True
+        else:
+            if in_r2(pos):
+                w = w[:pos]
+                altered = True
+
+    # ---- step 2: verb suffixes (only if step 1 did nothing) ----
+    if not altered:
+        S2 = sorted(
+            [
+                "ada", "ida", "ia", "aria", "eria", "iria", "ará",
+                "ara", "erá", "era", "irá", "ava", "asse", "esse",
+                "isse", "aste", "este", "iste", "ei", "arei", "erei",
+                "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
+                "eram", "iram", "avam", "em", "arem", "erem", "irem",
+                "assem", "essem", "issem", "ado", "ido", "ando",
+                "endo", "indo", "ara~o", "era~o", "ira~o", "ar", "er",
+                "ir", "as", "adas", "idas", "ias", "arias", "erias",
+                "irias", "arás", "aras", "erás", "eras", "irás",
+                "avas", "es", "ardes", "erdes", "irdes", "ares",
+                "eres", "ires", "asses", "esses", "isses", "astes",
+                "estes", "istes", "is", "ais", "areis", "ereis",
+                "ireis", "áreis", "éreis", "íreis", "ásseis",
+                "ésseis", "ísseis", "áveis", "ados", "idos", "ámos",
+                "amos", "íamos", "aríamos", "eríamos", "iríamos",
+                "áramos", "éramos", "íramos", "ávamos", "emos",
+                "aremos", "eremos", "iremos", "ássemos", "êssemos",
+                "íssemos", "imos", "armos", "ermos", "irmos", "eu",
+                "iu", "ou", "ira", "iras",
+            ],
+            key=len, reverse=True,
+        )
+        for s in S2:
+            if w.endswith(s):
+                pos = len(w) - len(s)
+                if in_rv(pos):
+                    w = w[:pos]
+                    altered = True
+                break
+
+    # ---- step 3 xor step 4 ----
+    if altered:
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        for s in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(s):
+                pos = len(w) - len(s)
+                if in_rv(pos):
+                    w = w[:pos]
+                break
+
+    # ---- step 5 (always) ----
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("gu") and in_rv(len(w) - 1):
+            w = w[:-1]
+        elif w.endswith("ci") and in_rv(len(w) - 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+SNOWBALL_STEMMERS.update({"it": italian_stem, "pt": portuguese_stem})

@@ -172,3 +172,63 @@ def test_multilang_index_gating(spark, tmp_path):
         idx, {"de": Term("zeitung"), "fr": Term("continu")}, k=5
     ).collect()
     assert {r["url"] for r in merged} == {"u:de1", "u:fr1"}
+
+
+ITALIAN = [
+    ("abbandonata", "abbandon"),
+    ("abbandonare", "abbandon"),
+    ("pronto", "pront"),
+    ("felicità", "felic"),       # ità in R2, ic not in R2
+    ("mangiarla", "mang"),       # step 0 pronoun: ar+la -> are -> verb
+    ("nazionale", "nazional"),   # step 3a drops final e
+    ("azione", "azion"),         # azione not in R2 here; step3a e
+    ("belli", "bell"),           # step 3a i? 'i' at rv -> trace: step2 no; 3a i
+    ("amichevole", "amichevol"),
+    ("di", "di"),
+]
+
+PORTUGUESE = [
+    ("cantando", "cant"),
+    ("bonita", "bonit"),
+    ("importância", "import"),
+    ("corações", "coraçõ"),      # nasal marker survives, 'es' verb drop
+    ("nacional", "nacional"),    # nothing matches; no residual
+    ("grandeza", "grandez"),     # eza NOT in R2 here; step 4 residual a
+    ("felizmente", "feliz"),     # mente in R2
+    ("o", "o"),
+]
+
+
+@pytest.mark.parametrize("word,stem", ITALIAN, ids=[w for w, _ in ITALIAN])
+def test_italian(word, stem):
+    from lucene_solr_spark.snowball import italian_stem
+
+    assert italian_stem(word) == stem
+
+
+@pytest.mark.parametrize("word,stem", PORTUGUESE, ids=[w for w, _ in PORTUGUESE])
+def test_portuguese(word, stem):
+    from lucene_solr_spark.snowball import portuguese_stem
+
+    assert portuguese_stem(word) == stem
+
+
+def test_it_pt_chain_dispatch():
+    from lucene_solr_spark.analysis import analyze
+
+    assert analyze("l'abbandonata", "it") == [("abbandon", 0)]
+    assert analyze("cantando", "pt") == [("cant", 0)]
+
+
+def test_it_pt_batch_matches_per_row():
+    from lucene_solr_spark.analysis import ANALYZERS, analyze_flat
+
+    texts = ["l'abbandonata felicità nazionale", "cantando corações grandeza", ""]
+    for profile in ("it", "pt"):
+        row_idx, terms, pos, field_len = analyze_flat(texts, profile)
+        flat = list(zip(row_idx.tolist(), terms.tolist(), pos.tolist()))
+        want = []
+        for r, t in enumerate(texts):
+            for term, p in ANALYZERS[profile](t):
+                want.append((r, term, p))
+        assert flat == want, profile
