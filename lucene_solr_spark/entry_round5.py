@@ -257,3 +257,74 @@ def q_analysis_stem_pt(spark, sf_dir):
 
 REGISTRY_R5["analysis_stem_it"] = (q_analysis_stem_it, _stem_sql(_IT_VOCAB))
 REGISTRY_R5["analysis_stem_pt"] = (q_analysis_stem_pt, _stem_sql(_PT_VOCAB))
+
+
+# ---------------------------------------------------------------------------
+# Tranche 45 — UAX#29 WB15/16 + emoji tokenization as a driver entry:
+# deterministic emoji strings injected by position, tokenized by the
+# real chain (mapInPandas over tokenize_standard); the oracle hard-codes
+# the expected token list per injected string (golden vectors of
+# tests/test_analysis.py, independently restated in SQL).
+# ---------------------------------------------------------------------------
+
+_EMOJI_VOCAB = [
+    # (injected string, expected space-joined token list)
+    ("go\U0001F1FA\U0001F1F8now", "go \U0001F1FA\U0001F1F8 now"),
+    ("\U0001F1FA\U0001F1F8\U0001F1EB\U0001F1F7",
+     "\U0001F1FA\U0001F1F8 \U0001F1EB\U0001F1F7"),
+    ("\U0001F600\U0001F600", "\U0001F600 \U0001F600"),
+    ("hi\U0001F468‍\U0001F469‍\U0001F467ok",
+     "hi \U0001F468‍\U0001F469‍\U0001F467 ok"),
+    ("\U0001F44D\U0001F3FD", "\U0001F44D\U0001F3FD"),
+    ("a⚡b", "a ⚡ b"),
+]
+
+
+def q_analysis_emoji_tokens(spark, sf_dir):
+    tok = _tok(spark, sf_dir).filter(F.col("doc_id") < 5)
+    arr = F.array(*[F.lit(w) for w, _ in _EMOJI_VOCAB])
+    injected = tok.select(
+        "doc_id",
+        "pos",
+        F.element_at(arr, (F.col("pos") % len(_EMOJI_VOCAB)) + 1).alias("s"),
+    )
+
+    def apply_tok(it):
+        from .analysis import tokenize_standard
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["tokens"] = pdf["s"].map(
+                lambda t: " ".join(tokenize_standard(t))
+            )
+            yield pdf[["doc_id", "pos", "s", "tokens"]]
+
+    out = injected.mapInPandas(
+        apply_tok, "doc_id long, pos int, s string, tokens string"
+    )
+    return out.orderBy("doc_id", "pos")
+
+
+def _emoji_sql() -> str:
+    arr = ", ".join("'%s'" % w for w, _ in _EMOJI_VOCAB)
+    cases = "\n".join(
+        "         WHEN '%s' THEN '%s'" % (w, t) for w, t in _EMOJI_VOCAB
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+  FROM documents WHERE doc_id < 5),
+inj AS (
+  SELECT doc_id, pos,
+         ([{arr}])[(pos % {len(_EMOJI_VOCAB)}) + 1] AS s
+  FROM tok)
+SELECT doc_id, pos, s,
+       CASE s
+{cases}
+       END AS tokens
+FROM inj ORDER BY doc_id, pos
+"""
+
+
+REGISTRY_R5["analysis_emoji_tokens"] = (q_analysis_emoji_tokens, _emoji_sql())
